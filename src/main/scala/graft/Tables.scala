@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided synthetic parquet corpus (TESTDATA.md).
+  *
+  * At cluster scale these reads are plain splittable parquet scans; every
+  * query below them relies on Catalyst pushing filters/projections into the
+  * scan (verified via `.explain` — see Bench).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view so the whole gate surface is also
+    * reachable through `spark.sql` (free SQL front-end via Catalyst).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

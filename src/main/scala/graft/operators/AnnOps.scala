@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Approximate/exact nearest-neighbor search over the `embeddings` table.
+  *
+  * a01 is the brute-force cosine top-k baseline: the (small) query set is
+  * broadcast against the candidate scan, so the plan is a single pass over
+  * the big side — the correct shape at 100 TB when |Q| is small. The dot
+  * product is a sequential double fold (`aggregate(zip_with(...))`) so the
+  * result is bit-deterministic.
+  *
+  * a02 is the scale path: random-hyperplane LSH (signs of md5-derived
+  * pseudo-random projections) buckets vectors so only same-bucket pairs are
+  * scored — the candidate join is an equi-join on the signature.
+  */
+object AnnOps {
+  private val dotExpr =
+    "aggregate(zip_with(emb, q_emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+
+  /** Brute-force cosine top-k (k=10) for query vectors vec_id < 5. */
+  val a01 = QueryDef(
+    "a01_knn_cosine",
+    "brute-force cosine top-k with broadcast query set",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x AS double))").as("emb"))
+        .withColumn("norm", expr(
+          "sqrt(aggregate(emb, 0D, (acc, x) -> acc + x * x))"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("norm").as("q_norm"))
+      val scored = e.filter(col("vec_id") >= 5)
+        .crossJoin(broadcast(q))
+        .select(col("q_id"), col("vec_id"),
+          (expr(dotExpr) / (col("norm") * col("q_norm"))).as("sim"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("vec_id"), col("rank"), col("sim"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""WITH e AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings),
+      n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS norm FROM e),
+      q AS (SELECT vec_id AS q_id, emb AS q_emb, norm AS q_norm FROM n WHERE vec_id < 5),
+      sc AS (SELECT q_id, vec_id,
+               list_dot_product(emb, q_emb) / (norm * q_norm) AS sim
+             FROM n CROSS JOIN q WHERE vec_id >= 5)
+      SELECT q_id, vec_id, rank, sim FROM (
+        SELECT q_id, vec_id, sim,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+        FROM sc) t
+      WHERE rank <= 10 ORDER BY q_id, rank"""))
+
+  /** Random-hyperplane LSH bucketing: 8-bit signature from sign hashes of
+    * (plane, dimension) md5 values; emits bucket sizes (the index build).
+    */
+  val a02 = QueryDef(
+    "a02_lsh_buckets",
+    "random-hyperplane LSH signature + bucket histogram",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x AS double))").as("emb"))
+      // sign(h(p,d)) in {+1,-1} from md5 — same engine-agnostic trick as
+      // SimHash; projection_p(v) = sum_d sign(p,d) * v[d].
+      val sig = e.withColumn("sigbits", expr(
+        """transform(sequence(0, 7), p ->
+             CASE WHEN aggregate(
+               zip_with(emb, sequence(0, size(emb) - 1), (x, d) ->
+                 CASE WHEN substring(md5(concat(cast(p AS string), '_', cast(d AS string))), 1, 1) < '8'
+                      THEN x ELSE -x END),
+               0D, (acc, v) -> acc + v) >= 0 THEN '1' ELSE '0' END)"""))
+        .select(col("vec_id"), concat_ws("", col("sigbits")).as("sig"))
+      sig.groupBy(col("sig"))
+        .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
+        .orderBy(col("sig"))
+    },
+    Some {
+      // one projection term per plane p: sum over dims of +-emb[d]
+      val planes = (0 until 8).map { p =>
+        s"""CASE WHEN list_sum(list_transform(range(len(emb)), d ->
+              CASE WHEN substring(md5('$p' || '_' || CAST(d AS VARCHAR)), 1, 1) < '8'
+                   THEN emb[d + 1] ELSE -emb[d + 1] END)) >= 0
+            THEN '1' ELSE '0' END"""
+      }.mkString(" || ")
+      s"""WITH e AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings),
+        sig AS (SELECT vec_id, $planes AS sig FROM e)
+        SELECT sig, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec
+        FROM sig GROUP BY sig ORDER BY sig"""
+    })
+
+  val all: Seq[QueryDef] = Seq(a01, a02)
+}

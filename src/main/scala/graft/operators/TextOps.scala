@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Text-analytics operators over the `documents` table — the pieces a
+  * large-scale training-data pipeline needs (exact dedup, fingerprinting,
+  * token statistics, quality scoring, language ID). All are single-pass
+  * narrow transformations + one aggregation, so at 100 TB they scale
+  * linearly with input splits; no operator here shuffles more than
+  * (doc_id → small aggregate) rows.
+  *
+  * Reference anchors: the text-cleanup/NER column pipeline of
+  * data_integration.ipynb c27/c35 (SURVEY §2.11) generalizes to these
+  * column-level text metrics.
+  */
+object TextOps {
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Literal (non-regex) substring occurrence count — the classic
+    * length-difference trick; deterministic and identical in any engine.
+    */
+  private def occurrences(text: Column, marker: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(marker), ""))) / marker.length).cast("bigint")
+
+  /** Exact deduplication by content hash (SURVEY north-star dedup op):
+    * md5 groups + min-id winner + copy count. A pure hash-shuffle groupBy —
+    * at 100 TB this is the cheapest possible exact dedup (no sort, map-side
+    * partial aggregation on the hash).
+    */
+  val t01 = QueryDef(
+    "t01_dedup_exact",
+    "exact dedup via md5 content hash (groupBy)",
+    (s, dir) =>
+      docs(s, dir)
+        .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("text_md5")),
+    Some("""SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY text_md5"""))
+
+  /** Document fingerprinting: canonicalize (lower, collapse non-alnum,
+    * trim) then hash — near-dup-robust exact matching.
+    */
+  val t02 = QueryDef(
+    "t02_fingerprint",
+    "normalized content fingerprint (lower+collapse+md5)",
+    (s, dir) =>
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).cast("binary")).as("fp"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      FROM documents ORDER BY doc_id"""))
+
+  /** Token counting: whitespace tokens, distinct tokens, token chars
+    * (explode + group — partial aggregation keeps the shuffle tiny).
+    */
+  val t03 = QueryDef(
+    "t03_token_stats",
+    "whitespace token counts per document (E1/A1)",
+    (s, dir) =>
+      docs(s, dir)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_distinct"),
+          sum(length(col("tok"))).cast("bigint").as("tok_chars"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct,
+      CAST(SUM(length(tok)) AS BIGINT) AS tok_chars
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents WHERE length(trim(text)) > 0) t
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Quality scoring: length / word count / stopword ratio — all integer
+    * counts plus one double ratio (single deterministic division).
+    */
+  val t04 = QueryDef(
+    "t04_quality",
+    "doc quality features: chars, words, stopword ratio",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val words = size(split(trim(col("text")), "\\s+")).cast("bigint")
+      val stops = regexp_count(col("text"), lit("\\b(the|a|of|and|to|in|is)\\b")).cast("bigint")
+      d.filter(length(trim(col("text"))) > 0)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("bigint").as("n_chars_m"),
+          words.as("n_words"),
+          stops.as("stop_cnt"),
+          (stops.cast("double") / words.cast("double")).as("stop_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      CAST(length(text) AS BIGINT) AS n_chars_m,
+      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+      CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) AS stop_cnt,
+      CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
+        / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS stop_ratio
+      FROM documents WHERE length(trim(text)) > 0 ORDER BY doc_id"""))
+
+  /** Language ID: marker-token n-gram heuristic (count per-language marker
+    * words, argmax with a fixed tie order). Deterministic string ops only.
+    */
+  val t05 = QueryDef(
+    "t05_langid",
+    "marker-word language-ID heuristic with fixed tie order",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      def sc(markers: Seq[String]): Column =
+        markers.map(m => occurrences(padded, s" $m ")).reduce(_ + _)
+      val en = sc(Seq("the", "a", "of", "and"))
+      val es = sc(Seq("el", "la", "los", "que"))
+      val de = sc(Seq("der", "die", "und", "das"))
+      val fr = sc(Seq("le", "les", "et", "une"))
+      val zh = sc(Seq("de", "shi", "bu", "wo"))
+      d.select(
+          col("doc_id"),
+          en.as("score_en"), es.as("score_es"), de.as("score_de"),
+          fr.as("score_fr"), zh.as("score_zh"))
+        .withColumn("pred_lang",
+          when(col("score_en") >= col("score_es") && col("score_en") >= col("score_de") &&
+               col("score_en") >= col("score_fr") && col("score_en") >= col("score_zh"), "en")
+          .when(col("score_es") >= col("score_de") && col("score_es") >= col("score_fr") &&
+                col("score_es") >= col("score_zh"), "es")
+          .when(col("score_de") >= col("score_fr") && col("score_de") >= col("score_zh"), "de")
+          .when(col("score_fr") >= col("score_zh"), "fr")
+          .otherwise("zh"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      def occ(m: String) =
+        s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $m ', ''))) / ${m.length + 2} AS BIGINT)"
+      def sc(ms: Seq[String]) = ms.map(occ).mkString("(", " + ", ")")
+      val en = sc(Seq("the", "a", "of", "and"))
+      val es = sc(Seq("el", "la", "los", "que"))
+      val de = sc(Seq("der", "die", "und", "das"))
+      val fr = sc(Seq("le", "les", "et", "une"))
+      val zh = sc(Seq("de", "shi", "bu", "wo"))
+      s"""SELECT doc_id, score_en, score_es, score_de, score_fr, score_zh,
+        CASE
+          WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+          WHEN score_es >= score_de AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+          WHEN score_de >= score_fr AND score_de >= score_zh THEN 'de'
+          WHEN score_fr >= score_zh THEN 'fr'
+          ELSE 'zh' END AS pred_lang
+        FROM (SELECT doc_id, $en AS score_en, $es AS score_es, $de AS score_de,
+                     $fr AS score_fr, $zh AS score_zh FROM documents) t
+        ORDER BY doc_id"""
+    })
+
+  val all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05)
+}
