@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnnOps, DedupOps, Relational, TextOps}
+import graft.operators.{AnnOps, DedupOps, EventsOps, Relational, TextOps}
+import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +13,8 @@ import graft.operators.{AnnOps, DedupOps, Relational, TextOps}
   */
 object SparkEntry {
   val registry: Seq[QueryDef] =
-    Relational.all ++ TextOps.all ++ DedupOps.all ++ AnnOps.all
+    Relational.all ++ TextOps.all ++ DedupOps.all ++ AnnOps.all ++
+      EventsOps.all ++ StreamingOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the 5-table broadcast join + exact grouped revenue (q03).

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.functions.Exact._
+
+/** Event-log (time-series) operators over the `events` table.
+  *
+  * The parquet column `ts` is TIMESTAMP(NANOS) which Spark's vectorized
+  * reader rejects; we read it as a nanosecond long
+  * (`spark.sql.legacy.parquet.nanosAsLong`) and do all time arithmetic in
+  * epoch milliseconds — integer math that is identical in every engine
+  * (DuckDB truncates ns → µs → ms the same way, verified empirically).
+  *
+  * Scale: e01/e02 are single-shuffle groupBys with map-side partial
+  * aggregation; e03 is one shuffle on user_id + an in-partition window —
+  * the canonical sessionization plan (no driver-side loops).
+  */
+object EventsOps {
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+  }
+
+  private val tsMs: Column = expr("ts DIV 1000000")
+
+  /** SURVEY §2.5 A1/A6: per-type stats with exact value sums. */
+  val e01 = QueryDef(
+    "e01_event_stats",
+    "per-event-type stats: counts, distinct users, ms range, exact sum",
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(tsMs).as("first_ms"),
+          max(tsMs).as("last_ms"),
+          moneySum(col("value")).as("total_value"))
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+      MIN(epoch_ms(CAST(ts AS TIMESTAMP))) AS first_ms,
+      MAX(epoch_ms(CAST(ts AS TIMESTAMP))) AS last_ms,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Tumbling 1-hour windows (batch form of the streaming query st01). */
+  val e02 = QueryDef(
+    "e02_hourly_windows",
+    "tumbling 1h window counts per event type",
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(
+          (tsMs - (tsMs % 3600000L)).as("window_ms"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("window_ms"), col("event_type")),
+    Some("""SELECT ms - (ms % 3600000) AS window_ms, event_type,
+        COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+      FROM (SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_type, user_id FROM events) t
+      GROUP BY 1, 2 ORDER BY window_ms, event_type"""))
+
+  /** Sessionization: 30-min inactivity gap splits sessions; one shuffle on
+    * user_id, lag() within partition (the reference has no streaming — this
+    * is the time-series extension the north star asks for).
+    */
+  val e03 = QueryDef(
+    "e03_sessionize",
+    "gap-based sessionization via lag window (30 min)",
+    (s, dir) => {
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), tsMs.as("ms"))
+        .withColumn("prev_ms", lag(col("ms"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))))
+        .withColumn("new_session",
+          when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1).otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+             count(when(col("new_session") === 1, 1)).as("n_sessions"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, COUNT(*) AS n_events,
+        COUNT(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 END) AS n_sessions
+      FROM (SELECT user_id,
+              epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+              lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER (
+                PARTITION BY user_id ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id) AS prev_ms
+            FROM events) t
+      GROUP BY user_id ORDER BY user_id"""))
+
+  /** SURVEY §2.1 S2-adjacent: semi-structured extraction from the JSON-ish
+    * `props` string via regexp (schema-on-read at the column level).
+    */
+  val e04 = QueryDef(
+    "e04_props_extract",
+    "regexp extraction from JSON-ish props column",
+    (s, dir) =>
+      events(s, dir)
+        .select(col("event_id"),
+          regexp_extract(col("props"), "([0-9]+)", 1).cast("bigint").as("k_val"))
+        .orderBy(col("event_id")),
+    Some("""SELECT event_id, CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k_val
+      FROM events ORDER BY event_id"""))
+
+  val all: Seq[QueryDef] = Seq(e01, e02, e03, e04)
+}
