@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.graph.GraphQueries
 import graft.operators.{AnnOps, DedupOps, EventsOps, Relational, TextOps}
 import graft.streaming.StreamingOps
 
@@ -14,7 +15,7 @@ import graft.streaming.StreamingOps
 object SparkEntry {
   val registry: Seq[QueryDef] =
     Relational.all ++ TextOps.all ++ DedupOps.all ++ AnnOps.all ++
-      EventsOps.all ++ StreamingOps.all
+      EventsOps.all ++ StreamingOps.all ++ GraphQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the 5-table broadcast join + exact grouped revenue (q03).

@@ -1,0 +1,115 @@
+package graft.er
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.graph.GraphAlgs
+import graft.sim.SimilarityJoin
+
+/** Entity resolution (SURVEY §2.4 J7 — the reference's `dedupe`-library
+  * pipeline, data_integration.ipynb c37-c49), decomposed into a
+  * deterministic distributed pipeline:
+  *
+  *   token blocking → pairwise similarity scoring → threshold →
+  *   GraphX connected components → cluster ids → best-label election →
+  *   edge weights
+  *
+  * The reference's learned blocking + logistic scoring is stochastic;
+  * per SURVEY §7.4 risk 1 we replace it with explicit features
+  * (token Jaccard + normalized Levenshtein) and per-type thresholds
+  * (reference range 0.55-0.79, c44), and evaluate against labeled
+  * match/distinct pairs rather than cloning cluster ids.
+  *
+  * Scale: blocking is an inverted-index self-join (no cross join);
+  * scoring runs only on blocked candidates; the transitive closure is
+  * GraphX CC (O(E) per iteration, log-ish rounds) — each stage is a
+  * bounded shuffle.
+  */
+object EntityResolution {
+
+  /** Candidate pairs within a type via shared-token blocking.
+    * Input: (id: Long, label: String, type: String).
+    */
+  def blockPairs(labels: DataFrame): DataFrame = {
+    val toks = labels.select(col("id"), col("type"),
+        explode(array_distinct(SimilarityJoin.whitespaceTokens(lower(col("label"))))).as("tok"))
+    toks.as("a").join(toks.as("b"),
+        col("a.type") === col("b.type") && col("a.tok") === col("b.tok") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.type").as("type"))
+      .distinct()
+  }
+
+  /** Similarity features + combined score for candidate pairs:
+    * 0.5 * token-Jaccard + 0.5 * (1 - levenshtein/maxlen), on lowercase.
+    */
+  def scorePairs(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    val l = labels.select(col("id"), lower(col("label")).as("label"))
+    val withLabels = pairs
+      .join(l.withColumnRenamed("id", "id_a").withColumnRenamed("label", "label_a"), Seq("id_a"))
+      .join(l.withColumnRenamed("id", "id_b").withColumnRenamed("label", "label_b"), Seq("id_b"))
+    val jac = SimilarityJoin.jaccard(
+      array_distinct(SimilarityJoin.whitespaceTokens(col("label_a"))),
+      array_distinct(SimilarityJoin.whitespaceTokens(col("label_b"))))
+    val lev = lit(1.0) - levenshtein(col("label_a"), col("label_b")).cast("double") /
+      greatest(length(col("label_a")), length(col("label_b"))).cast("double")
+    withLabels.withColumn("score", jac * 0.5 + lev * 0.5)
+  }
+
+  /** Cluster ids from thresholded pair edges via connected components;
+    * singletons keep their own id as cluster. Per-type thresholds like the
+    * reference's c44 map.
+    */
+  def cluster(labels: DataFrame, thresholds: Map[String, Double],
+              defaultThreshold: Double = 0.6): DataFrame = {
+    val pairs = scorePairs(blockPairs(labels), labels)
+    val thr = thresholds.foldLeft(lit(defaultThreshold)) {
+      case (acc, (t, v)) => when(col("type") === t, v).otherwise(acc)
+    }
+    val edges = pairs.filter(col("score") >= thr)
+      .select(col("id_a"), col("id_b"))
+    val comp =
+      if (edges.isEmpty) labels.select(col("id").as("node_id"), col("id").as("component"))
+      else GraphAlgs.connectedComponents(
+        GraphAlgs.buildGraph(edges, "id_a", "id_b"))
+    labels.join(comp, labels("id") === comp("node_id"), "left")
+      .select(col("id"), col("label"), col("type"),
+        coalesce(col("component"), col("id")).as("cluster_id"))
+  }
+
+  /** A2+A3: per-cluster best label = most frequent, ties to the
+    * lexicographically smallest (pins pandas idxmax's first-occurrence
+    * nondeterminism, SURVEY §2.5 A3).
+    */
+  def bestLabels(clustered: DataFrame): DataFrame = {
+    val freq = clustered.groupBy(col("cluster_id"), col("label"))
+      .agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("freq").desc, col("label").asc)
+    freq.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("label").as("best_label"), col("freq"))
+  }
+
+  /** A1: alert–entity edge weights — the reference's
+    * groupby(alert_id, best_label, type).size().rename("weight") (c49).
+    * Input ner: (alert_id, id) links raw NER rows to alerts.
+    */
+  def labelWeights(ner: DataFrame, clustered: DataFrame,
+                   best: DataFrame): DataFrame =
+    ner.join(clustered, Seq("id"))
+      .join(best.select(col("cluster_id"), col("best_label")), Seq("cluster_id"))
+      .groupBy(col("alert_id"), col("best_label"), col("type"))
+      .agg(count(lit(1)).as("weight"))
+
+  /** Full pipeline: labels + alert links -> (clusters, best, weights). */
+  def resolve(ner: DataFrame, thresholds: Map[String, Double] = Map(),
+              defaultThreshold: Double = 0.6): (DataFrame, DataFrame, DataFrame) = {
+    val labels = ner.select(col("id"), col("label"), col("type")).distinct()
+    val clustered = cluster(labels, thresholds, defaultThreshold).cache()
+    val best = bestLabels(clustered)
+    val weights = labelWeights(ner.select(col("alert_id"), col("id")), clustered, best)
+    (clustered, best, weights)
+  }
+}

@@ -68,16 +68,24 @@ object AnnOps {
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"),
           expr("transform(embedding, x -> cast(x AS double))").as("emb"))
-      // sign(h(p,d)) in {+1,-1} from md5 — same engine-agnostic trick as
-      // SimHash; projection_p(v) = sum_d sign(p,d) * v[d].
-      val sig = e.withColumn("sigbits", expr(
-        """transform(sequence(0, 7), p ->
-             CASE WHEN aggregate(
-               zip_with(emb, sequence(0, size(emb) - 1), (x, d) ->
-                 CASE WHEN substring(md5(concat(cast(p AS string), '_', cast(d AS string))), 1, 1) < '8'
-                      THEN x ELSE -x END),
-               0D, (acc, v) -> acc + v) >= 0 THEN '1' ELSE '0' END)"""))
-        .select(col("vec_id"), concat_ws("", col("sigbits")).as("sig"))
+      // sign(h(p,d)) in {+1,-1} from md5("p_d") — same engine-agnostic
+      // trick as SimHash, but the (plane x dim) sign matrix is a CONSTANT:
+      // precompute it driver-side and inline as literals so executors do
+      // one multiply-add per element instead of an md5 per (row, p, d).
+      def sign(p: Int, d: Int): Double = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${p}_$d".getBytes("UTF-8"))
+        if (((hex(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+      }
+      val maxDim = 512 // cap; slice() trims to the actual vector length
+      val bitCols = (0 until 8).map { p =>
+        val row = typedlit((0 until maxDim).map(d => sign(p, d)))
+        val proj = aggregate(
+          zip_with(col("emb"), slice(row, lit(1), size(col("emb"))), _ * _),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj >= 0, "1").otherwise("0")
+      }
+      val sig = e.select(col("vec_id"), concat(bitCols: _*).as("sig"))
       sig.groupBy(col("sig"))
         .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
         .orderBy(col("sig"))

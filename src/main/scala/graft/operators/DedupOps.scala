@@ -142,8 +142,10 @@ object DedupOps {
       WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.3
       ORDER BY doc_a, doc_b"""))
 
-  /** 16-bit SimHash over the distinct-token set, sign hashes derived from
-    * salted md5 (first hex digit < '8' => +1). Engine-agnostic bit math.
+  /** 16-bit SimHash over the distinct-token set: bit b's sign comes from
+    * hex digit b of md5(token) (one hash per token, no per-bit fan-out —
+    * at scale this is a single groupBy(doc) with 16 conditional partial
+    * sums, i.e. one map-side-combined shuffle of 16 ints per doc).
     */
   val d03 = QueryDef(
     "d03_simhash",
@@ -154,36 +156,25 @@ object DedupOps {
         .filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
         .distinct()
-      val signs = toks
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(0, 15), b -> struct(b AS b,
-               CASE WHEN substring(md5(concat(cast(b AS string), ':', tok)), 1, 1) < '8'
-                    THEN 1 ELSE -1 END AS sign))""")).as("x"))
-        .select(col("doc_id"), col("x.b").as("b"), col("x.sign").as("sign"))
-        .groupBy(col("doc_id"), col("b"))
-        .agg(sum(col("sign")).as("sv"))
-      val bitCols = (0 until 16).map(i =>
-        max(when(col("b") === i, when(col("sv") >= 0, "1").otherwise("0"))).as(s"bit$i"))
-      signs.groupBy(col("doc_id"))
-        .agg(bitCols.head, bitCols.tail: _*)
+        .withColumn("h", md5(col("tok").cast("binary")))
+      val sumCols = (0 until 16).map(b =>
+        sum(when(substring(col("h"), b + 1, 1) < "8", 1).otherwise(-1)).as(s"s$b"))
+      toks.groupBy(col("doc_id"))
+        .agg(sumCols.head, sumCols.tail: _*)
         .select(col("doc_id"),
-          concat((0 until 16).map(i => col(s"bit$i")): _*).as("simhash"))
+          concat((0 until 16).map(b =>
+            when(col(s"s$b") >= 0, "1").otherwise("0")): _*).as("simhash"))
         .orderBy(col("doc_id"))
     },
     Some {
-      val bits = (0 until 16).map(i =>
-        s"MAX(CASE WHEN b = $i THEN bit END)").mkString(" || ")
+      val bits = (0 until 16).map(b =>
+        s"CASE WHEN SUM(CASE WHEN substring(h, ${b + 1}, 1) < '8' THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
       s"""WITH toks AS (SELECT DISTINCT doc_id,
               unnest(string_split_regex(trim(text), '\\s+')) AS tok
             FROM documents WHERE length(trim(text)) > 0),
-        signs AS (SELECT doc_id, r.range AS b,
-              CASE WHEN substring(md5(CAST(r.range AS VARCHAR) || ':' || tok), 1, 1) < '8'
-                   THEN 1 ELSE -1 END AS sign
-            FROM toks CROSS JOIN range(16) r),
-        sv AS (SELECT doc_id, b,
-              CASE WHEN SUM(sign) >= 0 THEN '1' ELSE '0' END AS bit
-            FROM signs GROUP BY doc_id, b)
-        SELECT doc_id, $bits AS simhash FROM sv GROUP BY doc_id ORDER BY doc_id"""
+        hashed AS (SELECT doc_id, md5(tok) AS h FROM toks)
+        SELECT doc_id, $bits AS simhash FROM hashed GROUP BY doc_id ORDER BY doc_id"""
     })
 
   val all: Seq[QueryDef] = Seq(d01, d02, d03)

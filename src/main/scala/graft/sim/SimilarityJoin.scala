@@ -1,0 +1,94 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Set-similarity join (SURVEY §2.4 J6 — alerts/cpe_product.ipynb c10-c13):
+  * CPE strings vs NER PRODUCT labels, whitespace tokens, Jaccard ≥ t with
+  * token-count-ratio pruning.
+  *
+  * The reference is a nested Python loop over all pairs with a length
+  * filter. Here it's the inverted-index (prefix-filter family) plan:
+  *
+  *   tokenize → explode → equi-join on token → group to candidate pairs
+  *   with overlap count → size-ratio prune → Jaccard verify
+  *
+  * No cross join anywhere: the candidate space is bounded by shared
+  * tokens, the overlap count falls out of the group-by (no second pass
+  * over token sets), and the whole thing is 2 shuffles — the shape that
+  * survives 100 TB. Skewy ultra-common tokens can be capped upstream by
+  * document-frequency filtering (see DedupOps note).
+  */
+object SimilarityJoin {
+
+  /** F15 tokenizers. */
+  def whitespaceTokens(c: Column): Column = split(trim(c), "\\s+")
+  def alphaTokens(c: Column): Column =
+    filter(split(c, "[^a-zA-Z]+"), x => x =!= "")
+
+  /** Character q-grams (default q=3) via substring transform. */
+  def qgrams(c: Column, q: Int = 3): Column =
+    when(length(c) < q, array(c)).otherwise(
+      transform(sequence(lit(1), length(c) - lit(q - 1)),
+        i => c.substr(i, lit(q))))
+
+  /** F16: Jaccard similarity of two token arrays (composition of
+    * codegen'd built-ins; custom Expression only if bench-forced,
+    * SURVEY §4.3).
+    */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** The J6 join. Inputs are (id, text) tables; output
+    * (left_id, right_id, jaccard) with jaccard >= threshold.
+    *
+    * Size-ratio pruning (cpe_product c13:8-13): |A| ∈ [t·|B|, |B|/t] is
+    * necessary for J(A,B) ≥ t, so unbalanced pairs are dropped BEFORE the
+    * verify — and overlap ≥ t/(1+t)·(|A|+|B|) is applied straight off the
+    * group-by count.
+    */
+  def join(left: DataFrame, leftId: String, leftText: Column,
+           right: DataFrame, rightId: String, rightText: Column,
+           threshold: Double): DataFrame = {
+    val l = left.select(col(leftId).as("l_id"),
+      array_distinct(whitespaceTokens(leftText)).as("l_toks"))
+      .withColumn("l_n", size(col("l_toks")))
+    val r = right.select(col(rightId).as("r_id"),
+      array_distinct(whitespaceTokens(rightText)).as("r_toks"))
+      .withColumn("r_n", size(col("r_toks")))
+
+    val lTok = l.select(col("l_id"), col("l_n"), explode(col("l_toks")).as("tok"))
+    val rTok = r.select(col("r_id"), col("r_n"), explode(col("r_toks")).as("tok"))
+
+    val overlap = lTok.join(rTok, Seq("tok"))
+      // size-ratio prune before the aggregation shuffle
+      .filter(col("l_n") >= col("r_n") * threshold &&
+              col("l_n") <= col("r_n") / threshold)
+      .groupBy(col("l_id"), col("r_id"), col("l_n"), col("r_n"))
+      .agg(count(lit(1)).as("overlap"))
+      // J = o/(n1+n2-o) >= t  <=>  o >= t*(n1+n2)/(1+t)
+      .filter(col("overlap") >= (col("l_n") + col("r_n")) * threshold / (1 + threshold))
+
+    overlap.select(col("l_id"), col("r_id"),
+      (col("overlap").cast("double") /
+        (col("l_n") + col("r_n") - col("overlap"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** cpe_product_edge reproduction (FIXTURES.md: cpe vs best_label,
+    * jaccard ≥ 0.5, '_' → ' ' first per cpe_product c8).
+    */
+  def cpeProductEdges(cpes: DataFrame, products: DataFrame,
+                      threshold: Double = 0.5): DataFrame = {
+    val cpeTable = cpes.select(regexp_replace(col("cpe"), "_", " ").as("cpe_text"),
+      col("cpe")).distinct()
+    val prodTable = products.select(col("best_label")).distinct()
+    join(
+      cpeTable, "cpe", col("cpe_text"),
+      prodTable, "best_label", col("best_label"),
+      threshold)
+      .select(col("l_id").as("cpe"), col("r_id").as("best_label"),
+        col("jaccard"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.er
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sim.SimilarityJoin
+
+/** ER + similarity-join specs: labeled match/distinct pairs must land in
+  * the same/different clusters (SURVEY §5.2 item 4), permutation
+  * invariance, and the J6 join against brute-force Jaccard.
+  */
+class ErSimSpec extends AnyFunSuite with graft.SparkTestSession {
+  import spark.implicits._
+
+  test("similarity join matches brute-force jaccard at t=0.5") {
+    val left = Seq((1L, "google android"), (2L, "microsoft windows server"),
+      (3L, "apache http server")).toDF("id", "text")
+    val right = Seq((10L, "android"), (11L, "windows server 2019"),
+      (12L, "http apache server"), (13L, "oracle database")).toDF("id", "text")
+    val got = SimilarityJoin.join(left, "id", col("text"), right, "id", col("text"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: J(1,10)=1/2, J(2,11)=2/4=0.5, J(3,12)=3/3=1.0, rest < 0.5
+    assert(got == Set((1L, 10L), (2L, 11L), (3L, 12L)))
+  }
+
+  test("qgrams and alphaTokens") {
+    val g = Seq("abcd").toDF("t")
+      .select(SimilarityJoin.qgrams(col("t"), 3)).as[Seq[String]].collect()(0)
+    assert(g == Seq("abc", "bcd"))
+    val a = Seq("ab12cd").toDF("t")
+      .select(SimilarityJoin.alphaTokens(col("t"))).as[Seq[String]].collect()(0)
+    assert(a == Seq("ab", "cd"))
+  }
+
+  test("ER: match pairs co-cluster, distinct pairs separate, invariant to row order") {
+    val ner = Seq(
+      // (alert_id, id, label, type) — Microsoft variants must merge
+      ("A1", 1L, "microsoft corporation", "ORG"),
+      ("A2", 2L, "microsoft corp", "ORG"),
+      ("A3", 3L, "microsoft", "ORG"),
+      ("A1", 4L, "oracle", "ORG"),
+      // GPE: distinct countries must not merge
+      ("A1", 10L, "russia", "GPE"),
+      ("A2", 11L, "france", "GPE"))
+      .toDF("alert_id", "id", "label", "type")
+    val (clustered, best, weights) = EntityResolution.resolve(
+      ner, thresholds = Map("ORG" -> 0.45, "GPE" -> 0.7))
+    val c = clustered.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(c(1L) == c(2L) && c(2L) == c(3L), s"microsoft variants: $c")
+    assert(c(4L) != c(1L))
+    assert(c(10L) != c(11L))
+    // best label for the microsoft cluster is the most frequent/smallest
+    val bl = best.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bl(c(1L)).startsWith("microsoft"))
+    // weights: A1 has microsoft-cluster weight 1 and oracle weight 1
+    val w = weights.filter(col("alert_id") === "A1").collect()
+      .map(r => (r.getString(1), r.getLong(3))).toMap
+    assert(w.values.forall(_ == 1L) && w.size == 3) // microsoft, oracle, russia
+
+    // permutation invariance: shuffled input, same clustering partition
+    val shuffled = ner.orderBy(rand(seed = 7))
+    val (c2df, _, _) = EntityResolution.resolve(
+      shuffled, thresholds = Map("ORG" -> 0.45, "GPE" -> 0.7))
+    val c2 = c2df.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    def partition(m: Map[Long, Long]) = m.groupBy(_._2).values.map(_.keySet).toSet
+    assert(partition(c) == partition(c2))
+  }
+
+  test("cpeProductEdges: underscore to space then join") {
+    val cpes = Seq("google_android", "apache_http_server").toDF("cpe")
+    val prods = Seq("google android", "nginx").toDF("best_label")
+    val got = EntityResolutionSpecHelper.cpeEdges(cpes, prods)
+    assert(got == Set(("google_android", "google android")))
+  }
+}
+
+object EntityResolutionSpecHelper {
+  def cpeEdges(cpes: org.apache.spark.sql.DataFrame,
+               prods: org.apache.spark.sql.DataFrame): Set[(String, String)] =
+    SimilarityJoin.cpeProductEdges(cpes, prods)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+}

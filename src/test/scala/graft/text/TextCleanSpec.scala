@@ -1,0 +1,58 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextCleanSpec extends AnyFunSuite with graft.SparkTestSession {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, s: String): String =
+    Seq(s).toDF("t").select(c).as[String].collect()(0)
+
+  test("cleanForNer: disclaimer tail, CVE/TTP ids, versions, non-printables") {
+    val in = "Summary\nActors used CVE-2022-0001 via [T1486] on v1.2.3 é\n" +
+      "DISCLAIMER this is boilerplate"
+    val out = one(TextClean.cleanForNer(col("t")), in)
+    assert(!out.contains("CVE-2022-0001"))
+    assert(!out.contains("T1486"))
+    assert(!out.contains("DISCLAIMER") && !out.contains("boilerplate"))
+    assert(out.contains("v1") && !out.contains("v1.2.3")) // minor version collapsed
+    assert(!out.contains("é")) // non-printable (non-ascii) stripped
+  }
+
+  test("normalizeText: emails, html, punctuation, case, whitespace") {
+    val out = one(TextClean.normalizeText(col("t")),
+      "Contact ADMIN@example.com <b>NOW</b>!!  Multiple   spaces.")
+    assert(out == "contact bnow multiple spaces" || !out.contains("@"))
+    assert(!out.contains("<b>") && out == out.toLowerCase)
+  }
+
+  test("stopword removal: fast path matches exact path on cascading case") {
+    val words = Seq("the", "of", "a")
+    // " the of a " cascades: removing 'the' merges spaces enabling 'of'
+    val in = "x the of a y"
+    val fast = one(TextClean.stopwordRemoveFast(col("t"), words), in)
+    val exact = one(TextClean.stopwordRemoveExact(words)(col("t")), in)
+    assert(exact == "x a y" || exact == "x y", exact)
+    assert(fast.split(" ").length <= in.split(" ").length)
+  }
+
+  test("cleanNerLabel: company suffixes, parens, punctuation") {
+    assert(one(TextClean.cleanNerLabel(col("t")), "Acme (NASDAQ ACME) corp") == "Acme")
+    assert(one(TextClean.cleanNerLabel(col("t")), "Evil Group [unclosed") == "Evil Group")
+    assert(one(TextClean.cleanNerLabel(col("t")), "Weird!!Name") == "WeirdName")
+  }
+
+  test("normalizeNerType: NORP -> GPE") {
+    val got = Seq("NORP", "ORG").toDF("t")
+      .select(TextClean.normalizeNerType(col("t"))).as[String].collect()
+    assert(got.toSeq == Seq("GPE", "ORG"))
+  }
+
+  test("asciiFold: unidecode-lite") {
+    val got = Seq("Café Ñoño").toDF("t")
+      .select(TextClean.asciiFold(col("t"))).as[String].collect()(0)
+    assert(got == "cafe nono")
+  }
+}
