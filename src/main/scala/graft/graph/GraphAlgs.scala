@@ -51,6 +51,15 @@ object GraphAlgs {
     articleRankDF(edges, iters, damping)
   }
 
+  /** Vertex-side tables produced by localCheckpoint have no Catalyst
+    * stats, so AQE would sort-merge them against the (much larger) edge
+    * table every superstep. Below ~1M vertices the ranks/labels table is
+    * broadcast explicitly; above, the joins fall back to shuffles against
+    * edges pre-partitioned on src (the co-partitioned plan a 100 TB graph
+    * needs — broadcast of V rows would not survive there).
+    */
+  private val broadcastVertexLimit = 1000000L
+
   /** DataFrame-native ArticleRank over an (src, dst) edge table. */
   def articleRankDF(edges: DataFrame, iters: Int = 20,
                     damping: Double = 0.85): DataFrame = {
@@ -62,9 +71,13 @@ object GraphAlgs {
       .agg(count(lit(1)).cast("double").as("deg"))
     val nVerts = vertices.count().toDouble
     val avgDeg = e.count().toDouble / nVerts
-    // static per-edge damping denominator, cached once
+    def small(df: DataFrame): DataFrame =
+      if (nVerts < broadcastVertexLimit) broadcast(df) else df
+    // static per-edge damping denominator, cached once, partitioned by the
+    // per-iteration join key so the big side never re-shuffles
     val edgesWithDeg = e.join(outDeg, e("src") === outDeg("node_id"))
       .select(col("src"), col("dst"), (col("deg") + avgDeg).as("denom"))
+      .repartition(col("src"))
       .cache()
     edgesWithDeg.count()
 
@@ -77,11 +90,11 @@ object GraphAlgs {
     var i = 0
     while (i < iters) {
       val msgs = edgesWithDeg
-        .join(ranks, edgesWithDeg("src") === ranks("node_id"))
+        .join(small(ranks), edgesWithDeg("src") === col("node_id"))
         .select(col("dst"), (col("rank") / col("denom")).as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("msg"))
       val next = vertices
-        .join(msgs, vertices("node_id") === msgs("dst"), "left")
+        .join(small(msgs), vertices("node_id") === msgs("dst"), "left")
         .select(col("node_id"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("msg"), lit(0.0)))
             .as("rank"))
@@ -128,16 +141,18 @@ object GraphAlgs {
     import org.apache.spark.sql.expressions.Window
     val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
     val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().cache()
+      .distinct().repartition(col("src")).cache()
     val vertices = und.select(col("src").as("node_id")).distinct().cache()
-    vertices.count()
+    val nVerts = vertices.count()
+    def small(df: DataFrame): DataFrame =
+      if (nVerts < broadcastVertexLimit) broadcast(df) else df
 
     var labels = vertices.select(col("node_id"), col("node_id").as("community"))
       .localCheckpoint(true)
     var i = 0
     while (i < iters) {
       val freq = und
-        .join(labels, und("src") === labels("node_id"))
+        .join(small(labels), und("src") === labels("node_id"))
         .groupBy(col("dst"), col("community"))
         .agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("dst"))
@@ -146,7 +161,7 @@ object GraphAlgs {
         .filter(col("rn") === 1)
         .select(col("dst"), col("community").as("new_community"))
       val next = vertices
-        .join(elected, vertices("node_id") === elected("dst"), "left")
+        .join(small(elected), vertices("node_id") === elected("dst"), "left")
         .select(col("node_id"),
           coalesce(col("new_community"), col("node_id")).as("community"))
         .localCheckpoint(true) // plan truncation, see articleRankDF

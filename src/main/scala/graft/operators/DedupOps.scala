@@ -47,6 +47,8 @@ object DedupOps {
     "3-shingle Jaccard near-dup pairs (inverted-index self-join)",
     (s, dir) => {
       val sh = shingleDf(s, dir).cache()
+      sh.count() // fill the cache once — the broadcast(cnt) subquery and
+                 // the pair join otherwise race and both build the shingles
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val pairs = sh.as("a")
         .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -74,26 +76,31 @@ object DedupOps {
       WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.2
       ORDER BY doc_a, doc_b"""))
 
-  /** MinHash (16 salted-md5 hashes) + LSH banding (8 bands x 2 rows) +
-    * exact Jaccard verification of candidates.
+  /** MinHash (16 hashes = 4 salted md5s x 4 8-hex-char slices) + LSH
+    * banding (8 bands x 2 rows) + exact Jaccard verification.
+    *
+    * The 16 minhashes are 16 MIN aggregates over the shingle rows — one
+    * groupBy(doc_id) with map-side partial mins, no per-hash row fan-out.
+    * At 100 TB that is a single 16-column-wide shuffle of |docs| rows.
     */
   val d02 = QueryDef(
     "d02_minhash_lsh",
     "MinHash+LSH banded near-dup candidates + Jaccard verify",
     (s, dir) => {
       val sh = shingleDf(s, dir).cache()
-      val mh = sh
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, 15), i -> struct(i AS hidx, md5(concat(cast(i AS string), ':', sh)) AS h))")).as("x"))
-        .select(col("doc_id"), col("x.hidx").as("hidx"), col("x.h").as("h"))
-        .groupBy(col("doc_id"), col("hidx"))
-        .agg(min(col("h")).as("mh"))
-      val bands = mh
-        .withColumn("band", expr("hidx DIV 2"))
-        .groupBy(col("doc_id"), col("band"))
-        .agg(md5(concat_ws("|",
-          min(when(col("hidx") % 2 === 0, col("mh"))),
-          min(when(col("hidx") % 2 === 1, col("mh")))).cast("binary")).as("sig"))
+      sh.count() // single cache fill (see d01)
+      def mhCol(i: Int) =
+        min(substring(md5(concat(lit(s"${i / 4}:"), col("sh")).cast("binary")),
+          1 + 8 * (i % 4), 8)).as(s"mh$i")
+      val mh = sh.groupBy(col("doc_id"))
+        .agg(mhCol(0), (1 until 16).map(mhCol): _*)
+      val bandCols = (0 until 8).map(b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).cast("binary"))
+            .as("sig")))
+      val bands = mh.select(col("doc_id"),
+        explode(array(bandCols: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -101,11 +108,15 @@ object DedupOps {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val shared = cand
-        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-        .groupBy(col("doc_a"), col("doc_b"))
+      // verify via the inverted-index pair counts (same shape as d01)
+      // restricted to LSH candidates — joining candidates to raw shingle
+      // rows first would materialize |cand| x |shingles/doc| rows.
+      val shared = sh.as("sa")
+        .join(sh.as("sb"),
+          col("sa.sh") === col("sb.sh") && col("sa.doc_id") < col("sb.doc_id"))
+        .groupBy(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("shared"))
+        .join(cand, Seq("doc_a", "doc_b"))
       shared
         .join(broadcast(cnt).as("ca"), col("doc_a") === col("ca.doc_id"))
         .join(broadcast(cnt).as("cb"), col("doc_b") === col("cb.doc_id"))
@@ -115,32 +126,33 @@ object DedupOps {
         .filter(col("jac") >= 0.3)
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    Some(s"""WITH $shingleSql,
-      hashed AS (SELECT doc_id, r.range AS hidx,
-                        md5(CAST(r.range AS VARCHAR) || ':' || sh) AS h
-                 FROM sh CROSS JOIN range(16) r),
-      mh AS (SELECT doc_id, hidx, MIN(h) AS mh FROM hashed GROUP BY doc_id, hidx),
-      bands AS (SELECT doc_id, hidx // 2 AS band,
-                       md5(concat_ws('|',
-                         MIN(CASE WHEN hidx % 2 = 0 THEN mh END),
-                         MIN(CASE WHEN hidx % 2 = 1 THEN mh END))) AS sig
-                FROM mh GROUP BY doc_id, hidx // 2),
+    Some {
+      val mhs = (0 until 16).map(i =>
+        s"MIN(substring(md5('${i / 4}:' || sh), ${1 + 8 * (i % 4)}, 8)) AS mh$i")
+        .mkString(", ")
+      val bandRows = (0 until 8).map(b =>
+        s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS sig FROM mh")
+        .mkString(" UNION ALL ")
+      s"""WITH $shingleSql,
+      mh AS (SELECT doc_id, $mhs FROM sh GROUP BY doc_id),
+      bands AS ($bandRows),
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                FROM bands a JOIN bands b
                  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
       cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      shared AS (SELECT doc_a, doc_b, COUNT(*) AS shared
-                 FROM cand
-                 JOIN sh sa ON sa.doc_id = doc_a
-                 JOIN sh sb ON sb.doc_id = doc_b AND sa.sh = sb.sh
-                 GROUP BY doc_a, doc_b)
+      allpairs AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, COUNT(*) AS shared
+                   FROM sh sa JOIN sh sb ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+                   GROUP BY 1, 2),
+      shared AS (SELECT p.doc_a, p.doc_b, p.shared
+                 FROM allpairs p JOIN cand c ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b)
       SELECT doc_a, doc_b,
              CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) AS jac
       FROM shared
       JOIN cnt ca ON ca.doc_id = doc_a
       JOIN cnt cb ON cb.doc_id = doc_b
       WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.3
-      ORDER BY doc_a, doc_b"""))
+      ORDER BY doc_a, doc_b"""
+    })
 
   /** 16-bit SimHash over the distinct-token set: bit b's sign comes from
     * hex digit b of md5(token) (one hash per token, no per-bit fan-out —
@@ -177,5 +189,87 @@ object DedupOps {
         SELECT doc_id, $bits AS simhash FROM hashed GROUP BY doc_id ORDER BY doc_id"""
     })
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03)
+  /** Embedding-cosine near-duplicate pairs: random-hyperplane LSH banding
+    * (4 bands x 4 planes, the cosine analogue of d02's MinHash bands)
+    * prunes the quadratic pair space to same-(band,signature) candidates,
+    * then exact cosine verifies. The (plane x dim) sign matrix is a
+    * driver-side constant inlined as a literal (one multiply-add per
+    * element on executors, same trick as a02); the dot product is a
+    * sequential fold so scores are bit-deterministic.
+    *
+    * The 0.35 threshold is tuned to the synthetic corpus (max pair cosine
+    * ~0.51 — no true dups); a production text-dedup run would use ~0.9,
+    * which only shrinks the verify stage.
+    */
+  val d04 = QueryDef(
+    "d04_embed_dup",
+    "embedding-cosine near-dup pairs via hyperplane-LSH banding + verify",
+    (s, dir) => {
+      def sign(p: Int, d: Int): Double = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${p}_$d".getBytes("UTF-8"))
+        if (((hex(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+      }
+      val maxDim = 512
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x AS double))").as("emb"))
+        .withColumn("norm", expr(
+          "sqrt(aggregate(emb, 0D, (acc, x) -> acc + x * x))"))
+        .cache()
+      e.count() // single cache fill: bands + both verify sides reuse it
+      def bitCol(p: Int) = {
+        val row = typedlit((0 until maxDim).map(d => sign(p, d)))
+        val proj = aggregate(
+          zip_with(col("emb"), slice(row, lit(1), size(col("emb"))), _ * _),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj >= 0, "1").otherwise("0")
+      }
+      val bandCols = (0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          concat((0 until 4).map(i => bitCol(b * 4 + i)): _*).as("sig")))
+      val bands = e.select(col("vec_id"),
+          explode(array(bandCols: _*)).as("bs"))
+        .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      cand
+        .join(e.as("na"), col("vec_a") === col("na.vec_id"))
+        .join(e.as("nb"), col("vec_b") === col("nb.vec_id"))
+        .select(col("vec_a"), col("vec_b"),
+          (expr("aggregate(zip_with(na.emb, nb.emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+            / (col("na.norm") * col("nb.norm"))).as("sim"))
+        .filter(col("sim") >= 0.35)
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+    Some {
+      def plane(p: Int) =
+        s"""CASE WHEN list_sum(list_transform(range(len(emb)), d ->
+            CASE WHEN substring(md5('$p' || '_' || CAST(d AS VARCHAR)), 1, 1) < '8'
+                 THEN emb[d + 1] ELSE -emb[d + 1] END)) >= 0 THEN '1' ELSE '0' END"""
+      val bandRows = (0 until 4).map(b =>
+        s"SELECT vec_id, $b AS band, ${(0 until 4).map(i => plane(b * 4 + i)).mkString(" || ")} AS sig FROM e")
+        .mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings),
+        bands AS ($bandRows),
+        cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+        n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS norm FROM e)
+        SELECT vec_a, vec_b,
+               list_dot_product(na.emb, nb.emb) / (na.norm * nb.norm) AS sim
+        FROM cand
+        JOIN n na ON na.vec_id = vec_a
+        JOIN n nb ON nb.vec_id = vec_b
+        WHERE list_dot_product(na.emb, nb.emb) / (na.norm * nb.norm) >= 0.35
+        ORDER BY vec_a, vec_b"""
+    })
+
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04)
 }

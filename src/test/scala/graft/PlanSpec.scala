@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+/** Physical-plan shape assertions — the 100 TB safety net. These pin the
+  * properties that make the queries scale, so a refactor that silently
+  * loses a pushdown or turns a broadcast into a shuffle fails CI, not the
+  * cluster.
+  */
+class PlanSpec extends AnyFunSuite with SparkTestSession {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: QueryDef): String =
+    q.run(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02: filters reach the parquet scan (PushedFilters)") {
+    val p = plan(Relational.q02)
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") ||
+           p.contains("IsNotNull(l_shipdate"), p.take(2000))
+  }
+
+  test("q02: scan reads only the needed columns (ReadSchema pruning)") {
+    val p = plan(Relational.q02)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_returnflag"), readSchema)
+    assert(readSchema.contains("l_orderkey"), readSchema)
+  }
+
+  test("q03: dimension joins are broadcast, not shuffled") {
+    val p = plan(Relational.q03)
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q06: top-k plans TakeOrderedAndProject (no global sort)") {
+    val p = plan(Relational.q06)
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan(Relational.q01)
+    // two HashAggregate levels around one Exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("whole-stage codegen covers the relational hot paths") {
+    val df = Relational.q01.run(spark, sf)
+    df.collect() // AQE finalizes the plan only on execution
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages render as "*(n) Operator" in the final adaptive plan
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p.take(2000))
+  }
+}
