@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions (SURVEY §4.3 custom work items 1 and F7).
+  *
+  * Both participate in whole-stage codegen: `doGenCode` emits a call to a
+  * static JVM helper (the same pattern Spark's own `StaticInvoke`-backed
+  * built-ins use), so rows never leave generated code — no UDF
+  * serialization boundary, no interpreted fallback in the hot path.
+  */
+object ExpressionHelpers {
+  /** Jaccard similarity of two string arrays treated as sets.
+    * Both empty → 1.0 (identical sets; the `array_intersect`/`array_union`
+    * composition yields NaN there — this is the deliberate divergence that
+    * makes the expression total).
+    */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val seen = new java.util.HashSet[UTF8String](a.numElements() * 2)
+    var i = 0
+    while (i < a.numElements()) {
+      if (!a.isNullAt(i)) seen.add(a.getUTF8String(i))
+      i += 1
+    }
+    val nA = seen.size
+    val bSet = new java.util.HashSet[UTF8String](b.numElements() * 2)
+    var inter = 0
+    var j = 0
+    while (j < b.numElements()) {
+      if (!b.isNullAt(j)) {
+        val e = b.getUTF8String(j)
+        if (bSet.add(e) && seen.contains(e)) inter += 1
+      }
+      j += 1
+    }
+    val union = nA + bSet.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  /** Unicode fold: NFD-decompose, strip combining marks, lowercase —
+    * the `unidecode(x).lower()` step of the reference's dedupe preProcess
+    * (alerts/parse_alert.ipynb c45:3-13).
+    */
+  def asciiFold(s: UTF8String): UTF8String = {
+    val folded = java.text.Normalizer
+      .normalize(s.toString, java.text.Normalizer.Form.NFD)
+      .replaceAll("\\p{M}+", "")
+      .toLowerCase
+    UTF8String.fromString(folded)
+  }
+}
+
+/** `jaccard_sim(array<string>, array<string>) -> double`, null-safe,
+  * codegen'd. Set semantics: duplicates and null elements are ignored.
+  */
+case class JaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExpressionHelpers.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ExpressionHelpers.jaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `ascii_fold(string) -> string`: NFD + strip marks + lowercase,
+  * null-safe, codegen'd (replaces the Scala-UDF form — stays inside
+  * whole-stage codegen).
+  */
+case class AsciiFold(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "ascii_fold"
+
+  override def nullSafeEval(s: Any): Any =
+    ExpressionHelpers.asciiFold(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ExpressionHelpers.asciiFold($c)")
+
+  override protected def withNewChildrenInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

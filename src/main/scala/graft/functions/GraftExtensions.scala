@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** SparkSessionExtensions entry point: registers the native expressions so
+  * they are first-class SQL functions.
+  *
+  *   - config:  spark.sql.extensions=graft.functions.GraftExtensions
+  *   - or on a live session: GraftFunctions.register(spark)
+  *
+  * After either, `SELECT jaccard_sim(a, b)` / `ascii_fold(s)` parse,
+  * analyze and codegen like built-ins.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("jaccard_sim"),
+      new ExpressionInfo(classOf[JaccardSim].getName, "jaccard_sim"),
+      (args: Seq[Expression]) => JaccardSim(args(0), args(1))),
+    (FunctionIdentifier("ascii_fold"),
+      new ExpressionInfo(classOf[AsciiFold].getName, "ascii_fold"),
+      (args: Seq[Expression]) => AsciiFold(args.head)))
+
+  /** Idempotent registration into an existing session's function registry. */
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, info, builder)
+    }
+
+  /** Column DSL — wraps the expressions directly, no registration needed. */
+  def jaccardSim(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      JaccardSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def asciiFold(c: Column): Column =
+    ExpressionUtils.column(AsciiFold(ExpressionUtils.expression(c)))
+}

@@ -103,11 +103,8 @@ object TextClean {
   }
 
   /** F7: unicode → ascii fold (unidecode-lite): NFD decompose + strip
-    * combining marks + lowercase.
+    * combining marks + lowercase. Backed by the native codegen'd
+    * [[graft.functions.AsciiFold]] expression (no UDF boundary).
     */
-  val asciiFold: UserDefinedFunction = udf { (s: String) =>
-    if (s == null) null
-    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
-      .replaceAll("\\p{M}+", "").toLowerCase
-  }
+  def asciiFold(c: Column): Column = graft.functions.GraftFunctions.asciiFold(c)
 }

@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExpressionsSpec extends AnyFunSuite with graft.SparkTestSession {
+
+  test("jaccard_sim: matches the array_intersect/union composition") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("x"), Seq("x")),
+      (Seq("x", "x", "y"), Seq("x")), // duplicates ignored (set semantics)
+      (Seq("p"), Seq("q"))
+    ).toDF("a", "b")
+    val got = df.select(GraftFunctions.jaccardSim(col("a"), col("b"))).as[Double].collect()
+    val ref = df.select(
+      size(array_intersect(col("a"), col("b"))).cast("double") /
+        size(array_union(col("a"), col("b")))).as[Double].collect()
+    assert(got.toSeq == ref.toSeq)
+    assert(got.toSeq == Seq(0.5, 1.0, 0.5, 0.0))
+  }
+
+  test("jaccard_sim: total on empty sets (1.0) and null-safe") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq.empty[String]), Some(Seq.empty[String])),
+      (None, Some(Seq("a"))),
+      (Some(Seq("a")), None)
+    ).toDF("a", "b")
+    val got = df.select(GraftFunctions.jaccardSim(col("a"), col("b"))).collect()
+    assert(got(0).getDouble(0) == 1.0)
+    assert(got(1).isNullAt(0) && got(2).isNullAt(0))
+  }
+
+  test("ascii_fold: NFD + strip marks + lowercase, null-safe") {
+    import spark.implicits._
+    val df = Seq(Some("Crème BRÛLÉE"), Some("Ångström"), None).toDF("t")
+    val got = df.select(GraftFunctions.asciiFold(col("t"))).collect()
+    assert(got(0).getString(0) == "creme brulee")
+    assert(got(1).getString(0) == "angstrom")
+    assert(got(2).isNullAt(0))
+  }
+
+  test("extensions: functions are callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT jaccard_sim(array('a','b'), array('b','c')) AS j,
+                ascii_fold('Ünïcødé') AS f""").collect()
+    // ø has no NFD decomposition — it survives the fold (unidecode-lite)
+    assert(rows(0) == Row(1.0 / 3.0, "unicøde"))
+  }
+
+  test("codegen: expressions stay inside whole-stage codegen (no UDF node)") {
+    import spark.implicits._
+    val df = Seq((Seq("a", "b"), Seq("b"))).toDF("a", "b")
+      .select(GraftFunctions.jaccardSim(col("a"), col("b")).as("j"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan)
+  }
+}
