@@ -1,9 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions (SURVEY §4.3 custom work items 1 and F7).
@@ -58,10 +59,21 @@ object ExpressionHelpers {
   * codegen'd. Set semantics: duplicates and null elements are ignored.
   */
 case class JaccardSim(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression {
 
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(StringType), ArrayType(StringType))
+  // Explicit type check instead of ExpectsInputTypes: `inputTypes` would
+  // force the private[sql] AbstractDataType into our signature (broke the
+  // round-1 build against the shipped Spark 4.1.2 jars).
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bad = Seq(left, right).map(_.dataType).filterNot {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<string>, array<string>), got " +
+        Seq(left, right).map(_.dataType.catalogString).mkString(", "))
+  }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sim"
 
@@ -82,9 +94,12 @@ case class JaccardSim(left: Expression, right: Expression)
   * whole-stage codegen).
   */
 case class AsciiFold(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression {
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${child.dataType.catalogString}")
   override def dataType: DataType = StringType
   override def prettyName: String = "ascii_fold"
 
@@ -95,6 +110,6 @@ case class AsciiFold(child: Expression)
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.ExpressionHelpers.asciiFold($c)")
 
-  override protected def withNewChildrenInternal(newChild: Expression): Expression =
+  override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.functions.call_function
 
 /** SparkSessionExtensions entry point: registers the native expressions so
   * they are first-class SQL functions.
@@ -36,10 +36,19 @@ object GraftFunctions {
         .registerFunction(ident, info, builder)
     }
 
-  /** Column DSL — wraps the expressions directly, no registration needed. */
-  def jaccardSim(a: Column, b: Column): Column =
-    ExpressionUtils.column(
-      JaccardSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
-  def asciiFold(c: Column): Column =
-    ExpressionUtils.column(AsciiFold(ExpressionUtils.expression(c)))
+  /** Column DSL via the public `call_function` (Spark ≥3.5): emits an
+    * unresolved function call that the analyzer resolves against the
+    * session's registry — so we register into the active session first
+    * (idempotent; `registerFunction` replaces). Zero internal API: the
+    * round-1 `ExpressionUtils` form did not compile against the shipped
+    * Spark 4.1.2 jars.
+    */
+  def jaccardSim(a: Column, b: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("jaccard_sim", a, b)
+  }
+  def asciiFold(c: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("ascii_fold", c)
+  }
 }

@@ -53,10 +53,15 @@ class ExpressionsSpec extends AnyFunSuite with graft.SparkTestSession {
   }
 
   test("codegen: expressions stay inside whole-stage codegen (no UDF node)") {
-    import spark.implicits._
-    val df = Seq((Seq("a", "b"), Seq("b"))).toDF("a", "b")
+    // inputs derive from range's id so they are non-foldable — a pure
+    // LocalRelation would be constant-folded into a LocalTableScan and
+    // prove nothing about codegen
+    val df = spark.range(2)
+      .select(split(concat_ws(",", lit("a"), lit("b"), col("id")), ",").as("a"),
+              split(concat_ws(",", lit("b"), col("id")), ",").as("b"))
       .select(GraftFunctions.jaccardSim(col("a"), col("b")).as("j"))
-    df.collect()
+    val got = df.collect().map(_.getDouble(0))
+    assert(got.toSeq == Seq(2.0 / 3.0, 2.0 / 3.0)) // {a,b,id} vs {b,id}
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
     assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan)
