@@ -17,19 +17,32 @@ import graft.{QueryDef, Tables}
   *    oracle replicates them exactly (minhash = lexicographic min of the
   *    salted md5 hex — a valid random permutation family).
   *
-  * At production scale the shingle join adds a document-frequency cap on
-  * shingles (stop-shingle pruning) to bound skew; at gate SF the exact
-  * semantics are kept oracle-identical instead.
+  * The shingle self-join applies a document-frequency cap on shingles
+  * (stop-shingle pruning, [[shingleDfCap]]): a shingle occurring in more
+  * than `cap` documents contributes O(cap^2) join rows on its own — one
+  * hot shingle ("click here to") at 100 TB is a quadratic blow-up and a
+  * single-reducer skew key. The cap is mirrored verbatim in the DuckDB
+  * oracle SQL, so the semantics stay oracle-identical at every scale:
+  * pair intersection counts ignore stop-shingles (conservative — shared
+  * counts can only shrink), while per-doc set sizes in the Jaccard
+  * denominator remain uncapped.
   */
 object DedupOps {
-  private def shingleDf(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(s, dir, "documents")
-    d.select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+  /** Max documents a shingle may appear in before it is pruned from the
+    * pair join (d01). 1000 ⇒ worst-case 500k join rows per hot shingle.
+    */
+  val shingleDfCap = 1000
+
+  /** Distinct (doc_id, 3-shingle) rows from a `documents`-shaped frame. */
+  private[operators] def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("sh"))
       .distinct()
-  }
+
+  private def shingleDf(s: SparkSession, dir: String): DataFrame =
+    shingles(Tables.load(s, dir, "documents"))
 
   private val shingleSql =
     """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
@@ -42,31 +55,44 @@ object DedupOps {
   /** N-gram (word 3-shingle) Jaccard similarity self-join via inverted
     * index + size verification (no cross join).
     */
+  /** d01 core, parameterized for tests: inverted-index pair join over
+    * capped shingles; Jaccard denominator from UNCAPPED per-doc counts.
+    */
+  private[operators] def ngramJaccardPairs(
+      docs: DataFrame, cap: Int = shingleDfCap, minJac: Double = 0.2): DataFrame = {
+    val sh = shingles(docs).cache()
+    sh.count() // fill the cache once — the broadcast(cnt) subquery and
+               // the pair join otherwise race and both build the shingles
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // stop-shingle pruning: drop shingles hotter than the df cap BEFORE
+    // the self-join (skew guard; mirrored in the oracle SQL below)
+    val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select(col("sh"))
+    val shc = sh.join(hot, Seq("sh"), "left_anti")
+    val pairs = shc.as("a")
+      .join(shc.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(cnt).as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(broadcast(cnt).as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared").cast("double") /
+          (col("ca.n") + col("cb.n") - col("shared"))).as("jac"))
+      .filter(col("jac") >= minJac)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val d01 = QueryDef(
     "d01_ngram_jaccard",
     "3-shingle Jaccard near-dup pairs (inverted-index self-join)",
-    (s, dir) => {
-      val sh = shingleDf(s, dir).cache()
-      sh.count() // fill the cache once — the broadcast(cnt) subquery and
-                 // the pair join otherwise race and both build the shingles
-      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val pairs = sh.as("a")
-        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("shared"))
-      pairs
-        .join(broadcast(cnt).as("ca"), col("doc_a") === col("ca.doc_id"))
-        .join(broadcast(cnt).as("cb"), col("doc_b") === col("cb.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          (col("shared").cast("double") /
-            (col("ca.n") + col("cb.n") - col("shared"))).as("jac"))
-        .filter(col("jac") >= 0.2)
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
+    (s, dir) => ngramJaccardPairs(Tables.load(s, dir, "documents")),
     Some(s"""WITH $shingleSql,
       cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      hot AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > $shingleDfCap),
+      shc AS (SELECT s.* FROM sh s ANTI JOIN hot h ON s.sh = h.sh),
       pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
                 GROUP BY 1, 2)
       SELECT doc_a, doc_b,
              CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) AS jac
@@ -83,11 +109,10 @@ object DedupOps {
     * groupBy(doc_id) with map-side partial mins, no per-hash row fan-out.
     * At 100 TB that is a single 16-column-wide shuffle of |docs| rows.
     */
-  val d02 = QueryDef(
-    "d02_minhash_lsh",
-    "MinHash+LSH banded near-dup candidates + Jaccard verify",
-    (s, dir) => {
-      val sh = shingleDf(s, dir).cache()
+  /** d02 core, parameterized for tests and plan assertions. */
+  private[operators] def minhashLshPairs(
+      docs: DataFrame, minJac: Double = 0.3): DataFrame = {
+      val sh = shingles(docs).cache()
       sh.count() // single cache fill (see d01)
       def mhCol(i: Int) =
         min(substring(md5(concat(lit(s"${i / 4}:"), col("sh")).cast("binary")),
@@ -108,24 +133,32 @@ object DedupOps {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      // verify via the inverted-index pair counts (same shape as d01)
-      // restricted to LSH candidates — joining candidates to raw shingle
-      // rows first would materialize |cand| x |shingles/doc| rows.
-      val shared = sh.as("sa")
+      // Verify ONLY the LSH candidate pairs: drive the shingle joins from
+      // `cand`, so the work is |cand| x |shingles/doc| — linear in the
+      // candidate count — instead of the all-pairs sh >< sh aggregation
+      // LSH exists to avoid (the round-1 shape computed the full quadratic
+      // pair counts and only then filtered to candidates; Catalyst cannot
+      // push the candidate filter below that aggregation).
+      val shared = cand
+        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
         .join(sh.as("sb"),
-          col("sa.sh") === col("sb.sh") && col("sa.doc_id") < col("sb.doc_id"))
-        .groupBy(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
+          col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+        .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("shared"))
-        .join(cand, Seq("doc_a", "doc_b"))
       shared
         .join(broadcast(cnt).as("ca"), col("doc_a") === col("ca.doc_id"))
         .join(broadcast(cnt).as("cb"), col("doc_b") === col("cb.doc_id"))
         .select(col("doc_a"), col("doc_b"),
           (col("shared").cast("double") /
             (col("ca.n") + col("cb.n") - col("shared"))).as("jac"))
-        .filter(col("jac") >= 0.3)
+        .filter(col("jac") >= minJac)
         .orderBy(col("doc_a"), col("doc_b"))
-    },
+  }
+
+  val d02 = QueryDef(
+    "d02_minhash_lsh",
+    "MinHash+LSH banded near-dup candidates + Jaccard verify",
+    (s, dir) => minhashLshPairs(Tables.load(s, dir, "documents")),
     Some {
       val mhs = (0 until 16).map(i =>
         s"MIN(substring(md5('${i / 4}:' || sh), ${1 + 8 * (i % 4)}, 8)) AS mh$i")

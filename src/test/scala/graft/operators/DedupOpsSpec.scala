@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup-family scale-shape tests: the stop-shingle cap actually prunes,
+  * and d02's verify never re-computes the all-pairs shingle join LSH
+  * exists to avoid (VERDICT r01 "What's wrong" #2/#3).
+  */
+class DedupOpsSpec extends AnyFunSuite with graft.SparkTestSession {
+
+  // doc1..doc4 share ONLY the hot shingle "spam spam spam"; doc5/doc6 are
+  // near-identical through unique shingles.
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      ("doc1", "spam spam spam alpha one"),
+      ("doc2", "spam spam spam beta two"),
+      ("doc3", "spam spam spam gamma three"),
+      ("doc4", "spam spam spam delta four"),
+      ("doc5", "unique quick brown fox jumps"),
+      ("doc6", "unique quick brown fox leaps")
+    ).toDF("doc_id", "text")
+  }
+
+  test("d01 cap: hot shingles are pruned from the pair join, denominators stay uncapped") {
+    // "spam spam spam" appears in 4 docs; cap=3 prunes it. Pairs that
+    // shared only that shingle disappear; the doc5/doc6 pair survives.
+    val capped = DedupOps.ngramJaccardPairs(docs, cap = 3, minJac = 0.0)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(capped == Set(("doc5", "doc6")))
+
+    // uncapped: all C(4,2)=6 spam pairs + (doc5,doc6)
+    val full = DedupOps.ngramJaccardPairs(docs, cap = 1000, minJac = 0.0)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(full.size == 7 && full.contains(("doc1", "doc2")))
+
+    // denominator check: doc5/doc6 have 3 shingles each, share 2
+    // ("unique quick brown", "quick brown fox") => jac = 2/(3+3-2) = 0.5,
+    // identical under the cap (per-doc counts are uncapped)
+    val jac = DedupOps.ngramJaccardPairs(docs, cap = 3, minJac = 0.0)
+      .collect().head.getDouble(2)
+    assert(math.abs(jac - 0.5) < 1e-12)
+  }
+
+  test("d01 plan: the df cap is a LeftAnti join ahead of the pair self-join") {
+    val plan = DedupOps.ngramJaccardPairs(docs).queryExecution.optimizedPlan
+    val anti = plan.collect { case j: Join if j.joinType.sql == "LEFT ANTI" => j }
+    assert(anti.nonEmpty, plan.toString)
+  }
+
+  test("d02 verify stage is candidate-driven: no all-pairs shingle self-join") {
+    val df = DedupOps.minhashLshPairs(docs, minJac = 0.0)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    // The round-1 bug shape: a join keyed ONLY on shingle equality with a
+    // doc_id inequality (the quadratic inverted-index self-join). In the
+    // candidate-driven shape every join touching `sh` also carries a
+    // doc_id EQUALITY from the candidate pair.
+    val badShape = joins.filter { j =>
+      val cond = j.condition.map(_.toString).getOrElse("")
+      j.condition.exists(_.references.exists(_.name == "sh")) && cond.contains(" < ")
+    }
+    assert(badShape.isEmpty, joins.map(_.condition).mkString("\n"))
+    // and it still verifies: doc5/doc6 collide in LSH and score 0.5
+    val got = df.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(got.exists { case (a, b, j) => a == "doc5" && b == "doc6" && math.abs(j - 0.5) < 1e-12 })
+  }
+}
