@@ -14,20 +14,27 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
+    val spark = Tables.requiredConf.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false")) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // timed region covers the query only; cache cleanup between queries is
+    // untimed (round-1 ADVICE: clearCache in the finally block billed each
+    // query for unpersisting its own intermediates). Failures keep the -1
+    // sentinel but also surface the exception instead of reading as "fast".
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-               dir: String): Double = {
+               dir: String): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try fn(spark, dir).count() catch { case _: Throwable => return -1.0 }
-      finally spark.catalog.clearCache() // measurements stay independent
-      (System.nanoTime() - t0) / 1e9
+      val r = try { fn(spark, dir).count(); (0.0, None) } catch {
+        case e: Throwable => (-1.0, Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // measurements stay independent
+      if (r._2.isEmpty) (elapsed, None) else r
     }
 
     // untimed warmup: JIT + codegen caches, tiny scale
@@ -37,10 +44,14 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       name -> runOne(name, fn, sfDir)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, (_, Some(e))) =>
+      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ") + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.values.map(_._1).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

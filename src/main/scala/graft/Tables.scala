@@ -13,11 +13,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") // ts is TIMESTAMP(NANOS); see EventsOps
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Session settings every graft session needs; apply ONCE at session
+    * construction (Verify/Bench/test builders) instead of mutating config
+    * as a side effect of loading a table (round-1 ADVICE: a mid-session
+    * toggle silently changes semantics of unrelated later reads).
+    *
+    *  - nanosAsLong: `events.ts` is parquet TIMESTAMP(NANOS), which the
+    *    vectorized reader rejects; read it as a nanosecond long.
+    */
+  val requiredConf: Map[String, String] =
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
-  }
 
   /** Register every table as a temp view so the whole gate surface is also
     * reachable through `spark.sql` (free SQL front-end via Catalyst).

@@ -77,7 +77,11 @@ object AnnOps {
           .digest(s"${p}_$d".getBytes("UTF-8"))
         if (((hex(0) >> 4) & 0xf) < 8) 1.0 else -1.0
       }
-      val maxDim = 512 // cap; slice() trims to the actual vector length
+      // sign-matrix width comes from the data (first row; embeddings are
+      // fixed-width by contract) — a hardcoded cap narrower than the
+      // vectors would silently diverge from the oracle, which projects
+      // over ALL dims (round-1 ADVICE). slice() still trims per row.
+      val maxDim = e.select(size(col("emb"))).head.getInt(0)
       val bitCols = (0 until 8).map { p =>
         val row = typedlit((0 until maxDim).map(d => sign(p, d)))
         val proj = aggregate(

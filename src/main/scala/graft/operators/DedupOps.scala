@@ -243,7 +243,6 @@ object DedupOps {
           .digest(s"${p}_$d".getBytes("UTF-8"))
         if (((hex(0) >> 4) & 0xf) < 8) 1.0 else -1.0
       }
-      val maxDim = 512
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"),
           expr("transform(embedding, x -> cast(x AS double))").as("emb"))
@@ -251,6 +250,8 @@ object DedupOps {
           "sqrt(aggregate(emb, 0D, (acc, x) -> acc + x * x))"))
         .cache()
       e.count() // single cache fill: bands + both verify sides reuse it
+      // sign-matrix width from the data, not a hardcoded cap (see a02)
+      val maxDim = e.select(size(col("emb"))).head.getInt(0)
       def bitCol(p: Int) = {
         val row = typedlit((0 until maxDim).map(d => sign(p, d)))
         val proj = aggregate(

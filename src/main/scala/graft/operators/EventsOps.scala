@@ -20,12 +20,13 @@ import graft.functions.Exact._
   * the canonical sessionization plan (no driver-side loops).
   */
 object EventsOps {
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-  }
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.load(s, dir, "events") // needs Tables.requiredConf at session build
 
-  private val tsMs: Column = expr("ts DIV 1000000")
+  // ns -> ms as FLOOR division (pmod keeps it exact integer math): plain
+  // DIV truncates toward zero, diverging from the DuckDB oracle's
+  // epoch_ms flooring for pre-epoch (negative) timestamps.
+  private val tsMs: Column = expr("(ts - pmod(ts, 1000000)) DIV 1000000")
 
   /** SURVEY §2.5 A1/A6: per-type stats with exact value sums. */
   val e01 = QueryDef(

@@ -135,16 +135,20 @@ object Relational {
     */
   val q05 = QueryDef(
     "q05_anti_join",
-    "left-anti join: customers with no orders (P5)",
+    "left-anti join: customers with no high-value order (P5)",
     (s, dir) => {
       val c = T(s, dir, "customer")
-      val o = T(s, dir, "orders")
+      // predicate keeps the anti-join result non-empty at every SF (the
+      // bare "no orders at all" form returned 0 rows at gate scale — a
+      // vacuous pass that proved nothing about anti-join correctness)
+      val o = T(s, dir, "orders").filter(col("o_totalprice") > 400000)
       c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
     },
     Some("""SELECT c_custkey, c_name FROM customer
-      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 400000)
       ORDER BY c_custkey"""))
 
   /** SURVEY §2.8 O3/O4: global top-k with deterministic tie-break; Spark

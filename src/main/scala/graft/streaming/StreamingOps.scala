@@ -35,12 +35,11 @@ object StreamingOps {
     "st01_stream_windows",
     "structured-streaming tumbling 1h window counts (memory sink)",
     (s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val tableName = "st01_stream_out"
       val src = s.readStream
         .schema(eventsSchema)
         .parquet(s"$dir/*events*") // glob: stream file source requires a directory basePath
-        .withColumn("event_ts", timestamp_micros(expr("ts DIV 1000")))
+        .withColumn("event_ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000")))
         .withWatermark("event_ts", "2 hours")
       val agg = src
         .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
