@@ -53,13 +53,20 @@ object Alerts {
       .na.drop()
   }
 
-  /** alert_ttp edges enriched with MITRE technique data (c18: inner join —
+  /** TTP-pair enrichment with MITRE technique data (c18: inner join —
     * "Ok losing any TTPs without the data needed"; techniques ~4k rows ⇒
-    * broadcast, J1).
+    * broadcast, J1). Input is (alert_id, ttp_id) pairs.
     */
-  def alertTtpEdges(alerts: DataFrame, techniques: DataFrame): DataFrame =
-    alerts.select(col("alert_id"), explode(col("ttp_list")).as("ttp_id"))
-      .distinct()
+  def ttpEnrich(alertTtpPairs: DataFrame, techniques: DataFrame): DataFrame =
+    alertTtpPairs
       .join(broadcast(techniques.withColumnRenamed("id", "ttp_id")),
         Seq("ttp_id"), "inner")
+      .select((Seq(col("alert_id"), col("ttp_id")) ++
+        techniques.columns.filter(_ != "id").map(col)): _*)
+
+  /** alert_ttp edges from raw alerts (explode + distinct + enrich). */
+  def alertTtpEdges(alerts: DataFrame, techniques: DataFrame): DataFrame =
+    ttpEnrich(
+      alerts.select(col("alert_id"), explode(col("ttp_list")).as("ttp_id")).distinct(),
+      techniques)
 }

@@ -43,36 +43,42 @@ object SimilarityJoin {
   /** The J6 join. Inputs are (id, text) tables; output
     * (left_id, right_id, jaccard) with jaccard >= threshold.
     *
-    * Size-ratio pruning (cpe_product c13:8-13): |A| ∈ [t·|B|, |B|/t] is
-    * necessary for J(A,B) ≥ t, so unbalanced pairs are dropped BEFORE the
-    * verify — and overlap ≥ t/(1+t)·(|A|+|B|) is applied straight off the
-    * group-by count.
+    * Size-ratio pruning (cpe_product c13:8-13) uses the RAW (pre-dedup)
+    * token counts — that is the reference's semantics and it is
+    * result-affecting: `bloodhound project bloodhound` has raw length 3,
+    * so a 1-token product fails |B| ≥ t·|A| and is dropped even though
+    * the SET Jaccard (1/2) clears the threshold. Golden parity
+    * (cpe_product_edge) pins this. The overlap lower bound
+    * o ≥ t/(1+t)·(k1+k2) is applied on the DISTINCT set sizes, where the
+    * inequality is exact.
     */
   def join(left: DataFrame, leftId: String, leftText: Column,
            right: DataFrame, rightId: String, rightText: Column,
            threshold: Double): DataFrame = {
-    val l = left.select(col(leftId).as("l_id"),
-      array_distinct(whitespaceTokens(leftText)).as("l_toks"))
-      .withColumn("l_n", size(col("l_toks")))
-    val r = right.select(col(rightId).as("r_id"),
-      array_distinct(whitespaceTokens(rightText)).as("r_toks"))
-      .withColumn("r_n", size(col("r_toks")))
+    val l = left.select(col(leftId).as("l_id"), whitespaceTokens(leftText).as("l_raw"))
+      .withColumn("l_n", size(col("l_raw")))
+      .withColumn("l_toks", array_distinct(col("l_raw")))
+      .withColumn("l_k", size(col("l_toks")))
+    val r = right.select(col(rightId).as("r_id"), whitespaceTokens(rightText).as("r_raw"))
+      .withColumn("r_n", size(col("r_raw")))
+      .withColumn("r_toks", array_distinct(col("r_raw")))
+      .withColumn("r_k", size(col("r_toks")))
 
-    val lTok = l.select(col("l_id"), col("l_n"), explode(col("l_toks")).as("tok"))
-    val rTok = r.select(col("r_id"), col("r_n"), explode(col("r_toks")).as("tok"))
+    val lTok = l.select(col("l_id"), col("l_n"), col("l_k"), explode(col("l_toks")).as("tok"))
+    val rTok = r.select(col("r_id"), col("r_n"), col("r_k"), explode(col("r_toks")).as("tok"))
 
     val overlap = lTok.join(rTok, Seq("tok"))
-      // size-ratio prune before the aggregation shuffle
-      .filter(col("l_n") >= col("r_n") * threshold &&
-              col("l_n") <= col("r_n") / threshold)
-      .groupBy(col("l_id"), col("r_id"), col("l_n"), col("r_n"))
+      // reference's size-ratio prune on RAW lengths, before the shuffle
+      .filter(col("r_n") >= col("l_n") * threshold &&
+              col("r_n") <= col("l_n") / threshold)
+      .groupBy(col("l_id"), col("r_id"), col("l_k"), col("r_k"))
       .agg(count(lit(1)).as("overlap"))
-      // J = o/(n1+n2-o) >= t  <=>  o >= t*(n1+n2)/(1+t)
-      .filter(col("overlap") >= (col("l_n") + col("r_n")) * threshold / (1 + threshold))
+      // J = o/(k1+k2-o) >= t  <=>  o >= t*(k1+k2)/(1+t)
+      .filter(col("overlap") >= (col("l_k") + col("r_k")) * threshold / (1 + threshold))
 
     overlap.select(col("l_id"), col("r_id"),
       (col("overlap").cast("double") /
-        (col("l_n") + col("r_n") - col("overlap"))).as("jaccard"))
+        (col("l_k") + col("r_k") - col("overlap"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
