@@ -1,0 +1,145 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.er.{EntityResolution, HeuristicNerModel, NerModel}
+import graft.etl.{Alerts, GitHub, Mitre, Nvd}
+import graft.graph.GraphExport
+import graft.sources.Checkpoints
+import graft.text.TextClean
+
+/** End-to-end pipeline (reference: data_integration.ipynb §3.1 stages
+  * A-D + the Neo4j export edge): NVD parse → MITRE techniques → alert
+  * munge/extraction → NER + entity resolution → GitHub enrichment →
+  * named node/edge CSV set.
+  *
+  * Every stage boundary is a skip-if-exists parquet checkpoint
+  * ([[Checkpoints.checkpoint]]) — the reference's feather-cache pattern:
+  * a re-run resumes from the last materialized stage, and each stage's
+  * lineage is cut so the final export doesn't re-parse NVD JSON.
+  *
+  * The two genuinely-external boundaries stay pluggable: NER inference is
+  * a [[NerModel]] (N2) and the GitHub API payloads arrive as parquet of
+  * the fetch output (S6 — the fetch loop itself is not an engine op).
+  */
+case class PipelineConfig(
+    nvdGlob: String,
+    mitreBundle: String,
+    alertsParquet: String,
+    workDir: String,
+    outDir: String,
+    githubLanguagesParquet: Option[String] = None,
+    githubContributorsParquet: Option[String] = None,
+    erThresholds: Map[String, Double] = Map(),
+    quoteAll: Boolean = true)
+
+object CyberPipeline {
+
+  /** Run all stages; returns exported-table row counts (read back from
+    * the written CSVs).
+    */
+  def run(spark: SparkSession, conf: PipelineConfig,
+          nerModel: NerModel = HeuristicNerModel): Map[String, Long] = {
+    implicit val s: SparkSession = spark
+    val work = conf.workDir
+
+    // stage A: NVD JSON → cve/reference/cpe tables (c23-c25)
+    lazy val items = Nvd.readItems(spark, conf.nvdGlob)
+    val cves = Checkpoints.checkpoint(Nvd.cveNodes(items), s"$work/cve_node_data")
+    val refs = Checkpoints.checkpoint(Nvd.cveReferences(items), s"$work/cve_references")
+    val cpes = Checkpoints.checkpoint(Nvd.cpeNodes(items), s"$work/cpe_node_data")
+
+    // stage B: MITRE STIX bundle → techniques (mitre_json_to_csv.py)
+    val techniques = Checkpoints.checkpoint(
+      Mitre.techniques(spark, Mitre.readBundle(spark, conf.mitreBundle)),
+      s"$work/enterprise_attack")
+
+    // stage C: scraped alerts → munge + CVE/TTP extraction (c7-c18)
+    val alerts = Checkpoints.checkpoint(
+      Alerts.cleanAlerts(spark.read.parquet(conf.alertsParquet)),
+      s"$work/alerts_clean")
+    val alertNodes = Alerts.alertNodes(alerts)
+    val alertCve = Alerts.alertCveEdges(alerts)
+    val alertTtp = Alerts.alertTtpEdges(alerts, techniques)
+
+    // stage D: NER mentions → clean → cluster → best labels + weights
+    // (c27-c49). Mention labels get the fold/cleanup cascade; the entity
+    // vocabulary (distinct labels) receives deterministic dense ids via a
+    // global row_number — the vocab is orders of magnitude smaller than
+    // the corpus, so the single-partition window is a metadata-scale sort.
+    val mentions = nerModel.annotate(alerts, "text")
+      .withColumn("label",
+        TextClean.cleanNerLabel(TextClean.asciiFold(col("label"))))
+      .filter(length(trim(col("label"))) > 0)
+      .withColumn("type", TextClean.normalizeNerType(col("type")))
+    val vocab = mentions.select(col("label"), col("type")).distinct()
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("type"), col("label"))).cast("long"))
+    val ner = Checkpoints.checkpoint(
+      mentions.join(vocab, Seq("label", "type"))
+        .select(col("alert_id"), col("id"), col("label"), col("type")),
+      s"$work/alert_ner")
+    val (clustered, best, weights) =
+      EntityResolution.resolve(ner, conf.erThresholds)
+    val nerNodes = clustered.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("weight"))
+      .join(best.select(col("cluster_id"), col("best_label").as("ner")), Seq("cluster_id"))
+      .select(col("ner"), col("cluster_id"), col("weight"))
+
+    // stage E: GitHub payloads → per-CVE language/user edges (c52-c75)
+    val ghUrls = GitHub.githubRefUrls(refs)
+      .withColumn("repo_url", GitHub.repoApiUrl(col("url")))
+    val ghTables: Map[String, DataFrame] =
+      conf.githubLanguagesParquet.map { p =>
+        val langs = GitHub.languagesTable(spark.read.parquet(p))
+        "github_langs_merged" -> GitHub.joinToRefs(ghUrls, langs, Seq("language"))
+          .select(col("cve_id"), col("language"), col("bytes").as("ratio"))
+          .distinct()
+      }.toMap ++
+      conf.githubContributorsParquet.map { p =>
+        val contribs = GitHub.contributorsTable(spark.read.parquet(p))
+        "github_usernames_merged" -> GitHub.joinToRefs(ghUrls, contribs, Seq("logins"))
+          .select(col("cve_id"), col("logins").as("login"))
+          .distinct()
+      }.toMap
+
+    // stage F: K6 export — the named CSV set (README.md:11-22)
+    GraphExport.writeAll(
+      Map(
+        "alert_nodes" -> alertNodes,
+        "alert_cve_edge" -> alertCve,
+        "alert_ttp_data" -> alertTtp,
+        "cve_node_data" -> cves,
+        "cve_references" -> refs,
+        "cpe_node_data" -> cpes,
+        "enterprise_attack" -> techniques,
+        "ner_node" -> nerNodes,
+        "alert_ner_label_weights" -> weights) ++ ghTables,
+      conf.outDir, quoteAll = conf.quoteAll)
+  }
+
+  /** args: nvdGlob mitreBundle alertsParquet workDir outDir
+    * [languagesParquet contributorsParquet]
+    */
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = Tables.requiredConf.foldLeft(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")) { case (b, (k, v)) => b.config(k, v) }
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val conf = PipelineConfig(
+      nvdGlob = args(0), mitreBundle = args(1), alertsParquet = args(2),
+      workDir = args(3), outDir = args(4),
+      githubLanguagesParquet = args.lift(5),
+      githubContributorsParquet = args.lift(6))
+    val counts = CyberPipeline.run(spark, conf)
+    counts.toSeq.sortBy(_._1).foreach { case (n, c) => println(s"$n: $c rows") }
+    spark.stop()
+  }
+}

@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.er.FixtureNerModel
+import graft.sources.Csv
+
+/** End-to-end pipeline over the ingest fixtures: every stage A-F runs,
+  * the exported CSV set is readable and non-degenerate, and a re-run
+  * resumes from the stage checkpoints without recomputing them.
+  */
+class PipelineSpec extends AnyFunSuite with graft.SparkTestSession {
+  import spark.implicits._
+
+  private def res(p: String) = getClass.getResource(p).getPath
+
+  private lazy val base = Files.createTempDirectory("graft_pipeline").toString
+
+  private lazy val conf = {
+    // scraped-alerts boundary: raw table as parquet. The text embeds a CVE
+    // the NVD fixture knows (github ref) and the TTP the MITRE fixture has.
+    Seq(
+      ("/alert/aa22-001a", "AA22-001A :", "Fixture Alert",
+       "Original release date: January 5, 2022 | Last revised: February 1, 2022",
+       "Actors exploit CVE-2022-0001 with scripting [T1064] tricks. " +
+         "The Evil Corp group and Evil Corp again; also Initech Systems."),
+      ("/alert/aa22-002a", "AA22-002A", "Second Alert",
+       "Original release date: March 1, 2022",
+       "Mentions CVE-2022-0002 and technique T1064 via Evil Corporation."))
+      .toDF("link", "alert_id", "title", "date", "text")
+      .write.mode("overwrite").parquet(s"$base/alerts_raw")
+    // GitHub payload boundary: fetch output as parquet (S6 shape)
+    Seq(("https://api.github.com/repos/owner/repo", "success",
+         Map("Python" -> 100L, "C" -> 50L)))
+      .toDF("url", "status", "languages")
+      .write.mode("overwrite").parquet(s"$base/gh_langs")
+    Seq(("https://api.github.com/repos/owner/repo", "success",
+         Seq(("alice", 10L), ("dependabot[bot]", 5L))))
+      .toDF("url", "status", "contributors")
+      .withColumn("contributors", expr(
+        "transform(contributors, c -> struct(c._1 AS login, c._2 AS contributions))"))
+      .write.mode("overwrite").parquet(s"$base/gh_contribs")
+    PipelineConfig(
+      nvdGlob = res("/nvd/nvdcve-1.1-TEST.json.gz"),
+      mitreBundle = res("/mitre/enterprise-attack-test.json"),
+      alertsParquet = s"$base/alerts_raw",
+      workDir = s"$base/work", outDir = s"$base/out",
+      githubLanguagesParquet = Some(s"$base/gh_langs"),
+      githubContributorsParquet = Some(s"$base/gh_contribs"))
+  }
+
+  // pre-labeled mentions: two Evil Corp spellings must co-cluster
+  private lazy val nerFixture = FixtureNerModel(Seq(
+    ("AA22-001A", "Evil Corp", "ORG"),
+    ("AA22-001A", "Evil Corp", "ORG"),
+    ("AA22-001A", "Initech Systems", "ORG"),
+    ("AA22-002A", "Evil Corporation", "ORG"))
+    .toDF("alert_id", "label", "type"))
+
+  test("pipeline: all stages run and the exported CSV set is consistent") {
+    val counts = CyberPipeline.run(spark, conf, nerFixture)
+    // NVD fixture: 3 CVEs, 3+1 references (incl. github), 3 cpe pairs
+    assert(counts("cve_node_data") == 3)
+    assert(counts("cpe_node_data") == 3)
+    // MITRE fixture: 1 live technique; both alerts mention it
+    assert(counts("enterprise_attack") == 1)
+    assert(counts("alert_ttp_data") == 2)
+    assert(counts("alert_nodes") == 2)
+    // corrected CVE edges: one real CVE id per alert
+    assert(counts("alert_cve_edge") == 2)
+    // ER: Evil Corp + Evil Corporation co-cluster => one weight row per
+    // (alert, best_label, type): AA22-001A gets 2 rows, AA22-002A 1 row
+    assert(counts("alert_ner_label_weights") == 3)
+    assert(counts("ner_node") == 2) // 2 clusters: evil corp, initech systems
+    // GitHub enrichment: the fixture CVE's github ref joins the payload
+    assert(counts("github_langs_merged") == 2)  // Python + C for CVE-2022-0001
+    assert(counts("github_usernames_merged") == 1) // alice (bot dropped)
+
+    // label cleanup strips company suffixes (c35: corp/corporation ->
+    // ""), so both Evil spellings normalize to 'evil' pre-clustering
+    val weights = Csv.read(spark, s"${conf.outDir}/alert_ner_label_weights")
+    val labels = weights.select(col("best_label")).distinct()
+      .as[String].collect().toSet
+    assert(labels == Set("evil", "initech systems"))
+  }
+
+  test("pipeline: re-run resumes from checkpoints (stage outputs not recomputed)") {
+    CyberPipeline.run(spark, conf, nerFixture) // ensure first run happened
+    val marker = new java.io.File(s"${conf.workDir}/cve_node_data/_SUCCESS")
+    assert(marker.exists)
+    val mtime = marker.lastModified
+    val counts2 = CyberPipeline.run(spark, conf, nerFixture)
+    assert(marker.lastModified == mtime, "checkpoint was recomputed on re-run")
+    assert(counts2("cve_node_data") == 3)
+  }
+}
