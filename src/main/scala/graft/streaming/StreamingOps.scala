@@ -65,5 +65,55 @@ object StreamingOps {
       FROM (SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_type FROM events) t
       GROUP BY 1, 2 ORDER BY window_ms, event_type"""))
 
-  val all: Seq[QueryDef] = Seq(st01)
+  /** Append-mode production shape: same window aggregation, but the sink
+    * receives each window ONCE when the watermark passes its end
+    * (emitted iff window.end <= max_event_time - 2h, verified by the
+    * probe in StreamingSpec) and the state store purges it — bounded
+    * state, no driver-side result materialization (the memory-sink
+    * complete-mode gate st01 keeps every window forever; fine as a
+    * harness, wrong at 100 TB). File sink + checkpoint dir = exactly-once
+    * restartable output.
+    *
+    * The oracle is the batch SQL restricted to closed windows — stream/
+    * batch parity plus the watermark-eviction boundary in one gate.
+    */
+  val st02 = QueryDef(
+    "st02_stream_append",
+    "append-mode streaming windows: watermark-closed only, file sink",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st02").toString
+      val src = s.readStream
+        .schema(eventsSchema)
+        .parquet(s"$dir/*events*")
+        .withColumn("event_ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000")))
+        .withWatermark("event_ts", "2 hours")
+      val agg = src
+        .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          unix_millis(col("window.start")).as("window_ms"),
+          col("event_type"), col("n"))
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$tmp/data")
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+      }
+      s.read.parquet(s"$tmp/data")
+        .orderBy(col("window_ms"), col("event_type"))
+    },
+    Some("""WITH t AS (SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_type FROM events),
+      wm AS (SELECT MAX(ms) - 7200000 AS wm FROM t)
+      SELECT ms - (ms % 3600000) AS window_ms, event_type, COUNT(*) AS n
+      FROM t
+      WHERE (ms - (ms % 3600000)) + 3600000 <= (SELECT wm FROM wm)
+      GROUP BY 1, 2 ORDER BY window_ms, event_type"""))
+
+  val all: Seq[QueryDef] = Seq(st01, st02)
 }
