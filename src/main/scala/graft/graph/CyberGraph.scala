@@ -87,7 +87,8 @@ object CyberGraphQueries {
   }
 
   /** Q7 (relational part): community histogram — the community column
-    * comes from GraphAlgs.labelPropagation (Louvain divergence documented).
+    * comes from GraphAlgs.louvainDF (real modularity Louvain;
+    * labelPropagation remains as the cheaper fallback).
     */
   def q7CommunitySizes(communities: DataFrame): DataFrame =
     communities.groupBy(col("community"))

@@ -138,7 +138,6 @@ object GraphAlgs {
     */
   def labelPropagationDF(edges: DataFrame, iters: Int = 10): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.expressions.Window
     val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
     val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().repartition(col("src")).cache()
@@ -155,11 +154,11 @@ object GraphAlgs {
         .join(small(labels), und("src") === labels("node_id"))
         .groupBy(col("dst"), col("community"))
         .agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy(col("dst"))
-        .orderBy(col("n").desc, col("community").asc)
-      val elected = freq.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("dst"), col("community").as("new_community"))
+      // max_by struct = "most frequent, ties to smallest label" in one
+      // partial-aggregatable shuffle instead of a window sort
+      val elected = freq.groupBy(col("dst"))
+        .agg(max_by(col("community"), struct(col("n"), -col("community")))
+          .as("new_community"))
       val next = vertices
         .join(small(elected), vertices("node_id") === elected("dst"), "left")
         .select(col("node_id"),
@@ -170,6 +169,151 @@ object GraphAlgs {
       i += 1
     }
     labels.select(col("node_id"), col("community"))
+  }
+
+  /** Deterministic distributed Louvain (gds.louvain.write, Writeup.pdf
+    * §Queries Q7 — the real modularity algorithm, replacing the LPA
+    * stand-in): synchronous modularity-greedy local moves with
+    * parity-alternating move sets (only nodes with id parity == sweep
+    * parity move, killing the two-node swap oscillation of naive
+    * synchronous Louvain), then community contraction, repeated until the
+    * community count stops shrinking or `maxLevels`. Ties break on the
+    * smallest community id and the final labels are relabeled to the
+    * minimum member node id, so results are partitioning-stable.
+    *
+    * Scale shape: every sweep is one edge⋈labels shuffle + two
+    * vertex-sized aggregates; contraction is one groupBy. The same
+    * bounded-lineage localCheckpoint loop as [[articleRankDF]].
+    *
+    * Internal representation: directed-both-ways weighted rows for
+    * non-loops plus DOUBLED self-loops — then k_i = sum(w) by src,
+    * 2m = sum(w) overall, and contraction preserves the representation
+    * level-to-level (intra-community mass lands on the loop row already
+    * doubled).
+    */
+  def louvainDF(edges: DataFrame, maxLevels: Int = 3,
+                maxSweeps: Int = 8): DataFrame = {
+    val hasW = edges.columns.contains("weight")
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      (if (hasW) col("weight").cast("double") else lit(1.0)).as("w"))
+    val canon = e0
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"), col("w"))
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+    val rep0 = canon.filter(col("u") =!= col("v"))
+      .select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .union(canon.filter(col("u") =!= col("v"))
+        .select(col("v").as("src"), col("u").as("dst"), col("w")))
+      .union(canon.filter(col("u") === col("v"))
+        .select(col("u").as("src"), col("u").as("dst"), (col("w") * 2).as("w")))
+      .repartition(col("src"))
+      .cache()
+    val vertices = rep0.select(col("src").as("node_id")).distinct().cache()
+    val nVerts = vertices.count()
+    if (nVerts == 0) return vertices.select(col("node_id"), col("node_id").as("community"))
+    val m2 = rep0.agg(sum(col("w"))).head.getDouble(0) // = 2m, level-invariant
+    def small(df: DataFrame): DataFrame =
+      if (nVerts < broadcastVertexLimit) broadcast(df) else df
+
+    /** One level of parity-alternating greedy local moves. Input/output:
+      * (node_id, community) over the level's graph.
+      */
+    def localMoves(e: DataFrame): DataFrame = {
+      val deg = e.groupBy(col("src").as("node_id")).agg(sum(col("w")).as("k"))
+      var comm = deg.select(col("node_id"), col("node_id").as("community"), col("k"))
+        .localCheckpoint(true)
+      var sweep = 0
+      var movedPrev = Long.MaxValue
+      while (sweep < maxSweeps && movedPrev > 0) {
+        val sigma = comm.groupBy(col("community")).agg(sum(col("k")).as("sigma"))
+        // weight from each node to each neighbouring community (self
+        // edges excluded — a node's loop follows it anywhere, cancelling
+        // out of the argmax)
+        val nbr = e.filter(col("src") =!= col("dst"))
+          .join(small(comm.select(col("node_id").as("dst"), col("community").as("dst_comm"))),
+            Seq("dst"))
+          .groupBy(col("src"), col("dst_comm")).agg(sum(col("w")).as("w_to"))
+        // candidates = neighbour communities ∪ own community (w_to 0)
+        val cand = nbr
+          .union(comm.select(col("node_id").as("src"), col("community").as("dst_comm"),
+            lit(0.0).as("w_to")))
+          .groupBy(col("src"), col("dst_comm")).agg(sum(col("w_to")).as("w_to"))
+        // ΔQ ∝ w_{i→C} − k_i·Σtot(C∖{i})/2m; the argmax is a max_by over
+        // struct(score, stay, -id) — lexicographic struct ordering gives
+        // "max score, ties to staying, then smallest community id" in ONE
+        // partial-aggregatable shuffle (no window sort)
+        val scored = cand
+          .join(small(comm.select(col("node_id").as("src"), col("community").as("cur_comm"),
+            col("k"))), Seq("src"))
+          .join(small(sigma.withColumnRenamed("community", "dst_comm")), Seq("dst_comm"))
+          .withColumn("score",
+            col("w_to") - col("k") *
+              (col("sigma") - when(col("dst_comm") === col("cur_comm"), col("k"))
+                .otherwise(lit(0.0))) / lit(m2))
+        val best = scored.groupBy(col("src").as("node_id"))
+          .agg(max_by(col("dst_comm"), struct(
+            col("score"),
+            when(col("dst_comm") === col("cur_comm"), 1).otherwise(0),
+            -col("dst_comm"))).as("new_comm"))
+        val parity = sweep % 2
+        val next = comm.join(small(best), Seq("node_id"), "left")
+          .select(col("node_id"),
+            when(pmod(col("node_id"), lit(2)) === parity && col("new_comm").isNotNull,
+              col("new_comm")).otherwise(col("community")).as("community"),
+            col("k"),
+            (pmod(col("node_id"), lit(2)) === parity && col("new_comm").isNotNull &&
+              col("new_comm") =!= col("community")).as("moved"))
+          .localCheckpoint(true) // materialized: the moved-count below is a cheap scan
+        movedPrev = next.filter(col("moved")).count()
+        comm.unpersist(blocking = false)
+        comm = next.select(col("node_id"), col("community"), col("k"))
+        sweep += 1
+      }
+      comm.select(col("node_id"), col("community"))
+    }
+
+    var globalMap = vertices.select(col("node_id"), col("node_id").as("community"))
+      .localCheckpoint(true)
+    var curEdges = rep0
+    var prevCount = nVerts
+    var level = 0
+    var done = false
+    while (level < maxLevels && !done) {
+      val comm = localMoves(curEdges).localCheckpoint(true)
+      val nComm = comm.select(col("community")).distinct().count()
+      globalMap = globalMap.as("g")
+        .join(comm.as("c"), col("g.community") === col("c.node_id"))
+        .select(col("g.node_id"), col("c.community"))
+        .localCheckpoint(true)
+      if (nComm == prevCount) done = true // no contraction progress
+      else {
+        prevCount = nComm
+        val cb = small(comm)
+        curEdges = curEdges.as("e")
+          .join(cb.select(col("node_id").as("src"), col("community").as("cs")), Seq("src"))
+          .join(cb.select(col("node_id").as("dst"), col("community").as("cd")), Seq("dst"))
+          .groupBy(col("cs").as("src"), col("cd").as("dst"))
+          .agg(sum(col("w")).as("w"))
+          .localCheckpoint(true)
+      }
+      level += 1
+    }
+    // partitioning-stable labels: community := min member node id
+    val relabel = globalMap.groupBy(col("community"))
+      .agg(min(col("node_id")).as("cmin"))
+    globalMap.join(small(relabel), Seq("community"))
+      .select(col("node_id"), col("cmin").as("community"))
+  }
+
+  /** Louvain over a GraphX graph (edge list extracted, same as the other
+    * wrappers).
+    */
+  def louvain(g: Graph[Unit, Unit], maxLevels: Int = 3,
+              maxSweeps: Int = 8): DataFrame = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    val edges = g.edges.map(e => (e.srcId, e.dstId)).toDF("src", "dst")
+    louvainDF(edges, maxLevels, maxSweeps)
   }
 
   /** Static PageRank passthrough (Q6 family baseline for ArticleRank). */

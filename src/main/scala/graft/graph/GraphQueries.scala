@@ -108,15 +108,21 @@ object GraphQueries {
     },
     None)
 
-  /** GDS louvain stand-in (deterministic LPA; divergence documented,
-    * SURVEY §2.10 Q7): community histogram.
+  /** Q7 (gds.louvain.write): real modularity-greedy Louvain community
+    * histogram (deterministic — parity-alternating moves, min-member
+    * relabel; math pinned by GraphAlgsSpec clique fixtures). The LPA
+    * variant remains in [[GraphAlgs.labelPropagation]] as the cheaper
+    * fallback.
     */
   val g05 = QueryDef(
     "g05_communities",
-    "deterministic label propagation community sizes (Q7 shape)",
+    "Louvain community sizes on the filtered graph (Q7)",
     (s, dir) => {
-      val g = GraphAlgs.buildGraph(edges(s, dir, filtered = true), "a", "b")
-      GraphAlgs.labelPropagation(g, iters = 10)
+      val e = edges(s, dir, filtered = true)
+        .select(col("a").as("src"), col("b").as("dst"))
+      // 2 levels / 4 sweeps: the gate graph converges within these
+      // budgets; each extra sweep is pure fixed overhead at gate SF
+      GraphAlgs.louvainDF(e, maxLevels = 2, maxSweeps = 4)
         .groupBy(col("community")).agg(count(lit(1)).as("size"))
         .orderBy(col("size").desc, col("community"))
     },

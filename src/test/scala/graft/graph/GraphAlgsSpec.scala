@@ -68,6 +68,35 @@ class GraphAlgsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(got == again)
   }
 
+  test("louvain: two 4-cliques joined by a bridge resolve to the two cliques") {
+    // clique A {0,1,2,3}, clique B {4,5,6,7}, bridge 3-4. Modularity
+    // optimum = the two cliques (hand-check: Q ≈ 0.423 vs 0.409 merged,
+    // vs ~0.33 for any split of a clique).
+    val cliqueA = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val cliqueB = for (i <- 4L to 7L; j <- (i + 1) to 7L) yield (i, j)
+    val edges = edgeDf((cliqueA ++ cliqueB :+ (3L -> 4L)): _*)
+    val got = GraphAlgs.louvainDF(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 3L).map(got).toSet == Set(0L), got.toString) // min member id
+    assert((4L to 7L).map(got).toSet == Set(4L), got.toString)
+    // deterministic across runs and input row order
+    val again = GraphAlgs.louvainDF(
+      edgeDf(((cliqueA ++ cliqueB :+ (3L -> 4L)).reverse): _*)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == again)
+  }
+
+  test("louvain: weighted edges dominate community assignment") {
+    import spark.implicits._
+    // path 1-2-3: heavy edge 1-2 (w=10), light 2-3 (w=1) plus 3-4 (w=10):
+    // optimum {1,2} and {3,4}
+    val e = Seq((1L, 2L, 10.0), (2L, 3L, 1.0), (3L, 4L, 10.0))
+      .toDF("src", "dst", "weight")
+    val got = GraphAlgs.louvainDF(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == got(2L) && got(3L) == got(4L) && got(1L) != got(3L), got.toString)
+  }
+
   test("pageRank: star center outranks leaves") {
     val g = GraphAlgs.buildGraph(
       edgeDf(0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 4L), "src", "dst",
