@@ -28,21 +28,53 @@ import graft.sim.SimilarityJoin
   */
 object EntityResolution {
 
-  /** Candidate pairs within a type via shared-token blocking.
-    * Input: (id: Long, label: String, type: String).
+  /** Types that additionally get the character-qgram feature/blocking
+    * channel: org/product/person names vary by concatenation glitches and
+    * possessives ("ncscuk", "kimsukys") that word tokens can't see. GPE
+    * stays word-only — country names are char-wise near ("iran"/"iraq")
+    * while semantically distinct, and the labeled ground truth punishes
+    * char merging there (measured on ner_training_GPE.json).
     */
-  def blockPairs(labels: DataFrame): DataFrame = {
+  val charTypes: Set[String] = Set("ORG", "PRODUCT", "PERSON")
+
+  /** Plural/possessive fold: strip one trailing 's' from each token >2
+    * chars ("dprks" -> "dprk", "centres" -> "centre").
+    */
+  private def stripS(c: Column): Column =
+    concat_ws(" ", transform(split(c, " "),
+      t => when(t.like("%s") && length(t) > 2, t.substr(lit(1), length(t) - 1))
+        .otherwise(t)))
+
+  /** Candidate pairs within a type: (a) shared plural-folded word token —
+    * a strict superset of raw shared-token blocking; (b) for
+    * [[charTypes]], shared character 3-gram with a document-frequency cap
+    * on hot grams (same skew guard as the dedup joins — a gram occurring
+    * in more than `gramDfCap` labels is dropped from blocking, not from
+    * scoring). Input: (id: Long, label: String, type: String).
+    */
+  def blockPairs(labels: DataFrame, gramDfCap: Int = 1000): DataFrame = {
+    def selfJoin(keys: DataFrame): DataFrame =
+      keys.as("a").join(keys.as("b"),
+          col("a.type") === col("b.type") && col("a.tok") === col("b.tok") &&
+          col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.type").as("type"))
     val toks = labels.select(col("id"), col("type"),
-        explode(array_distinct(SimilarityJoin.whitespaceTokens(lower(col("label"))))).as("tok"))
-    toks.as("a").join(toks.as("b"),
-        col("a.type") === col("b.type") && col("a.tok") === col("b.tok") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.type").as("type"))
-      .distinct()
+      explode(array_distinct(SimilarityJoin.whitespaceTokens(stripS(lower(col("label")))))).as("tok"))
+    val grams = labels.filter(col("type").isin(charTypes.toSeq: _*))
+      .select(col("id"), col("type"),
+        explode(array_distinct(SimilarityJoin.qgrams(lower(col("label"))))).as("tok"))
+    val hot = grams.groupBy(col("type"), col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > gramDfCap).select(col("type"), col("tok"))
+    val gramsCapped = grams.join(hot, Seq("type", "tok"), "left_anti")
+    selfJoin(toks).union(selfJoin(gramsCapped)).distinct()
   }
 
-  /** Similarity features + combined score for candidate pairs:
-    * 0.5 * token-Jaccard + 0.5 * (1 - levenshtein/maxlen), on lowercase.
+  /** Similarity features + combined score for candidate pairs, all on
+    * lowercase:
+    *  - word score: 0.5·token-Jaccard + 0.5·(1 − levenshtein/maxlen);
+    *  - plural fold: score 1.0 when the stripS-folded labels are equal;
+    *  - char score ([[charTypes]] only): 0.5·3-gram-Jaccard + 0.5·lev.
+    * Final score = greatest of the applicable features.
     */
   def scorePairs(pairs: DataFrame, labels: DataFrame): DataFrame = {
     val l = labels.select(col("id"), lower(col("label")).as("label"))
@@ -54,7 +86,15 @@ object EntityResolution {
       array_distinct(SimilarityJoin.whitespaceTokens(col("label_b"))))
     val lev = lit(1.0) - levenshtein(col("label_a"), col("label_b")).cast("double") /
       greatest(length(col("label_a")), length(col("label_b"))).cast("double")
-    withLabels.withColumn("score", jac * 0.5 + lev * 0.5)
+    val wordScore = jac * 0.5 + lev * 0.5
+    val pluralFold = when(stripS(col("label_a")) === stripS(col("label_b")), 1.0)
+      .otherwise(0.0)
+    val gramJac = SimilarityJoin.jaccard(
+      array_distinct(SimilarityJoin.qgrams(col("label_a"))),
+      array_distinct(SimilarityJoin.qgrams(col("label_b"))))
+    val charScore = when(col("type").isin(charTypes.toSeq: _*),
+      gramJac * 0.5 + lev * 0.5).otherwise(0.0)
+    withLabels.withColumn("score", greatest(wordScore, pluralFold, charScore))
   }
 
   /** Cluster ids from thresholded pair edges via connected components;

@@ -30,6 +30,11 @@ CSVS = [
     ("data/alert_cve_edge.csv", "alert_cve_edge.csv"),          # 931 TTP pairs (c17 bug mode)
     ("data/enterprise-attack.csv", "enterprise-attack.csv"),    # 4024 techniques, QUOTE_ALL
     ("alerts/alerts_nodes_munged.csv", "alerts_nodes_munged.csv"),
+    # labeled ER ground truth (match/distinct record pairs, c39-c44)
+    ("data/ner_training_ORG.json", "ner_training_ORG.json"),
+    ("data/ner_training_GPE.json", "ner_training_GPE.json"),
+    ("data/ner_training_PERSON.json", "ner_training_PERSON.json"),
+    ("data/ner_training_PRODUCT.json", "ner_training_PRODUCT.json"),
 ]
 
 for name in FEATHERS:
