@@ -16,11 +16,12 @@ import org.apache.spark.sql.types._
   * extraction runs partition-wise so a 100 TB corpus streams through
   * executors in batches without driver involvement.
   *
-  * The actual codec calls are STUBBED (this container has no image/audio
-  * libraries): `decodeFeatures` derives a deterministic pseudo-feature
-  * vector from the payload bytes via SHA-256 — the Spark-side plumbing
-  * (schema, mapPartitions batching, encoder, partitioning) is real and
-  * tested; swap `stubDecode` for a JNI/library call in production.
+  * Image and audio decode are REAL: [[MediaCodecs]] parses binary PPM
+  * (P6) and PCM-16 WAV with pure-JVM code — features and pixel resize
+  * operate on actual decoded samples. Video container parsing is the one
+  * STUB left (no codec libraries in this container): unrecognized
+  * payloads fall back to `stubDecode`'s deterministic SHA-256 pseudo
+  * features, keeping the pipeline total.
   */
 object Multimodal {
 
@@ -34,16 +35,30 @@ object Multimodal {
       StructField("sample_rate", IntegerType),
       StructField("n_frames", IntegerType))))))
 
-  /** Deterministic synthetic media table (test/dev corpus). */
+  /** Deterministic synthetic media table (test/dev corpus): REAL encoded
+    * payloads — PPM images with a per-id gradient, WAV sine-ish tones —
+    * plus opaque bytes for the video rows.
+    */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
     val kinds = Seq("image", "audio", "video")
     spark.range(n.toLong).map { i =>
       val kind = kinds((i % 3).toInt)
-      val payload = MessageDigest.getInstance("SHA-256")
-        .digest(s"media-$i".getBytes(StandardCharsets.UTF_8))
-      (i, kind, payload, ((i % 640).toInt + 1, (i % 480).toInt + 1,
-        16000, (i % 100).toInt + 1))
+      val w = (i % 8).toInt + 2
+      val h = (i % 6).toInt + 2
+      val payload = kind match {
+        case "image" =>
+          val rgb = Array.tabulate(w * h * 3)(p => ((p * 7 + i * 13) % 256).toByte)
+          MediaCodecs.encodePpm(MediaCodecs.PpmImage(w, h, rgb))
+        case "audio" =>
+          val samples = Array.tabulate(1600)(s =>
+            (math.sin(2 * math.Pi * (220 + i % 220) * s / 16000.0) * 16000).toShort)
+          MediaCodecs.encodeWav(MediaCodecs.WavAudio(16000, 1, samples))
+        case _ =>
+          MessageDigest.getInstance("SHA-256")
+            .digest(s"media-$i".getBytes(StandardCharsets.UTF_8))
+      }
+      (i, kind, payload, (w, h, 16000, (i % 100).toInt + 1))
     }.toDF("media_id", "kind", "payload", "meta")
       .withColumn("meta", col("meta").cast(mediaSchema("meta").dataType))
   }
@@ -67,20 +82,57 @@ object Multimodal {
 
   /** Partition-wise decode + feature extraction (the mapInPandas/Arrow
     * batch shape, Scala form: mapPartitions with a Row encoder). Emits
-    * (media_id, kind, features array<float>). Narrow — no shuffle; each
-    * task decodes its own parquet split.
+    * (media_id, kind, codec, features array<float>) — codec records what
+    * actually decoded (`ppm`/`wav`/`stub`). Narrow — no shuffle; each
+    * task decodes its own parquet split. Real decode first, SHA-256 stub
+    * fallback for formats this container can't parse (video).
     */
-  def decodeFeatures(media: DataFrame, dim: Int = 64): DataFrame = {
+  def decodeFeatures(media: DataFrame, stubDim: Int = 64): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("kind", StringType),
+      StructField("codec", StringType),
       StructField("features", ArrayType(FloatType))))
     implicit val enc = RowEncoder.encoderFor(outSchema)
     media.select(col("media_id"), col("kind"), col("payload"))
       .mapPartitions { rows =>
         rows.map { r =>
-          val feats = stubDecode(r.getAs[Array[Byte]]("payload"), dim)
-          Row(r.getLong(0), r.getString(1), feats.toSeq)
+          val payload = r.getAs[Array[Byte]]("payload")
+          val (codec, feats) =
+            MediaCodecs.decodePpm(payload)
+              .map(img => "ppm" -> MediaCodecs.imageFeatures(img))
+              .orElse(MediaCodecs.decodeWav(payload)
+                .map(a => "wav" -> MediaCodecs.audioFeatures(a)))
+              .getOrElse("stub" -> stubDecode(payload, stubDim))
+          Row(r.getLong(0), r.getString(1), codec, feats.toSeq)
+        }
+      }
+  }
+
+  /** Payload-level image resize (nearest-neighbour on decoded pixels,
+    * re-encoded as PPM; non-image payloads pass through unchanged).
+    * Narrow, partition-wise — the real-pixel counterpart of
+    * [[resizePlan]].
+    */
+  def resizeImages(media: DataFrame, maxSide: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType),
+      StructField("payload", BinaryType)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val out = MediaCodecs.decodePpm(payload) match {
+            case Some(img) if img.width > maxSide || img.height > maxSide =>
+              val scale = maxSide.toDouble / math.max(img.width, img.height)
+              val tw = math.max(1, math.round(img.width * scale).toInt)
+              val th = math.max(1, math.round(img.height * scale).toInt)
+              MediaCodecs.encodePpm(MediaCodecs.resizePpm(img, tw, th))
+            case _ => payload
+          }
+          Row(r.getLong(0), r.getString(1), out)
         }
       }
   }

@@ -13,19 +13,70 @@ class MultimodalSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(kinds == Set("image", "audio", "video"))
   }
 
-  test("decodeFeatures: deterministic, dim-stable, partition-parallel") {
+  test("decodeFeatures: real ppm/wav decode, stub only for video, narrow") {
     val m = Multimodal.syntheticMedia(spark, 20).repartition(5)
-    val f1 = Multimodal.decodeFeatures(m, dim = 16)
+    val f1 = Multimodal.decodeFeatures(m, stubDim = 16)
     val rows = f1.collect()
     assert(rows.length == 20)
-    assert(rows.forall(_.getAs[Seq[Float]]("features").length == 16))
-    // determinism across runs (stub decode is hash-derived)
-    val f2 = Multimodal.decodeFeatures(m, dim = 16).collect()
+    // every image decoded as ppm (11 features), audio as wav (4), video stub (16)
+    rows.foreach { r =>
+      val (kind, codec, n) = (r.getString(1), r.getString(2),
+        r.getAs[Seq[Float]]("features").length)
+      kind match {
+        case "image" => assert(codec == "ppm" && n == 11, s"$kind/$codec/$n")
+        case "audio" => assert(codec == "wav" && n == 4, s"$kind/$codec/$n")
+        case _       => assert(codec == "stub" && n == 16, s"$kind/$codec/$n")
+      }
+    }
+    // determinism across runs
+    val f2 = Multimodal.decodeFeatures(m, stubDim = 16).collect()
     val m1 = rows.map(r => r.getLong(0) -> r.getAs[Seq[Float]]("features")).toMap
     val m2 = f2.map(r => r.getLong(0) -> r.getAs[Seq[Float]]("features")).toMap
     assert(m1 == m2)
     // no shuffle: decode is narrow
     assert(f1.rdd.getNumPartitions == 5)
+  }
+
+  test("codecs: ppm and wav round-trip; features are exact on known fixtures") {
+    // 2x1 image: black pixel + white pixel
+    val img = MediaCodecs.PpmImage(2, 1,
+      Array[Byte](0, 0, 0, -1, -1, -1)) // (0,0,0) and (255,255,255)
+    val back = MediaCodecs.decodePpm(MediaCodecs.encodePpm(img)).get
+    assert(back.width == 2 && back.height == 1 && back.rgb.toSeq == img.rgb.toSeq)
+    val feats = MediaCodecs.imageFeatures(back)
+    assert(math.abs(feats(0) - 0.5f) < 1e-6) // mean r = (0+255)/2/255
+    assert(feats(3) == 0.5f && feats(10) == 0.5f) // lum bins 0 and 7
+
+    // square wave at half amplitude: rms = 0.5, peak = 0.5, zcr = 0.5
+    val wav = MediaCodecs.WavAudio(8000, 1,
+      Array.tabulate(1000)(i => if (i % 2 == 0) 16384 else -16384).map(_.toShort))
+    val wback = MediaCodecs.decodeWav(MediaCodecs.encodeWav(wav)).get
+    assert(wback.sampleRate == 8000 && wback.samples.toSeq == wav.samples.toSeq)
+    val af = MediaCodecs.audioFeatures(wback)
+    assert(math.abs(af(0) - 0.125f) < 1e-6) // 1000 samples / 8000 Hz
+    assert(math.abs(af(1) - 0.5f) < 1e-3 && math.abs(af(2) - 0.5f) < 1e-3)
+    assert(math.abs(af(3) - 0.999f) < 2e-3) // alternating signs
+
+    // garbage bytes decode as neither
+    assert(MediaCodecs.decodePpm("not an image".getBytes).isEmpty)
+    assert(MediaCodecs.decodeWav("not audio at all padded to 44+ bytes....".getBytes).isEmpty)
+  }
+
+  test("resizeImages: pixels actually resized, nearest-neighbour exact") {
+    import spark.implicits._
+    // 4x2 image: left half red, right half blue -> resized 2x1 = (red, blue)
+    val rgb = Array.tabulate(4 * 2 * 3) { p =>
+      val x = (p / 3) % 4
+      val c = p % 3
+      if (x < 2) (if (c == 0) -1 else 0).toByte else (if (c == 2) -1 else 0).toByte
+    }
+    val payload = MediaCodecs.encodePpm(MediaCodecs.PpmImage(4, 2, rgb))
+    val df = Seq((1L, "image", payload)).toDF("media_id", "kind", "payload")
+    val out = Multimodal.resizeImages(df, maxSide = 2).collect()(0)
+    val img = MediaCodecs.decodePpm(out.getAs[Array[Byte]]("payload")).get
+    assert(img.width == 2 && img.height == 1)
+    val px = img.rgb.map(_ & 0xff).toSeq
+    assert(px == Seq(255, 0, 0, 0, 0, 255), px.toString) // red, blue
   }
 
   test("resizePlan preserves aspect ratio and caps the long side") {
