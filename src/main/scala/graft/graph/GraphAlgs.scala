@@ -60,9 +60,16 @@ object GraphAlgs {
     */
   private val broadcastVertexLimit = 1000000L
 
-  /** DataFrame-native ArticleRank over an (src, dst) edge table. */
+  /** DataFrame-native ArticleRank over an (src, dst) edge table.
+    * `tol` > 0 opts into an L1-delta early exit; the check costs one
+    * extra vertex join + scan per superstep, and with damping 0.85 the
+    * delta shrinks only ~0.85^k per superstep — so it pays off ONLY when
+    * `iters` is large relative to the graph's mixing time (measured: at
+    * iters=20 on the gate graph it never fires and adds ~25%). Default
+    * 0.0 = fixed supersteps, no check, bit-reproducible.
+    */
   def articleRankDF(edges: DataFrame, iters: Int = 20,
-                    damping: Double = 0.85): DataFrame = {
+                    damping: Double = 0.85, tol: Double = 0.0): DataFrame = {
     import org.apache.spark.sql.functions._
     val e = edges.select(col("src").cast("long"), col("dst").cast("long")).cache()
     val vertices = e.select(col("src").as("node_id"))
@@ -93,15 +100,31 @@ object GraphAlgs {
         .join(small(ranks), edgesWithDeg("src") === col("node_id"))
         .select(col("dst"), (col("rank") / col("denom")).as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("msg"))
-      val next = vertices
+      val newRank =
+        lit(1.0 - damping) + lit(damping) * coalesce(col("msg"), lit(0.0))
+      val base = vertices
         .join(small(msgs), vertices("node_id") === msgs("dst"), "left")
-        .select(col("node_id"),
-          (lit(1.0 - damping) + lit(damping) * coalesce(col("msg"), lit(0.0)))
-            .as("rank"))
-        .localCheckpoint(true) // materializes AND truncates lineage
-      ranks.unpersist(blocking = false)
-      ranks = next
-      i += 1
+      if (tol > 0) {
+        // opt-in convergence: carry prev rank, L1-delta scan on the
+        // materialized superstep
+        val next = base
+          .join(small(ranks.select(col("node_id").as("pid"), col("rank").as("prev"))),
+            vertices("node_id") === col("pid"))
+          .select(col("node_id"), newRank.as("rank"), col("prev"))
+          .localCheckpoint(true) // materializes AND truncates lineage
+        val delta = next.agg(sum(abs(col("rank") - col("prev")))).head.getDouble(0)
+        ranks.unpersist(blocking = false)
+        ranks = next.select(col("node_id"), col("rank"))
+        i += 1
+        if (delta < tol) i = iters
+      } else {
+        val next = base
+          .select(col("node_id"), newRank.as("rank"))
+          .localCheckpoint(true) // materializes AND truncates lineage
+        ranks.unpersist(blocking = false)
+        ranks = next
+        i += 1
+      }
     }
     ranks.select(col("node_id"), col("rank"))
   }

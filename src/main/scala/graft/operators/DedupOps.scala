@@ -65,10 +65,18 @@ object DedupOps {
                // the pair join otherwise race and both build the shingles
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // stop-shingle pruning: drop shingles hotter than the df cap BEFORE
-    // the self-join (skew guard; mirrored in the oracle SQL below)
+    // the self-join (skew guard; mirrored in the oracle SQL below).
+    // |hot| < |sh|/cap by construction, so it is almost always
+    // broadcastable; when it is empty (healthy corpora at gate SF) the
+    // anti-join is skipped entirely — the cap costs one aggregate over
+    // the cached shingles, not a full re-shuffle of them.
     val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > cap).select(col("sh"))
-    val shc = sh.join(hot, Seq("sh"), "left_anti")
+    val hotCount = hot.count()
+    val shc =
+      if (hotCount == 0) sh
+      else if (hotCount < 1000000) sh.join(broadcast(hot), Seq("sh"), "left_anti")
+      else sh.join(hot, Seq("sh"), "left_anti")
     val pairs = shc.as("a")
       .join(shc.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -44,10 +44,15 @@ class DedupOpsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(math.abs(jac - 0.5) < 1e-12)
   }
 
-  test("d01 plan: the df cap is a LeftAnti join ahead of the pair self-join") {
-    val plan = DedupOps.ngramJaccardPairs(docs).queryExecution.optimizedPlan
-    val anti = plan.collect { case j: Join if j.joinType.sql == "LEFT ANTI" => j }
-    assert(anti.nonEmpty, plan.toString)
+  test("d01 plan: the df cap is a LeftAnti join when hot shingles exist, skipped when none") {
+    // cap=3: "spam spam spam" is hot (4 docs) -> anti-join present
+    val capped = DedupOps.ngramJaccardPairs(docs, cap = 3).queryExecution.optimizedPlan
+    val anti = capped.collect { case j: Join if j.joinType.sql == "LEFT ANTI" => j }
+    assert(anti.nonEmpty, capped.toString)
+    // default cap: hot set empty -> the anti-join is adaptively skipped
+    val plain = DedupOps.ngramJaccardPairs(docs).queryExecution.optimizedPlan
+    val none = plain.collect { case j: Join if j.joinType.sql == "LEFT ANTI" => j }
+    assert(none.isEmpty, plain.toString)
   }
 
   test("d02 verify stage is candidate-driven: no all-pairs shingle self-join") {
