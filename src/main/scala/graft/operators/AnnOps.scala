@@ -110,5 +110,88 @@ object AnnOps {
         FROM sig GROUP BY sig ORDER BY sig"""
     })
 
-  val all: Seq[QueryDef] = Seq(a01, a02)
+  /** IVF-Flat shape (the other standard ANN scale path next to a02's
+    * LSH): a deterministic coarse quantizer — the first 16 vectors act as
+    * centroids (seeded, no k-means iterations, so the DuckDB oracle can
+    * replicate it exactly) — assigns every vector to its nearest centroid
+    * by cosine; each query probes its 2 nearest centroids and scores
+    * exactly ONLY the vectors in those cells. At 100 TB: assignment is
+    * one broadcast join + max_by (no shuffle of the big side beyond the
+    * cell groupBy), and search touches 2/16 of the corpus per query
+    * instead of all of it.
+    */
+  val a03 = QueryDef(
+    "a03_ivf_knn",
+    "IVF coarse-quantized cosine top-k (seeded centroids, 2 probes)",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x AS double))").as("emb"))
+        .withColumn("norm", expr(
+          "sqrt(aggregate(emb, 0D, (acc, x) -> acc + x * x))"))
+        .cache()
+      e.count() // assignment, probes, and scoring all reuse it
+      val seeds = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("emb").as("c_emb"), col("norm").as("c_norm"))
+      val cdot =
+        expr("aggregate(zip_with(emb, c_emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+      // nearest centroid per vector: ties to the smallest centroid id
+      val assign = e.crossJoin(broadcast(seeds))
+        .select(col("vec_id"), col("c_id"),
+          (cdot / (col("norm") * col("c_norm"))).as("csim"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("c_id"), struct(col("csim"), -col("c_id"))).as("c_id"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("norm").as("q_norm"))
+      val qdotC =
+        expr("aggregate(zip_with(q_emb, c_emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+      val probeW = Window.partitionBy(col("q_id"))
+        .orderBy(col("psim").desc, col("c_id"))
+      val probes = q.crossJoin(broadcast(seeds))
+        .select(col("q_id"), col("c_id"),
+          (qdotC / (col("q_norm") * col("c_norm"))).as("psim"))
+        .withColumn("rn", row_number().over(probeW))
+        .filter(col("rn") <= 2)
+        .select(col("q_id"), col("c_id"))
+      val cand = broadcast(probes).join(assign, Seq("c_id"))
+        .filter(col("vec_id") >= 5)
+        .select(col("q_id"), col("vec_id"))
+      val scored = cand
+        .join(e, Seq("vec_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (expr(dotExpr) / (col("norm") * col("q_norm"))).as("sim"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("vec_id"), col("rank"), col("sim"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""WITH e AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings),
+      n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS norm FROM e),
+      seeds AS (SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm FROM n WHERE vec_id < 16),
+      assign AS (SELECT vec_id, c_id FROM (
+          SELECT v.vec_id, s.c_id,
+                 row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY list_dot_product(v.emb, s.c_emb) / (v.norm * s.c_norm) DESC, s.c_id) AS rn
+          FROM n v CROSS JOIN seeds s) t WHERE rn = 1),
+      q AS (SELECT vec_id AS q_id, emb AS q_emb, norm AS q_norm FROM n WHERE vec_id < 5),
+      probes AS (SELECT q_id, c_id FROM (
+          SELECT qq.q_id, s.c_id,
+                 row_number() OVER (PARTITION BY qq.q_id
+                   ORDER BY list_dot_product(qq.q_emb, s.c_emb) / (qq.q_norm * s.c_norm) DESC, s.c_id) AS rn
+          FROM q qq CROSS JOIN seeds s) t WHERE rn <= 2),
+      cand AS (SELECT q_id, vec_id FROM probes JOIN assign USING (c_id) WHERE vec_id >= 5),
+      sc AS (SELECT c.q_id, c.vec_id,
+               list_dot_product(qq.q_emb, v.emb) / (qq.q_norm * v.norm) AS sim
+             FROM cand c JOIN q qq USING (q_id) JOIN n v ON v.vec_id = c.vec_id)
+      SELECT q_id, vec_id, rank, sim FROM (
+        SELECT q_id, vec_id, sim,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+        FROM sc) t
+      WHERE rank <= 10 ORDER BY q_id, rank"""))
+
+  val all: Seq[QueryDef] = Seq(a01, a02, a03)
 }
