@@ -52,4 +52,22 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     // codegen stages render as "*(n) Operator" in the final adaptive plan
     assert(p.contains("WholeStageCodegen") || p.contains("*("), p.take(2000))
   }
+
+  test("partition-layout reads prune partitions (PartitionFilters)") {
+    import org.apache.spark.sql.functions._
+    // the at-rest layout for time/category-organized corpora at 100 TB:
+    // a filter on the partition column must prune DIRECTORIES at planning
+    // time, not rows at scan time
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.load(spark, sf, "events")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("event_type") === "click")
+      .agg(count(lit(1)))
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("event_type"), p.take(2000))
+    // and the predicate does NOT appear as a post-scan row filter
+    assert(!p.contains("PushedFilters: [IsNotNull(event_type)"), p.take(2000))
+  }
 }
