@@ -158,5 +158,60 @@ object TextOps {
         ORDER BY doc_id"""
     })
 
-  val all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05)
+  /** Deterministic train/val/test split — the curation op every training
+    * corpus needs: membership is a pure function of the document id
+    * (md5 hex prefix compared lexicographically, ~80/10/10), so the split
+    * is stable across runs, engines, cluster sizes, and re-partitioning —
+    * no sampling state, no seed coordination. At 100 TB this is a narrow
+    * map + one tiny aggregation.
+    */
+  val t06 = QueryDef(
+    "t06_train_split",
+    "deterministic hash 80/10/10 split with per-split stats",
+    (s, dir) => {
+      val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+      docs(s, dir)
+        .withColumn("split",
+          when(h < "cd", "train").when(h < "e6", "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("bigint").as("total_chars"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy(col("split"))
+    },
+    Some("""SELECT split, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars, MIN(doc_id) AS min_doc
+      FROM (SELECT doc_id, n_chars,
+              CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                   WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                   ELSE 'test' END AS split
+            FROM documents) t
+      GROUP BY split ORDER BY split"""))
+
+  /** Stratified deterministic sampling: k docs per (lang, source) stratum,
+    * ordered by the md5 of the id — "random" but reproducible, the
+    * per-source quota pattern used to rebalance training mixtures. One
+    * shuffle on the stratum key; rank is a bounded per-group window.
+    */
+  val t07 = QueryDef(
+    "t07_stratified_sample",
+    "k-per-(lang,source) deterministic stratified sample",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"), col("source"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      docs(s, dir)
+        .withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 20)
+        .select(col("doc_id"), col("lang"), col("source"), col("rk"))
+        .orderBy(col("lang"), col("source"), col("rk"))
+    },
+    Some("""SELECT doc_id, lang, source, rk FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (PARTITION BY lang, source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents) t
+      WHERE rk <= 20 ORDER BY lang, source, rk"""))
+
+  val all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07)
 }
