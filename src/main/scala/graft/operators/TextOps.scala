@@ -213,5 +213,38 @@ object TextOps {
         FROM documents) t
       WHERE rk <= 20 ORDER BY lang, source, rk"""))
 
-  val all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07)
+  /** Top-3 terms per language via the typed [[graft.functions.TopTerms]]
+    * Aggregator: word counts (one shuffle) feed a bounded-buffer top-k
+    * aggregation (second shuffle with O(k) state and map-side partial
+    * merge) — at 100 TB this replaces a full window sort over every
+    * (lang, word) count with k-row buffers.
+    */
+  val t08 = QueryDef(
+    "t08_top_terms",
+    "exact top-3 terms per language via bounded typed Aggregator",
+    (s, dir) => {
+      val counts = docs(s, dir)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("term"))
+        .groupBy(col("lang"), col("term"))
+        .agg(count(lit(1)).as("n"))
+      val topk = graft.functions.TopTerms(3)
+      counts
+        .groupBy(col("lang"))
+        .agg(topk(col("term"), col("n")).as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("pos", "tc")))
+        .select(col("lang"), (col("pos") + 1).cast("bigint").as("rank"),
+          col("tc.term").as("term"), col("tc.n").as("n"))
+        .orderBy(col("lang"), col("rank"))
+    },
+    Some("""WITH w AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS term
+              FROM documents WHERE length(trim(text)) > 0),
+        c AS (SELECT lang, term, COUNT(*) AS n FROM w GROUP BY lang, term)
+      SELECT lang, rank, term, n FROM (
+        SELECT lang, term, n,
+               row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rank
+        FROM c) t
+      WHERE rank <= 3 ORDER BY lang, rank"""))
+
+  val all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08)
 }

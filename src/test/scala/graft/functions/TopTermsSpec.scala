@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The typed Aggregator's exactness contract: with pre-aggregated
+  * (term, n) inputs, partial top-k merging equals the global top-k
+  * regardless of partitioning, and ties break on the smaller term.
+  */
+class TopTermsSpec extends AnyFunSuite with graft.SparkTestSession {
+  import spark.implicits._
+
+  test("top-k equals window-sort result under any partitioning; ties deterministic") {
+    val counts = Seq(
+      ("en", "the", 50L), ("en", "a", 50L), ("en", "cat", 30L), ("en", "dog", 10L),
+      ("de", "der", 9L), ("de", "die", 9L), ("de", "das", 9L), ("de", "und", 8L))
+      .toDF("lang", "term", "n")
+    val topk = TopTerms(2)
+    for (parts <- Seq(1, 3, 8)) {
+      val got = counts.repartition(parts)
+        .groupBy(col("lang")).agg(topk(col("term"), col("n")).as("top"))
+        .select(col("lang"), col("top"))
+        .collect()
+        .map(r => r.getString(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(t => (t.getString(0), t.getLong(1))))
+        .toMap
+      assert(got("en") == Seq(("a", 50L), ("the", 50L))) // tie -> smaller term first
+      assert(got("de") == Seq(("das", 9L), ("der", 9L)))
+    }
+  }
+}
