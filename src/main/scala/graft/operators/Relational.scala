@@ -339,7 +339,40 @@ object Relational {
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
       FROM orders ORDER BY o_custkey, o_orderkey"""))
 
+  /** Multi-level aggregation (GROUP BY ROLLUP): per-nation, per-region
+    * subtotals and the grand total in ONE pass — Spark expands the
+    * grouping sets with partial aggregation per level, so at scale it is
+    * still a single shuffle instead of three queries + union. NULL
+    * ordering pinned explicitly (Spark defaults nulls-first, DuckDB
+    * nulls-last).
+    */
+  val q16 = QueryDef(
+    "q16_rollup",
+    "ROLLUP subtotals: revenue by region, nation, and grand total",
+    (s, dir) => {
+      val o = T(s, dir, "orders")
+      val c = T(s, dir, "customer")
+      val n = T(s, dir, "nation")
+      val r = T(s, dir, "region")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(moneySum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    },
+    Some("""SELECT r_name, n_name,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"""))
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-        q11, q12, q13, q14, q15)
+        q11, q12, q13, q14, q15, q16)
 }
