@@ -69,7 +69,8 @@ object GraphAlgs {
     * 0.0 = fixed supersteps, no check, bit-reproducible.
     */
   def articleRankDF(edges: DataFrame, iters: Int = 20,
-                    damping: Double = 0.85, tol: Double = 0.0): DataFrame = {
+                    damping: Double = 0.85, tol: Double = 0.0,
+                    checkpointStride: Int = 1): DataFrame = {
     import org.apache.spark.sql.functions._
     val e = edges.select(col("src").cast("long"), col("dst").cast("long")).cache()
     val vertices = e.select(col("src").as("node_id"))
@@ -118,12 +119,21 @@ object GraphAlgs {
         i += 1
         if (delta < tol) i = iters
       } else {
-        val next = base
-          .select(col("node_id"), newRank.as("rank"))
-          .localCheckpoint(true) // materializes AND truncates lineage
-        ranks.unpersist(blocking = false)
-        ranks = next
+        // checkpointStride > 1 defers materialization so several
+        // supersteps run as one job — measured SLOWER here (each deferred
+        // superstep nests another broadcast-collect barrier inside the
+        // next plan, outweighing the saved job dispatches), so the
+        // default is 1; the knob stays for cluster-mode experiments where
+        // job scheduling dominates.
+        val nextLazy = base.select(col("node_id"), newRank.as("rank"))
         i += 1
+        if (i % checkpointStride == 0 || i == iters) {
+          val next = nextLazy.localCheckpoint(true)
+          ranks.unpersist(blocking = false)
+          ranks = next
+        } else {
+          ranks = nextLazy
+        }
       }
     }
     ranks.select(col("node_id"), col("rank"))
