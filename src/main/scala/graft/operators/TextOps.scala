@@ -246,5 +246,101 @@ object TextOps {
         FROM c) t
       WHERE rank <= 3 ORDER BY lang, rank"""))
 
-  val all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08)
+  /** Repetition-ratio quality filters (the Gopher-style "fraction of
+    * tokens in the most common n-gram" signals used to drop template/
+    * boilerplate documents from training corpora): top-word fraction and
+    * top-bigram fraction per document. Two narrow explode→count chains
+    * whose shuffles carry only (doc_id, gram) counts — linear at 100 TB,
+    * and the per-doc aggregate state is O(1).
+    */
+  val t09 = QueryDef(
+    "t09_repetition",
+    "repetition filters: top-word and top-bigram token fractions",
+    (s, dir) => {
+      val arr = split(trim(col("text")), "\\s+")
+      val base = docs(s, dir)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), arr.as("arr"))
+      val wc = base
+        .select(col("doc_id"), explode(col("arr")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n")).as("top_word_n"), sum(col("n")).cast("bigint").as("n_tokens"))
+      val bc = base
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(arr, 1, size(arr) - 1), slice(arr, 2, size(arr) - 1)," +
+            " (a, b) -> concat(a, ' ', b))")).as("b"))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id")).agg(max(col("n")).as("top_bigram_n"))
+      wc.join(bc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("top_word_n"),
+          (col("top_word_n").cast("double") / col("n_tokens").cast("double"))
+            .as("top_word_frac"),
+          coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+          when(col("n_tokens") > 1,
+            coalesce(col("top_bigram_n"), lit(0L)).cast("double") /
+              (col("n_tokens") - 1).cast("double"))
+            .otherwise(lit(0.0)).as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+              FROM documents WHERE length(trim(text)) > 0),
+        wc AS (SELECT doc_id, w, COUNT(*) AS n
+               FROM (SELECT doc_id, unnest(arr) AS w FROM toks) GROUP BY 1, 2),
+        tops AS (SELECT doc_id, MAX(n) AS top_word_n, CAST(SUM(n) AS BIGINT) AS n_tokens
+                 FROM wc GROUP BY 1),
+        bc AS (SELECT doc_id, b, COUNT(*) AS n
+               FROM (SELECT doc_id,
+                       unnest(list_transform(range(1, len(arr)),
+                         i -> arr[i] || ' ' || arr[i + 1])) AS b
+                     FROM toks) GROUP BY 1, 2),
+        topb AS (SELECT doc_id, MAX(n) AS top_bigram_n FROM bc GROUP BY 1)
+      SELECT t.doc_id, t.n_tokens, t.top_word_n,
+        CAST(t.top_word_n AS DOUBLE) / t.n_tokens AS top_word_frac,
+        COALESCE(b.top_bigram_n, 0) AS top_bigram_n,
+        CASE WHEN t.n_tokens > 1
+             THEN CAST(COALESCE(b.top_bigram_n, 0) AS DOUBLE) / (t.n_tokens - 1)
+             ELSE 0.0 END AS top_bigram_frac
+      FROM tops t LEFT JOIN topb b USING (doc_id) ORDER BY t.doc_id"""))
+
+  /** PII redaction: mask emails and IPv4 addresses, count what was
+    * masked. The corpus is synthetic word salad with no PII, so the gate
+    * first decorates each document with a deterministic email + IP derived
+    * from doc_id — otherwise the pass would be vacuous (q05's round-1
+    * lesson). Redaction itself is two codegen'd regexp_replace passes —
+    * a narrow map, trivially linear at 100 TB. Regexes stay inside the
+    * RE2-compatible subset so the Java and DuckDB engines agree.
+    */
+  val t10 = QueryDef(
+    "t10_pii_redact",
+    "PII redaction: mask emails + IPv4, per-doc redaction counts",
+    (s, dir) => {
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val decorated = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10.0."),
+        pmod(col("doc_id"), lit(256L)).cast("string"), lit(".7"))
+      docs(s, dir)
+        .select(col("doc_id"), decorated.as("t"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(emailRe)).cast("bigint").as("n_emails"),
+          regexp_count(col("t"), lit(ipRe)).cast("bigint").as("n_ips"),
+          md5(regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"),
+            ipRe, "<IP>").cast("binary")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+          text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+            '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        md5(regexp_replace(
+          regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
+      FROM d ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
 }
