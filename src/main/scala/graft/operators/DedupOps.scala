@@ -313,5 +313,34 @@ object DedupOps {
         ORDER BY vec_a, vec_b"""
     })
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04)
+  /** Benchmark-contamination check: which corpus documents share word
+    * 3-shingles with a held-out benchmark set (here: the deterministic
+    * doc_id % 97 == 0 slice standing in for an eval suite). The shape that
+    * matters at 100 TB: the benchmark side is tiny (an eval suite is KBs
+    * to MBs) and is explicitly broadcast, so the petabyte corpus side
+    * streams through a map-side hash join — corpus shingles are never
+    * shuffled; the only shuffle is the final (doc, bench) pair count,
+    * whose cardinality is bounded by matches, not corpus size.
+    */
+  val d05 = QueryDef(
+    "d05_contamination",
+    "benchmark-contamination: shared 3-shingle counts vs held-out set",
+    (s, dir) => {
+      val sh = shingleDf(s, dir)
+      val bench = sh.filter(pmod(col("doc_id"), lit(97L)) === 0)
+        .withColumnRenamed("doc_id", "bench_id")
+      val corp = sh.filter(pmod(col("doc_id"), lit(97L)) =!= 0)
+      corp.join(broadcast(bench), Seq("sh"))
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("doc_id"), col("bench_id"))
+    },
+    Some(s"""WITH $shingleSql,
+        bench AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 97 = 0),
+        corp AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0)
+      SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+      FROM corp c JOIN bench b USING (sh)
+      GROUP BY 1, 2 ORDER BY doc_id, bench_id"""))
+
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05)
 }
