@@ -106,5 +106,38 @@ object EventsOps {
     Some("""SELECT event_id, CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k_val
       FROM events ORDER BY event_id"""))
 
-  val all: Seq[QueryDef] = Seq(e01, e02, e03, e04)
+  /** As-of join gate: each click event picks up the user's most recent
+    * purchase at-or-before it (the trades⋈quotes temporal join). Runs the
+    * [[AsofJoin]] union-sweep plan — one shuffle on user_id, no range-join
+    * blow-up; the DuckDB oracle is a native ASOF LEFT JOIN. The purchase
+    * side is pre-aggregated to one row per (user_id, ms) so the winner at
+    * a tied timestamp is deterministic in both engines.
+    */
+  val e05 = QueryDef(
+    "e05_asof_join",
+    "as-of join: latest purchase at-or-before each click, per user",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_id"), tsMs.as("ms"), col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ms"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ms").as("p_ms"))
+        .agg(max(col("event_id")).as("p_id"))
+        .select(col("user_id"), col("p_ms"), col("p_id"))
+      AsofJoin.asof(clicks, purchases, Seq("user_id"),
+          leftTime = "ms", rightTime = "p_ms")
+        .select(col("event_id"), col("user_id"), col("ms"), col("p_id"), col("p_ms"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_id,
+              epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_type FROM events),
+        c AS (SELECT user_id, event_id, ms FROM ev WHERE event_type = 'click'),
+        p AS (SELECT user_id, ms AS p_ms, MAX(event_id) AS p_id
+              FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2)
+      SELECT c.event_id, c.user_id, c.ms, p.p_id, p.p_ms
+      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ms >= p.p_ms
+      ORDER BY c.event_id"""))
+
+  val all: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05)
 }
