@@ -115,5 +115,99 @@ object StreamingOps {
       WHERE (ms - (ms % 3600000)) + 3600000 <= (SELECT wm FROM wm)
       GROUP BY 1, 2 ORDER BY window_ms, event_type"""))
 
-  val all: Seq[QueryDef] = Seq(st01, st02)
+  /** Streaming deduplication with watermark-bounded state:
+    * `dropDuplicatesWithinWatermark` keeps a key's dedup state only until
+    * the watermark passes its event time + delay, so state is bounded by
+    * the (horizon x key-arrival-rate), not by history — the only viable
+    * dedup shape for an unbounded 100 TB/day stream (plain
+    * `dropDuplicates` state grows forever). The gate projects just the
+    * key columns so the emitted set is deterministic (first-seen row
+    * choice is arrival-order-dependent; the key set is not).
+    */
+  val st03 = QueryDef(
+    "st03_stream_dedup",
+    "streaming dedup via dropDuplicatesWithinWatermark (bounded state)",
+    (s, dir) => {
+      val tableName = "st03_stream_out"
+      val src = s.readStream
+        .schema(eventsSchema)
+        .parquet(s"$dir/*events*")
+        .withColumn("event_ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000")))
+        .withWatermark("event_ts", "2 hours")
+        .select(col("user_id"), col("event_type"), col("event_ts"))
+        .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"))
+      val q = src.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(tableName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(tableName).orderBy(col("user_id"), col("event_type"))
+    },
+    Some("""SELECT DISTINCT user_id, event_type FROM events
+      ORDER BY user_id, event_type"""))
+
+  /** Arbitrary-stateful sessionization: `flatMapGroupsWithState` with
+    * event-time timeouts ([[StatefulSessions.sessionize]]). Gap-closed
+    * sessions emit inline; each user's trailing open session emits when
+    * the watermark (0s delay ⇒ max event time) passes its end + gap.
+    * The oracle is batch gap-sessionization restricted to exactly those
+    * closable sessions — stream/batch parity for custom state, the
+    * companion gate to st02's windowed-aggregation parity.
+    */
+  val st04 = QueryDef(
+    "st04_stream_sessions",
+    "flatMapGroupsWithState sessionization with event-time timeout",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      import StatefulSessions._
+      val tableName = "st04_stream_out"
+      val src = s.readStream
+        .schema(eventsSchema)
+        .parquet(s"$dir/*events*")
+        .withColumn("ms", expr("(ts - pmod(ts, 1000000)) DIV 1000000"))
+        .withColumn("event_ts", timestamp_millis(col("ms")))
+        .withWatermark("event_ts", "0 seconds")
+        .select(col("user_id"), col("event_id"), col("ms"), col("event_ts"))
+      val sessions = src
+        .as[SessEvent] // untyped select upstream keeps the watermark tag
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+          sessionize(1800000L))
+      val q = sessions.toDF().writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(tableName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(tableName)
+        .orderBy(col("user_id"), col("session_start"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id,
+              epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events),
+        l AS (SELECT user_id, ms, event_id,
+                lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms
+              FROM e),
+        f AS (SELECT user_id, ms, event_id,
+                CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS ns
+              FROM l),
+        g AS (SELECT user_id, ms,
+                SUM(ns) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+              FROM f),
+        sess AS (SELECT user_id, sid, MIN(ms) AS session_start,
+                   MAX(ms) AS session_end, COUNT(*) AS n_events
+                 FROM g GROUP BY 1, 2),
+        mx AS (SELECT MAX(ms) AS max_ms FROM e)
+      SELECT user_id, session_start, session_end, n_events
+      FROM sess, mx
+      WHERE session_end + 1800000 < max_ms
+      ORDER BY user_id, session_start"""))
+
+  val all: Seq[QueryDef] = Seq(st01, st02, st03, st04)
 }
