@@ -139,5 +139,66 @@ object EventsOps {
       FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ms >= p.p_ms
       ORDER BY c.event_id"""))
 
-  val all: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05)
+  /** Exact per-group nearest-rank percentiles. Rank selection is pure
+    * integer math — ceil(p*n/100) as (p*n + 99) DIV 100 — because n*0.95
+    * in doubles rounds differently than the rational it approximates and
+    * an engine is free to fuse it; integers are engine-proof. One keyed
+    * sort window per group: the exact path when a group fits a partition
+    * (here: per event type). At 100 TB prefer the mergeable sketch
+    * (approx_percentile / e07's HLL analogue) — this gate is the exact
+    * reference the sketch is validated against.
+    */
+  val e06 = QueryDef(
+    "e06_percentiles",
+    "per-type exact nearest-rank percentiles of value (p25/50/75/95)",
+    (s, dir) => {
+      val byType = Window.partitionBy(col("event_type"))
+      val ranked = events(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("rk", row_number().over(
+          byType.orderBy(col("value"), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(byType))
+      def pick(p: Int) =
+        max(when(col("rk") === expr(s"(n * $p + 99) DIV 100"), col("value")))
+      ranked.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), pick(25).as("p25"), pick(50).as("p50"),
+          pick(75).as("p75"), pick(95).as("p95"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH r AS (SELECT event_type, value,
+          row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+          COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events)
+      SELECT event_type, MAX(n) AS n,
+        MAX(CASE WHEN rk = (n * 25 + 99) // 100 THEN value END) AS p25,
+        MAX(CASE WHEN rk = (n * 50 + 99) // 100 THEN value END) AS p50,
+        MAX(CASE WHEN rk = (n * 75 + 99) // 100 THEN value END) AS p75,
+        MAX(CASE WHEN rk = (n * 95 + 99) // 100 THEN value END) AS p95
+      FROM r GROUP BY event_type ORDER BY event_type"""))
+
+  /** Sketch-based distinct counting: HyperLogLog++ (rsd 1%) next to the
+    * exact count, gated on staying within 5%. At 100 TB the exact
+    * countDistinct is a full (type, user) de-dup shuffle; the HLL sketch
+    * is O(1) mergeable map-side state — this is THE count-distinct plan
+    * at scale, and the gate pins that the sketch stays honest. The
+    * sketch value itself is engine-specific, so the oracle checks the
+    * tolerance flag, not the estimate.
+    */
+  val e07 = QueryDef(
+    "e07_approx_distinct",
+    "HLL++ approx distinct users per type, pinned within 5% of exact",
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double") <=
+            col("exact_users").cast("double") * 0.05).as("within_5pct"))
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        TRUE AS within_5pct
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, e06, e07)
 }

@@ -342,5 +342,40 @@ object TextOps {
           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
       FROM d ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
+  /** Most distinctive term per document, scored tf/df (idf weighting
+    * without the log — bigint ratios divide to bit-identical doubles in
+    * every engine, where ln() parity is libm-dependent). Two shuffles
+    * (doc-term counts, then term df) + one bounded per-doc window; the
+    * df table is the only cross-doc state and it is O(vocabulary).
+    */
+  val t11 = QueryDef(
+    "t11_distinctive_terms",
+    "top distinctive term per doc by tf/df ratio",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+      tf.join(df, Seq("term"))
+        .withColumn("score", col("tf").cast("double") / col("df").cast("double"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+              FROM documents WHERE length(trim(text)) > 0),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        sc AS (SELECT doc_id, term, tf, df, CAST(tf AS DOUBLE) / df AS score,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY CAST(tf AS DOUBLE) / df DESC, term) AS rk
+               FROM tf JOIN df USING (term))
+      SELECT doc_id, term, tf, df, score FROM sc WHERE rk = 1 ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] =
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
 }
