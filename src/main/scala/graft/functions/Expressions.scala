@@ -42,6 +42,24 @@ object ExpressionHelpers {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
+  /** Sequential dot product over the first min(|a|,|b|) elements:
+    * acc = acc + a(i)*b(i) in index order, bit-identical to the
+    * `aggregate(zip_with(a, b, *), 0D, +)` fold it replaces (and to
+    * DuckDB's list_dot_product on the same data). Null elements read as
+    * 0.0 — the embedding contract is dense arrays; this expression is for
+    * the codegen hot path, not null algebra.
+    */
+  def vecDot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
   /** Unicode fold: NFD-decompose, strip combining marks, lowercase —
     * the `unidecode(x).lower()` step of the reference's dedupe preProcess
     * (alerts/parse_alert.ipynb c45:3-13).
@@ -83,6 +101,40 @@ case class JaccardSim(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
       s"graft.functions.ExpressionHelpers.jaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `vec_dot(array<double>, array<double>) -> double`, null-safe at the
+  * array level, codegen'd. Replaces the `aggregate(zip_with(...))`
+  * higher-order-function form in the embedding hot paths: HOF lambdas are
+  * interpreted per element and box every value; this stays inside
+  * whole-stage codegen as one primitive loop per row.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double>, array<double>), got " +
+        Seq(left, right).map(_.dataType.catalogString).mkString(", "))
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExpressionHelpers.vecDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ExpressionHelpers.vecDot($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

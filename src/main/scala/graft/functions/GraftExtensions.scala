@@ -27,7 +27,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => JaccardSim(args(0), args(1))),
     (FunctionIdentifier("ascii_fold"),
       new ExpressionInfo(classOf[AsciiFold].getName, "ascii_fold"),
-      (args: Seq[Expression]) => AsciiFold(args.head)))
+      (args: Seq[Expression]) => AsciiFold(args.head)),
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => VecDot(args(0), args(1))))
 
   /** Idempotent registration into an existing session's function registry. */
   def register(spark: SparkSession): Unit =
@@ -50,5 +53,9 @@ object GraftFunctions {
   def asciiFold(c: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("ascii_fold", c)
+  }
+  def vecDot(a: Column, b: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("vec_dot", a, b)
   }
 }

@@ -5,22 +5,26 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
+import graft.functions.GraftFunctions.vecDot
 
 /** Approximate/exact nearest-neighbor search over the `embeddings` table.
   *
   * a01 is the brute-force cosine top-k baseline: the (small) query set is
   * broadcast against the candidate scan, so the plan is a single pass over
   * the big side — the correct shape at 100 TB when |Q| is small. The dot
-  * product is a sequential double fold (`aggregate(zip_with(...))`) so the
-  * result is bit-deterministic.
+  * product is the native codegen'd [[graft.functions.VecDot]] — a
+  * sequential double fold, so the result is bit-deterministic (and
+  * bit-identical to the interpreted `aggregate(zip_with(...))` HOF form
+  * it replaced).
   *
   * a02 is the scale path: random-hyperplane LSH (signs of md5-derived
   * pseudo-random projections) buckets vectors so only same-bucket pairs are
   * scored — the candidate join is an equi-join on the signature.
   */
 object AnnOps {
-  private val dotExpr =
-    "aggregate(zip_with(emb, q_emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+  // native codegen'd sequential fold (graft.functions.VecDot) — replaces
+  // the interpreted aggregate(zip_with(...)) HOF form, same bit pattern
+  private def dotCol = vecDot(col("emb"), col("q_emb"))
 
   /** Brute-force cosine top-k (k=10) for query vectors vec_id < 5. */
   val a01 = QueryDef(
@@ -30,14 +34,13 @@ object AnnOps {
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"),
           expr("transform(embedding, x -> cast(x AS double))").as("emb"))
-        .withColumn("norm", expr(
-          "sqrt(aggregate(emb, 0D, (acc, x) -> acc + x * x))"))
+        .withColumn("norm", sqrt(vecDot(col("emb"), col("emb"))))
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("norm").as("q_norm"))
       val scored = e.filter(col("vec_id") >= 5)
         .crossJoin(broadcast(q))
         .select(col("q_id"), col("vec_id"),
-          (expr(dotExpr) / (col("norm") * col("q_norm"))).as("sim"))
+          (dotCol / (col("norm") * col("q_norm"))).as("sim"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
       scored.withColumn("rank", row_number().over(w).cast("bigint"))
         .filter(col("rank") <= 10)
@@ -84,9 +87,9 @@ object AnnOps {
       val maxDim = e.select(size(col("emb"))).head.getInt(0)
       val bitCols = (0 until 8).map { p =>
         val row = typedlit((0 until maxDim).map(d => sign(p, d)))
-        val proj = aggregate(
-          zip_with(col("emb"), slice(row, lit(1), size(col("emb"))), _ * _),
-          lit(0.0), (acc, v) => acc + v)
+        // VecDot folds over min(|emb|, |row|), so the per-row slice()
+        // of the sign matrix is implicit
+        val proj = vecDot(col("emb"), row)
         when(proj >= 0, "1").otherwise("0")
       }
       val sig = e.select(col("vec_id"), concat(bitCols: _*).as("sig"))
@@ -127,14 +130,12 @@ object AnnOps {
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"),
           expr("transform(embedding, x -> cast(x AS double))").as("emb"))
-        .withColumn("norm", expr(
-          "sqrt(aggregate(emb, 0D, (acc, x) -> acc + x * x))"))
+        .withColumn("norm", sqrt(vecDot(col("emb"), col("emb"))))
         .cache()
       e.count() // assignment, probes, and scoring all reuse it
       val seeds = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("c_id"), col("emb").as("c_emb"), col("norm").as("c_norm"))
-      val cdot =
-        expr("aggregate(zip_with(emb, c_emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+      val cdot = vecDot(col("emb"), col("c_emb"))
       // nearest centroid per vector: ties to the smallest centroid id
       val assign = e.crossJoin(broadcast(seeds))
         .select(col("vec_id"), col("c_id"),
@@ -143,8 +144,7 @@ object AnnOps {
         .agg(max_by(col("c_id"), struct(col("csim"), -col("c_id"))).as("c_id"))
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("norm").as("q_norm"))
-      val qdotC =
-        expr("aggregate(zip_with(q_emb, c_emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+      val qdotC = vecDot(col("q_emb"), col("c_emb"))
       val probeW = Window.partitionBy(col("q_id"))
         .orderBy(col("psim").desc, col("c_id"))
       val probes = q.crossJoin(broadcast(seeds))
@@ -160,7 +160,7 @@ object AnnOps {
         .join(e, Seq("vec_id"))
         .join(broadcast(q), Seq("q_id"))
         .select(col("q_id"), col("vec_id"),
-          (expr(dotExpr) / (col("norm") * col("q_norm"))).as("sim"))
+          (dotCol / (col("norm") * col("q_norm"))).as("sim"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
       scored.withColumn("rank", row_number().over(w).cast("bigint"))
         .filter(col("rank") <= 10)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
+import graft.functions.GraftFunctions.vecDot
 
 /** Near-duplicate detection over `documents` — the LLM-training-data dedup
   * family: token-shingle Jaccard self-join, MinHash+LSH banding, SimHash.
@@ -254,17 +255,15 @@ object DedupOps {
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"),
           expr("transform(embedding, x -> cast(x AS double))").as("emb"))
-        .withColumn("norm", expr(
-          "sqrt(aggregate(emb, 0D, (acc, x) -> acc + x * x))"))
+        .withColumn("norm", sqrt(vecDot(col("emb"), col("emb"))))
         .cache()
       e.count() // single cache fill: bands + both verify sides reuse it
       // sign-matrix width from the data, not a hardcoded cap (see a02)
       val maxDim = e.select(size(col("emb"))).head.getInt(0)
       def bitCol(p: Int) = {
         val row = typedlit((0 until maxDim).map(d => sign(p, d)))
-        val proj = aggregate(
-          zip_with(col("emb"), slice(row, lit(1), size(col("emb"))), _ * _),
-          lit(0.0), (acc, v) => acc + v)
+        // VecDot folds over min(|emb|, |row|) — implicit per-row slice
+        val proj = vecDot(col("emb"), row)
         when(proj >= 0, "1").otherwise("0")
       }
       val bandCols = (0 until 4).map(b =>
@@ -283,7 +282,7 @@ object DedupOps {
         .join(e.as("na"), col("vec_a") === col("na.vec_id"))
         .join(e.as("nb"), col("vec_b") === col("nb.vec_id"))
         .select(col("vec_a"), col("vec_b"),
-          (expr("aggregate(zip_with(na.emb, nb.emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+          (vecDot(col("na.emb"), col("nb.emb"))
             / (col("na.norm") * col("nb.norm"))).as("sim"))
         .filter(col("sim") >= 0.35)
         .orderBy(col("vec_a"), col("vec_b"))

@@ -52,6 +52,32 @@ class ExpressionsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(rows(0) == Row(1.0 / 3.0, "unicøde"))
   }
 
+  test("vec_dot: bit-identical to the aggregate(zip_with) fold; min-length; null-safe") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq(1.0, 2.0, 3.0)), Some(Seq(4.0, 5.0, 6.0))),
+      (Some(Seq(0.1, 0.2, 0.3, 0.9)), Some(Seq(0.7, 0.31, 0.11))), // min-length fold
+      (None, Some(Seq(1.0))) // array-level null propagates
+    ).toDF("a", "b")
+    val got = df.select(GraftFunctions.vecDot(col("a"), col("b"))).collect()
+    val hof = df.filter(col("a").isNotNull).select(expr(
+      "aggregate(zip_with(slice(a, 1, least(size(a), size(b))), slice(b, 1, least(size(a), size(b))), (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+      .as[Double].collect()
+    assert(got(0).getDouble(0) == hof(0) && got(0).getDouble(0) == 32.0)
+    assert(got(1).getDouble(0) == hof(1)) // exact same sequential fold
+    assert(got(2).isNullAt(0))
+  }
+
+  test("vec_dot: inside whole-stage codegen") {
+    val df = spark.range(3)
+      .selectExpr("array(cast(id AS double), 2D) AS a", "array(3D, cast(id AS double)) AS b")
+      .select(GraftFunctions.vecDot(col("a"), col("b")).as("d"))
+    assert(df.collect().map(_.getDouble(0)).toSeq == Seq(0.0, 5.0, 10.0))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan)
+  }
+
   test("codegen: expressions stay inside whole-stage codegen (no UDF node)") {
     // inputs derive from range's id so they are non-foldable — a pure
     // LocalRelation would be constant-folded into a LocalTableScan and
