@@ -42,22 +42,25 @@ object ExpressionHelpers {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
-  /** Sequential dot product over the first min(|a|,|b|) elements:
-    * acc = acc + a(i)*b(i) in index order, bit-identical to the
-    * `aggregate(zip_with(a, b, *), 0D, +)` fold it replaces (and to
-    * DuckDB's list_dot_product on the same data). Null elements read as
-    * 0.0 — the embedding contract is dense arrays; this expression is for
-    * the codegen hot path, not null algebra.
+  /** Sequential dot product, EXACTLY the semantics of
+    * `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,v) -> acc+v)`:
+    * unequal lengths → null (zip_with pads with null, which poisons the
+    * sum) and any null element → null; otherwise acc = acc + a(i)*b(i)
+    * in index order — bit-identical to the HOF fold (and to DuckDB's
+    * list_dot_product on the same data). Exact equivalence is what makes
+    * [[VecDotRewrite]] a semantics-preserving optimization.
     */
-  def vecDot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def vecDot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getDouble(i) * b.getDouble(i)
       i += 1
     }
-    acc
+    java.lang.Double.valueOf(acc)
   }
 
   /** Unicode fold: NFD-decompose, strip combining marks, lowercase —
@@ -129,12 +132,23 @@ case class VecDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any =
     ExpressionHelpers.vecDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.ExpressionHelpers.vecDot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dot")
+      s"""
+         |java.lang.Double $tmp = graft.functions.ExpressionHelpers.vecDot($a, $b);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $tmp.doubleValue();
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

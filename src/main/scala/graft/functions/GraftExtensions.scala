@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions.call_function
   * analyze and codegen like built-ins.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => VecDotRewrite)
+  }
 }
 
 object GraftFunctions {
@@ -32,12 +34,20 @@ object GraftFunctions {
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (args: Seq[Expression]) => VecDot(args(0), args(1))))
 
-  /** Idempotent registration into an existing session's function registry. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotent registration into an existing session: SQL functions into
+    * the registry, [[VecDotRewrite]] into the experimental optimizer batch
+    * (extensions can only be injected at session build; extraOptimizations
+    * is the public hook for a live session).
+    */
+  def register(spark: SparkSession): Unit = {
     descriptors.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(ident, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(VecDotRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ VecDotRewrite
+  }
 
   /** Column DSL via the public `call_function` (Spark ≥3.5): emits an
     * unresolved function call that the analyzer resolves against the

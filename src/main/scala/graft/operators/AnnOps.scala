@@ -83,12 +83,13 @@ object AnnOps {
       // sign-matrix width comes from the data (first row; embeddings are
       // fixed-width by contract) — a hardcoded cap narrower than the
       // vectors would silently diverge from the oracle, which projects
-      // over ALL dims (round-1 ADVICE). slice() still trims per row.
+      // over ALL dims (round-1 ADVICE).
       val maxDim = e.select(size(col("emb"))).head.getInt(0)
       val bitCols = (0 until 8).map { p =>
         val row = typedlit((0 until maxDim).map(d => sign(p, d)))
-        // VecDot folds over min(|emb|, |row|), so the per-row slice()
-        // of the sign matrix is implicit
+        // vec_dot requires equal lengths (HOF-null semantics); the sign
+        // row is built at exactly the data's width, per the fixed-width
+        // embedding contract
         val proj = vecDot(col("emb"), row)
         when(proj >= 0, "1").otherwise("0")
       }

@@ -262,7 +262,8 @@ object DedupOps {
       val maxDim = e.select(size(col("emb"))).head.getInt(0)
       def bitCol(p: Int) = {
         val row = typedlit((0 until maxDim).map(d => sign(p, d)))
-        // VecDot folds over min(|emb|, |row|) — implicit per-row slice
+        // vec_dot requires equal lengths (HOF-null semantics); sign row
+        // width == data width by the fixed-width embedding contract
         val proj = vecDot(col("emb"), row)
         when(proj >= 0, "1").otherwise("0")
       }

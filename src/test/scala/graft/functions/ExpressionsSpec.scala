@@ -52,20 +52,46 @@ class ExpressionsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(rows(0) == Row(1.0 / 3.0, "unicøde"))
   }
 
-  test("vec_dot: bit-identical to the aggregate(zip_with) fold; min-length; null-safe") {
+  test("vec_dot: exact aggregate(zip_with) semantics incl. null algebra") {
     import spark.implicits._
     val df = Seq(
       (Some(Seq(1.0, 2.0, 3.0)), Some(Seq(4.0, 5.0, 6.0))),
-      (Some(Seq(0.1, 0.2, 0.3, 0.9)), Some(Seq(0.7, 0.31, 0.11))), // min-length fold
-      (None, Some(Seq(1.0))) // array-level null propagates
+      (Some(Seq(0.1, 0.2, 0.3)), Some(Seq(0.7, 0.31, 0.11))),
+      (Some(Seq(1.0, 2.0)), Some(Seq(1.0))), // unequal length → null (pad poisons)
+      (None, Some(Seq(1.0)))                 // array-level null → null
     ).toDF("a", "b")
+    val hofExpr =
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
     val got = df.select(GraftFunctions.vecDot(col("a"), col("b"))).collect()
-    val hof = df.filter(col("a").isNotNull).select(expr(
-      "aggregate(zip_with(slice(a, 1, least(size(a), size(b))), slice(b, 1, least(size(a), size(b))), (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
-      .as[Double].collect()
-    assert(got(0).getDouble(0) == hof(0) && got(0).getDouble(0) == 32.0)
-    assert(got(1).getDouble(0) == hof(1)) // exact same sequential fold
-    assert(got(2).isNullAt(0))
+    val hof = df.select(expr(hofExpr)).collect()
+    (0 until 4).foreach { i =>
+      assert(got(i).isNullAt(0) == hof(i).isNullAt(0), s"row $i nullability")
+      if (!got(i).isNullAt(0))
+        assert(got(i).getDouble(0) == hof(i).getDouble(0), s"row $i value")
+    }
+    assert(got(0).getDouble(0) == 32.0)
+    assert(got(2).isNullAt(0) && got(3).isNullAt(0))
+  }
+
+  test("VecDotRewrite: HOF dot products optimize into vec_dot automatically") {
+    GraftFunctions.register(spark)
+    val df = spark.range(4)
+      .selectExpr("array(cast(id AS double), 2D, 3D) AS a",
+        "array(1D, cast(id AS double), 2D) AS b")
+      .selectExpr(
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v) AS dot")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("vec_dot"), opt)
+    assert(!opt.toLowerCase.contains("aggregate(zip_with"), opt)
+    // a·b = id*1 + 2*id + 3*2 = 3*id + 6
+    assert(df.collect().map(_.getDouble(0)).toSeq == Seq(6.0, 9.0, 12.0, 15.0))
+    // a non-dot fold must NOT be rewritten
+    val keep = spark.range(1)
+      .selectExpr("array(1D) AS a", "array(2D) AS b")
+      .selectExpr(
+        "aggregate(zip_with(a, b, (x, y) -> x + y), 0D, (acc, v) -> acc + v) AS s")
+    assert(!keep.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+    assert(keep.collect().head.getDouble(0) == 3.0)
   }
 
   test("vec_dot: inside whole-stage codegen") {
