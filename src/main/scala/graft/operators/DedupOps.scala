@@ -35,7 +35,7 @@ object DedupOps {
   val shingleDfCap = 1000
 
   /** Distinct (doc_id, 3-shingle) rows from a `documents`-shaped frame. */
-  private[operators] def shingles(docs: DataFrame): DataFrame =
+  private[graft] def shingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -45,13 +45,50 @@ object DedupOps {
   private def shingleDf(s: SparkSession, dir: String): DataFrame =
     shingles(Tables.load(s, dir, "documents"))
 
-  private val shingleSql =
-    """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-                FROM documents WHERE len(string_split_regex(trim(text), '\s+')) >= 3),
-       sh AS (SELECT DISTINCT doc_id,
+  /** DuckDB CTE pair `<p>toks`/`<p>sh` = distinct (doc_id, 3-shingle)
+    * rows over any documents-shaped CTE `src` — the SQL twin of
+    * [[shingles]], prefixable so several instances can share one WITH.
+    */
+  private[graft] def shingleSqlFrom(src: String, p: String = ""): String =
+    s"""${p}toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                FROM $src WHERE len(string_split_regex(trim(text), '\\s+')) >= 3),
+       ${p}sh AS (SELECT DISTINCT doc_id,
                 unnest(list_transform(range(len(toks)-2),
                        i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
-              FROM toks)"""
+              FROM ${p}toks)"""
+
+  private val shingleSql = shingleSqlFrom("documents")
+
+  /** DuckDB CTE chain ending in `<p>pairs` (doc_a, doc_b, jac >= minJac):
+    * the SQL twin of [[minhashLshPairs]] over any documents-shaped CTE.
+    */
+  private[graft] def minhashPairsSql(src: String, minJac: Double,
+      p: String): String = {
+    val mhs = (0 until 16).map(i =>
+      s"MIN(substring(md5('${i / 4}:' || sh), ${1 + 8 * (i % 4)}, 8)) AS mh$i")
+      .mkString(", ")
+    val bandRows = (0 until 8).map(b =>
+      s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS sig FROM ${p}mh")
+      .mkString(" UNION ALL ")
+    s"""${shingleSqlFrom(src, p)},
+      ${p}mh AS (SELECT doc_id, $mhs FROM ${p}sh GROUP BY doc_id),
+      ${p}bands AS ($bandRows),
+      ${p}cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM ${p}bands a JOIN ${p}bands b
+                 ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      ${p}cnt AS (SELECT doc_id, COUNT(*) AS n FROM ${p}sh GROUP BY doc_id),
+      ${p}allpairs AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, COUNT(*) AS shared
+                   FROM ${p}sh sa JOIN ${p}sh sb ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+                   GROUP BY 1, 2),
+      ${p}shared AS (SELECT q.doc_a, q.doc_b, q.shared
+                 FROM ${p}allpairs q JOIN ${p}cand c ON q.doc_a = c.doc_a AND q.doc_b = c.doc_b),
+      ${p}pairs AS (SELECT doc_a, doc_b,
+             CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) AS jac
+      FROM ${p}shared
+      JOIN ${p}cnt ca ON ca.doc_id = doc_a
+      JOIN ${p}cnt cb ON cb.doc_id = doc_b
+      WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= $minJac)"""
+  }
 
   /** N-gram (word 3-shingle) Jaccard similarity self-join via inverted
     * index + size verification (no cross join).
@@ -119,7 +156,7 @@ object DedupOps {
     * At 100 TB that is a single 16-column-wide shuffle of |docs| rows.
     */
   /** d02 core, parameterized for tests and plan assertions. */
-  private[operators] def minhashLshPairs(
+  private[graft] def minhashLshPairs(
       docs: DataFrame, minJac: Double = 0.3): DataFrame = {
       val sh = shingles(docs).cache()
       sh.count() // single cache fill (see d01)
@@ -168,33 +205,8 @@ object DedupOps {
     "d02_minhash_lsh",
     "MinHash+LSH banded near-dup candidates + Jaccard verify",
     (s, dir) => minhashLshPairs(Tables.load(s, dir, "documents")),
-    Some {
-      val mhs = (0 until 16).map(i =>
-        s"MIN(substring(md5('${i / 4}:' || sh), ${1 + 8 * (i % 4)}, 8)) AS mh$i")
-        .mkString(", ")
-      val bandRows = (0 until 8).map(b =>
-        s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS sig FROM mh")
-        .mkString(" UNION ALL ")
-      s"""WITH $shingleSql,
-      mh AS (SELECT doc_id, $mhs FROM sh GROUP BY doc_id),
-      bands AS ($bandRows),
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-               FROM bands a JOIN bands b
-                 ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-      cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      allpairs AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, COUNT(*) AS shared
-                   FROM sh sa JOIN sh sb ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
-                   GROUP BY 1, 2),
-      shared AS (SELECT p.doc_a, p.doc_b, p.shared
-                 FROM allpairs p JOIN cand c ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b)
-      SELECT doc_a, doc_b,
-             CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) AS jac
-      FROM shared
-      JOIN cnt ca ON ca.doc_id = doc_a
-      JOIN cnt cb ON cb.doc_id = doc_b
-      WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.3
-      ORDER BY doc_a, doc_b"""
-    })
+    Some(s"""WITH ${minhashPairsSql("documents", 0.3, "")}
+      SELECT doc_a, doc_b, jac FROM pairs ORDER BY doc_a, doc_b"""))
 
   /** 16-bit SimHash over the distinct-token set: bit b's sign comes from
     * hex digit b of md5(token) (one hash per token, no per-bit fan-out —

@@ -107,56 +107,68 @@ object TextOps {
         / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS stop_ratio
       FROM documents WHERE length(trim(text)) > 0 ORDER BY doc_id"""))
 
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "los", "que"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "les", "et", "une"),
+    "zh" -> Seq("de", "shi", "bu", "wo"))
+
+  /** Adds score_<lang> columns and pred_lang (argmax, ties resolved in
+    * [[langMarkers]] order) — the language-ID heuristic, factored so the
+    * gate (t05) and the corpus pipeline share one definition.
+    */
+  private[graft] def withLangPred(df: DataFrame): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    def sc(markers: Seq[String]): Column =
+      markers.map(m => occurrences(padded, s" $m ")).reduce(_ + _)
+    val scored = langMarkers.foldLeft(df) { case (d, (lang, ms)) =>
+      d.withColumn(s"score_$lang", sc(ms))
+    }
+    val langs = langMarkers.map(_._1)
+    val pred = langs.init.zipWithIndex.foldLeft(when(lit(false), "")) {
+      case (acc, (lang, i)) =>
+        val rest = langs.drop(i + 1)
+        acc.when(rest.map(o => col(s"score_$lang") >= col(s"score_$o"))
+          .reduce(_ && _), lang)
+    }.otherwise(langs.last)
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** SQL twin of [[withLangPred]]: a subquery string over `src` emitting
+    * src.* plus score_<lang> and pred_lang.
+    */
+  private[graft] def langPredSql(src: String): String = {
+    def occ(m: String) =
+      s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $m ', ''))) / ${m.length + 2} AS BIGINT)"
+    def sc(ms: Seq[String]) = ms.map(occ).mkString("(", " + ", ")")
+    val scores = langMarkers
+      .map { case (lang, ms) => s"${sc(ms)} AS score_$lang" }.mkString(", ")
+    val langs = langMarkers.map(_._1)
+    val whens = langs.init.zipWithIndex.map { case (lang, i) =>
+      val cond = langs.drop(i + 1).map(o => s"score_$lang >= score_$o")
+        .mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }.mkString(" ")
+    s"""(SELECT *, CASE $whens ELSE '${langs.last}' END AS pred_lang
+         FROM (SELECT *, $scores FROM $src) scored_)"""
+  }
+
   /** Language ID: marker-token n-gram heuristic (count per-language marker
     * words, argmax with a fixed tie order). Deterministic string ops only.
     */
   val t05 = QueryDef(
     "t05_langid",
     "marker-word language-ID heuristic with fixed tie order",
-    (s, dir) => {
-      val d = docs(s, dir)
-      val padded = concat(lit(" "), col("text"), lit(" "))
-      def sc(markers: Seq[String]): Column =
-        markers.map(m => occurrences(padded, s" $m ")).reduce(_ + _)
-      val en = sc(Seq("the", "a", "of", "and"))
-      val es = sc(Seq("el", "la", "los", "que"))
-      val de = sc(Seq("der", "die", "und", "das"))
-      val fr = sc(Seq("le", "les", "et", "une"))
-      val zh = sc(Seq("de", "shi", "bu", "wo"))
-      d.select(
-          col("doc_id"),
-          en.as("score_en"), es.as("score_es"), de.as("score_de"),
-          fr.as("score_fr"), zh.as("score_zh"))
-        .withColumn("pred_lang",
-          when(col("score_en") >= col("score_es") && col("score_en") >= col("score_de") &&
-               col("score_en") >= col("score_fr") && col("score_en") >= col("score_zh"), "en")
-          .when(col("score_es") >= col("score_de") && col("score_es") >= col("score_fr") &&
-                col("score_es") >= col("score_zh"), "es")
-          .when(col("score_de") >= col("score_fr") && col("score_de") >= col("score_zh"), "de")
-          .when(col("score_fr") >= col("score_zh"), "fr")
-          .otherwise("zh"))
-        .orderBy(col("doc_id"))
-    },
-    Some {
-      def occ(m: String) =
-        s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $m ', ''))) / ${m.length + 2} AS BIGINT)"
-      def sc(ms: Seq[String]) = ms.map(occ).mkString("(", " + ", ")")
-      val en = sc(Seq("the", "a", "of", "and"))
-      val es = sc(Seq("el", "la", "los", "que"))
-      val de = sc(Seq("der", "die", "und", "das"))
-      val fr = sc(Seq("le", "les", "et", "une"))
-      val zh = sc(Seq("de", "shi", "bu", "wo"))
-      s"""SELECT doc_id, score_en, score_es, score_de, score_fr, score_zh,
-        CASE
-          WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
-          WHEN score_es >= score_de AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
-          WHEN score_de >= score_fr AND score_de >= score_zh THEN 'de'
-          WHEN score_fr >= score_zh THEN 'fr'
-          ELSE 'zh' END AS pred_lang
-        FROM (SELECT doc_id, $en AS score_en, $es AS score_es, $de AS score_de,
-                     $fr AS score_fr, $zh AS score_zh FROM documents) t
-        ORDER BY doc_id"""
-    })
+    (s, dir) =>
+      withLangPred(docs(s, dir))
+        .select(col("doc_id"), col("score_en"), col("score_es"),
+          col("score_de"), col("score_fr"), col("score_zh"), col("pred_lang"))
+        .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id, score_en, score_es, score_de, score_fr, score_zh,
+        pred_lang
+      FROM ${langPredSql("documents")} t
+      ORDER BY doc_id"""))
 
   /** Deterministic train/val/test split — the curation op every training
     * corpus needs: membership is a pure function of the document id

@@ -1,0 +1,157 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.operators.{DedupOps, TextOps}
+
+/** The training-corpus curation pipeline — the composition the individual
+  * t/d gates exist for, as one reusable chain:
+  *
+  *   benchmark holdout → quality filter → exact dedup → near-dup removal
+  *   (MinHash+LSH) → decontamination vs the benchmark → language ID →
+  *   deterministic split
+  *
+  * Every stage is the already-oracled operator (same code paths:
+  * [[TextOps.withLangPred]], [[DedupOps.minhashLshPairs]],
+  * [[DedupOps.shingles]]), so the composite gate (t12) proves the stages
+  * compose without semantic drift — and the DuckDB oracle replays the
+  * full chain in SQL.
+  *
+  * Scale shape: stages 1–2 are narrow maps + one hash-shuffle each;
+  * near-dup is the banded-LSH plan (never all-pairs); decontamination
+  * broadcasts the benchmark shingles; the split is a pure hash function.
+  * Drops are anti-joins on doc_id — no stage rewrites document payloads
+  * until the final projection.
+  */
+object CorpusPipeline {
+  final case class Config(
+      benchMod: Long = 97L,       // doc_id % benchMod == 0 → held-out eval
+      minWords: Long = 5L,
+      maxTopWordFrac: Double = 0.2, // Gopher-style repetition cut
+      nearDupMinJac: Double = 0.3,
+      contamMinShared: Long = 2L)   // shared 3-shingles with one bench doc
+
+  val default: Config = Config()
+
+  /** Held-out benchmark slice (never training data). */
+  def benchmarkSlice(docs: DataFrame, cfg: Config = default): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(cfg.benchMod)) === 0)
+
+  def corpusSlice(docs: DataFrame, cfg: Config = default): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(cfg.benchMod)) =!= 0)
+
+  /** Stage 1: repetition/length quality filter (t04/t09 signals). */
+  def qualityFilter(docs: DataFrame, cfg: Config = default): DataFrame = {
+    val wstat = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("mx"), sum(col("n")).cast("bigint").as("nt"))
+      .filter(col("nt") >= cfg.minWords &&
+        col("mx").cast("double") / col("nt").cast("double") <= cfg.maxTopWordFrac)
+      .select(col("doc_id"))
+    docs.join(wstat, Seq("doc_id"), "left_semi")
+  }
+
+  /** Stage 2: exact dedup — keep the smallest doc_id per content hash
+    * (t01's semantics as a filter).
+    */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(md5(col("text").cast("binary")))
+      .orderBy(col("doc_id"))
+    docs.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+  }
+
+  /** Stage 3: near-duplicate removal — MinHash+LSH verified pairs (d02),
+    * dropping the larger doc_id of each pair.
+    */
+  def nearDedup(docs: DataFrame, cfg: Config = default): DataFrame = {
+    val dupIds = DedupOps.minhashLshPairs(docs, cfg.nearDupMinJac)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.join(dupIds, Seq("doc_id"), "left_anti")
+  }
+
+  /** Stage 4: decontamination — drop any doc sharing >= contamMinShared
+    * 3-shingles with a single benchmark doc (d05's pair counting as a
+    * filter). The benchmark side is broadcast: eval suites are tiny.
+    */
+  def decontaminate(docs: DataFrame, bench: DataFrame,
+      cfg: Config = default): DataFrame = {
+    val contaminated = DedupOps.shingles(docs)
+      .join(broadcast(DedupOps.shingles(bench)
+        .withColumnRenamed("doc_id", "bench_id")), Seq("sh"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= cfg.contamMinShared)
+      .select(col("doc_id")).distinct()
+    docs.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** Stage 6: deterministic 80/10/10 split (t06's hash membership). */
+  def withSplit(docs: DataFrame): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    docs.withColumn("split",
+      when(h < "cd", "train").when(h < "e6", "val").otherwise("test"))
+  }
+
+  /** Full chain: curated corpus with pred_lang + split columns. */
+  def curate(docs: DataFrame, cfg: Config = default): DataFrame = {
+    val corpus = corpusSlice(docs, cfg)
+    val bench = benchmarkSlice(docs, cfg)
+    val cleaned = decontaminate(
+      nearDedup(exactDedup(qualityFilter(corpus, cfg)), cfg), bench, cfg)
+    withSplit(TextOps.withLangPred(cleaned))
+  }
+
+  /** Corpus summary per (split, pred_lang) — the t12 gate shape. */
+  def summary(curated: DataFrame): DataFrame =
+    curated.groupBy(col("split"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("total_chars"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("split"), col("pred_lang"))
+
+  val t12 = QueryDef(
+    "t12_corpus_curate",
+    "end-to-end corpus curation: quality→dedup→near-dup→decontam→split",
+    (s, dir) => summary(curate(Tables.load(s, dir, "documents"))),
+    Some {
+      val cfg = default
+      s"""WITH corp AS (SELECT * FROM documents WHERE doc_id % ${cfg.benchMod} <> 0),
+        bench0 AS (SELECT * FROM documents WHERE doc_id % ${cfg.benchMod} = 0),
+        wstat AS (SELECT doc_id, MAX(n) AS mx, CAST(SUM(n) AS BIGINT) AS nt
+                  FROM (SELECT doc_id, w, COUNT(*) AS n
+                        FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+                              FROM corp) u GROUP BY 1, 2) c GROUP BY 1),
+        q AS (SELECT corp.* FROM corp JOIN wstat USING (doc_id)
+              WHERE wstat.nt >= ${cfg.minWords}
+                AND CAST(wstat.mx AS DOUBLE) / wstat.nt <= ${cfg.maxTopWordFrac}),
+        ed AS (SELECT * FROM q
+               QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+        ${DedupOps.minhashPairsSql("ed", cfg.nearDupMinJac, "nd_")},
+        nd AS (SELECT * FROM ed
+               WHERE doc_id NOT IN (SELECT doc_b FROM nd_pairs)),
+        ${DedupOps.shingleSqlFrom("nd", "c_")},
+        ${DedupOps.shingleSqlFrom("bench0", "b_")},
+        contam AS (SELECT DISTINCT doc_id FROM (
+                     SELECT c.doc_id, b.doc_id AS bench_id, COUNT(*) AS n
+                     FROM c_sh c JOIN b_sh b USING (sh) GROUP BY 1, 2) p
+                   WHERE n >= ${cfg.contamMinShared}),
+        clean AS (SELECT * FROM nd
+                  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        spl AS (SELECT *,
+                  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                       ELSE 'test' END AS split
+                FROM ${TextOps.langPredSql("clean")} lp)
+      SELECT split, pred_lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars, MIN(doc_id) AS min_doc
+      FROM spl GROUP BY 1, 2 ORDER BY split, pred_lang"""
+    })
+
+  val all: Seq[QueryDef] = Seq(t12)
+}

@@ -53,6 +53,17 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("WholeStageCodegen") || p.contains("*("), p.take(2000))
   }
 
+  test("d05: the benchmark side of the contamination join is broadcast") {
+    val df = graft.operators.DedupOps.all.find(_.name == "d05_contamination").get
+      .run(spark, sf)
+    df.collect() // AQE finalizes on execution
+    val p = df.queryExecution.executedPlan.toString
+    // corpus shingles must stream through a map-side hash join — a
+    // SortMergeJoin here would shuffle the 100 TB side on shingle
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("partition-layout reads prune partitions (PartitionFilters)") {
     import org.apache.spark.sql.functions._
     // the at-rest layout for time/category-organized corpora at 100 TB:
