@@ -200,5 +200,38 @@ object EventsOps {
         TRUE AS within_5pct
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  val all: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, e06, e07)
+  /** Band (range) join gate: click-purchase pairs of the same user within
+    * 10 minutes, via [[RangeJoin.banded]] — bucket-quantized equi-join
+    * (3x fan-out on one side), not a sort-merge with an inequality
+    * residual that degenerates per key. The DuckDB oracle is the naive
+    * inequality join, which is fine at oracle scale.
+    */
+  val e08 = QueryDef(
+    "e08_range_join",
+    "banded range join: click-purchase pairs within 10 min per user",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_id"), tsMs.as("ms"), col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ms").as("c_ms"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ms").as("p_ms"))
+      RangeJoin.banded(clicks, purchases, Seq("user_id"),
+          leftTime = "c_ms", rightTime = "p_ms", tolerance = 600000L)
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          (col("c_ms") - col("p_ms")).as("delta_ms"))
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_id,
+              epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_type FROM events),
+        c AS (SELECT user_id, event_id AS click_id, ms AS c_ms FROM ev
+              WHERE event_type = 'click'),
+        p AS (SELECT user_id, event_id AS purchase_id, ms AS p_ms FROM ev
+              WHERE event_type = 'purchase')
+      SELECT c.user_id, click_id, purchase_id, c_ms - p_ms AS delta_ms
+      FROM c JOIN p ON c.user_id = p.user_id
+        AND abs(c_ms - p_ms) <= 600000
+      ORDER BY c.user_id, click_id, purchase_id"""))
+
+  val all: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, e06, e07, e08)
 }
