@@ -388,6 +388,84 @@ object TextOps {
                FROM tf JOIN df USING (term))
       SELECT doc_id, term, tf, df, score FROM sc WHERE rk = 1 ORDER BY doc_id"""))
 
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * bins (the greedy fill used to build packed LM training sequences).
+    * Deterministic distributed variant: within each language partition,
+    * docs are ordered by (md5(id), id) and binned by cumulative token
+    * count DIV budget — a single per-partition window cumsum, no
+    * sequential packer. Bins can overflow by at most one document
+    * (standard greedy-fill contract). At 100 TB packing runs per
+    * (lang, shard) partition — the window never sees more than one
+    * partition's rows.
+    */
+  val t13 = QueryDef(
+    "t13_seq_pack",
+    "token-budget sequence packing via per-lang cumsum binning",
+    (s, dir) => {
+      val budget = 2000L
+      val nTok = size(split(trim(col("text")), "\\s+")).cast("bigint")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      docs(s, dir)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("lang"), nTok.as("n_tok"))
+        .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("bin", expr(s"cum_before DIV $budget"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("bigint").as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("lang"), col("bin"))
+    },
+    Some("""WITH d AS (SELECT doc_id, lang,
+            CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+          FROM documents WHERE length(trim(text)) > 0),
+        c AS (SELECT doc_id, lang, n_tok,
+            CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+          FROM d)
+      SELECT lang, cum_before // 2000 AS bin, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS bin_tokens, MIN(doc_id) AS first_doc
+      FROM c GROUP BY 1, 2 ORDER BY lang, bin"""))
+
+  /** BPE-style token counting: letter runs, digit runs, and single
+    * non-alphanumeric marks as separate tokens (the pre-tokenizer split
+    * every byte-pair encoder starts from), next to t03's whitespace
+    * counts. The corpus is pure lowercase words, so the gate decorates
+    * each doc with doc_id-derived digits and punctuation to make the
+    * letter/digit/mark split non-vacuous. Patterns stay in the
+    * RE2 ∩ java.util.regex common subset.
+    */
+  val t14 = QueryDef(
+    "t14_bpe_tokens",
+    "BPE-ish pre-tokenizer counts: letter runs, digit runs, marks",
+    (s, dir) => {
+      val tokRe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+      val decorated = concat(col("text"), lit(" v"), col("doc_id").cast("string"),
+        lit(".x, rev-"), pmod(col("doc_id"), lit(7L)).cast("string"), lit("!"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(regexp_extract_all(decorated, lit(tokRe), lit(0))).as("tok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_distinct"),
+          count(when(col("tok").rlike("^[0-9]+$"), 1)).as("n_digit_runs"),
+          count(when(col("tok").rlike("^[^a-zA-Z0-9]$"), 1)).as("n_marks"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(
+            text || ' v' || CAST(doc_id AS VARCHAR) || '.x, rev-' ||
+              CAST(doc_id % 7 AS VARCHAR) || '!',
+            '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS tok
+          FROM documents)
+      SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct,
+             COUNT(CASE WHEN regexp_matches(tok, '^[0-9]+$') THEN 1 END) AS n_digit_runs,
+             COUNT(CASE WHEN regexp_matches(tok, '^[^a-zA-Z0-9]$') THEN 1 END) AS n_marks
+      FROM toks GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t13, t14)
 }
