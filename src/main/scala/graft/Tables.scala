@@ -24,8 +24,17 @@ object Tables {
   val requiredConf: Map[String, String] =
     Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // pointed failure instead of a deep parquet-reader error when a
+    // session was built without requiredConf (an external driver using
+    // its own builder would otherwise die inside the events scan)
+    if (name == "events")
+      require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+          .contains("true"),
+        "events.ts is parquet TIMESTAMP(NANOS): build the session with " +
+          "graft.Tables.requiredConf (spark.sql.legacy.parquet.nanosAsLong=true)")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Register every table as a temp view so the whole gate surface is also
     * reachable through `spark.sql` (free SQL front-end via Catalyst).

@@ -256,8 +256,12 @@ object GraphAlgs {
       var comm = deg.select(col("node_id"), col("node_id").as("community"), col("k"))
         .localCheckpoint(true)
       var sweep = 0
-      var movedPrev = Long.MaxValue
-      while (sweep < maxSweeps && movedPrev > 0) {
+      // terminate only after BOTH parity classes sweep without a move: a
+      // single zero-move sweep only proves the active parity is stable
+      // (e.g. a graph whose vertex ids are all odd never moves on even
+      // sweeps — exiting there would freeze every node in its singleton)
+      var zeroStreak = 0
+      while (sweep < maxSweeps && zeroStreak < 2) {
         val sigma = comm.groupBy(col("community")).agg(sum(col("k")).as("sigma"))
         // weight from each node to each neighbouring community (self
         // edges excluded — a node's loop follows it anywhere, cancelling
@@ -297,7 +301,8 @@ object GraphAlgs {
             (pmod(col("node_id"), lit(2)) === parity && col("new_comm").isNotNull &&
               col("new_comm") =!= col("community")).as("moved"))
           .localCheckpoint(true) // materialized: the moved-count below is a cheap scan
-        movedPrev = next.filter(col("moved")).count()
+        val moved = next.filter(col("moved")).count()
+        zeroStreak = if (moved == 0) zeroStreak + 1 else 0
         comm.unpersist(blocking = false)
         comm = next.select(col("node_id"), col("community"), col("k"))
         sweep += 1

@@ -49,15 +49,18 @@ object MediaCodecs {
       var any = false
       while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
         v = v * 10 + (bytes(pos) - '0'); pos += 1; any = true
+        if (v > (1 << 28)) return -1 // absurd dimension ⇒ malformed, not a crash
       }
       if (!any) -1 else v
     }
     val w = readInt(); val h = readInt(); val maxVal = readInt()
     if (w <= 0 || h <= 0 || maxVal != 255) return None
     pos += 1 // single whitespace after maxval
-    val n = w * h * 3
-    if (bytes.length - pos < n) return None
-    val rgb = java.util.Arrays.copyOfRange(bytes, pos, pos + n)
+    // Long math: w*h*3 overflows Int for large declared dims, and a
+    // negative n would slip past the length guard into copyOfRange
+    val n = w.toLong * h * 3L
+    if ((bytes.length - pos).toLong < n) return None
+    val rgb = java.util.Arrays.copyOfRange(bytes, pos, pos + n.toInt)
     Some(PpmImage(w, h, rgb))
   }
 
@@ -145,6 +148,10 @@ object MediaCodecs {
       if (size < 0 || size > buf.remaining()) return None
       t match {
         case "fmt " =>
+          // declared size alone is not enough: a truncated fmt chunk
+          // (size < 16) must be malformed-None, not BufferUnderflow /
+          // a silent rewind that misparses the following chunks
+          if (size < 16) return None
           val fmt = buf.getShort
           channels = buf.getShort
           rate = buf.getInt

@@ -84,7 +84,8 @@ object AnnOps {
       // fixed-width by contract) — a hardcoded cap narrower than the
       // vectors would silently diverge from the oracle, which projects
       // over ALL dims (round-1 ADVICE).
-      val maxDim = e.select(size(col("emb"))).head.getInt(0)
+      val maxDim = e.select(size(col("emb"))).take(1) // empty table → 0-dim
+        .headOption.map(_.getInt(0)).getOrElse(0)
       val bitCols = (0 until 8).map { p =>
         val row = typedlit((0 until maxDim).map(d => sign(p, d)))
         // vec_dot requires equal lengths (HOF-null semantics); the sign

@@ -271,7 +271,8 @@ object DedupOps {
         .cache()
       e.count() // single cache fill: bands + both verify sides reuse it
       // sign-matrix width from the data, not a hardcoded cap (see a02)
-      val maxDim = e.select(size(col("emb"))).head.getInt(0)
+      val maxDim = e.select(size(col("emb"))).take(1) // empty table → 0-dim
+        .headOption.map(_.getInt(0)).getOrElse(0)
       def bitCol(p: Int) = {
         val row = typedlit((0 until maxDim).map(d => sign(p, d)))
         // vec_dot requires equal lengths (HOF-null semantics); sign row

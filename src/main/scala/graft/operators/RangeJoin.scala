@@ -27,10 +27,12 @@ object RangeJoin {
   def banded(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, tolerance: Long): DataFrame = {
     require(tolerance > 0, "tolerance must be positive")
-    // exact integer floor division (pmod handles negatives with floor
-    // semantics) — double floor(t/tol) risks ulp wobble at bucket edges
+    // exact integer floor division: pmod gives floor semantics for
+    // negatives, and DIV keeps the arithmetic integral — Column `/` is
+    // DOUBLE division, which loses bucket precision for |t| > 2^53
+    // (epoch-nanosecond timestamps) and would silently drop edge pairs
     def bucket(c: String) =
-      (col(c) - pmod(col(c), lit(tolerance))) / tolerance
+      expr(s"($c - pmod($c, $tolerance)) DIV $tolerance")
     val lB = left.withColumn("__bucket",
       explode(array((-1 to 1).map(d => bucket(leftTime) + d): _*)))
     val rB = right.withColumn("__bucket", bucket(rightTime))

@@ -170,6 +170,31 @@ object TextOps {
       FROM ${langPredSql("documents")} t
       ORDER BY doc_id"""))
 
+  /** Deterministic 80/10/10 split membership from the md5 prefix of the
+    * doc id — ONE definition shared by the t06 gate and
+    * [[graft.pipeline.CorpusPipeline.withSplit]] (and mirrored by
+    * [[trainSplitSqlExpr]]), so the gate and the pipeline cannot drift.
+    */
+  private[graft] def trainSplitCol: Column = {
+    val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    when(h < "cd", "train").when(h < "e6", "val").otherwise("test")
+  }
+
+  private[graft] val trainSplitSqlExpr: String =
+    """CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+         ELSE 'test' END"""
+
+  /** Per-doc (top_word_n, n_tokens) — shared by t09 and the pipeline's
+    * quality stage.
+    */
+  private[graft] def topWordStats(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("top_word_n"),
+        sum(col("n")).cast("bigint").as("n_tokens"))
+
   /** Deterministic train/val/test split — the curation op every training
     * corpus needs: membership is a pure function of the document id
     * (md5 hex prefix compared lexicographically, ~80/10/10), so the split
@@ -181,22 +206,17 @@ object TextOps {
     "t06_train_split",
     "deterministic hash 80/10/10 split with per-split stats",
     (s, dir) => {
-      val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
       docs(s, dir)
-        .withColumn("split",
-          when(h < "cd", "train").when(h < "e6", "val").otherwise("test"))
+        .withColumn("split", trainSplitCol)
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("bigint").as("total_chars"),
           min(col("doc_id")).as("min_doc"))
         .orderBy(col("split"))
     },
-    Some("""SELECT split, COUNT(*) AS n_docs,
+    Some(s"""SELECT split, COUNT(*) AS n_docs,
         CAST(SUM(n_chars) AS BIGINT) AS total_chars, MIN(doc_id) AS min_doc
-      FROM (SELECT doc_id, n_chars,
-              CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
-                   WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
-                   ELSE 'test' END AS split
+      FROM (SELECT doc_id, n_chars, $trainSplitSqlExpr AS split
             FROM documents) t
       GROUP BY split ORDER BY split"""))
 
@@ -273,11 +293,7 @@ object TextOps {
       val base = docs(s, dir)
         .filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"), arr.as("arr"))
-      val wc = base
-        .select(col("doc_id"), explode(col("arr")).as("w"))
-        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
-        .groupBy(col("doc_id"))
-        .agg(max(col("n")).as("top_word_n"), sum(col("n")).cast("bigint").as("n_tokens"))
+      val wc = topWordStats(docs(s, dir).filter(length(trim(col("text"))) > 0))
       val bc = base
         .select(col("doc_id"), explode(expr(
           "zip_with(slice(arr, 1, size(arr) - 1), slice(arr, 2, size(arr) - 1)," +

@@ -43,17 +43,16 @@ object CorpusPipeline {
   def corpusSlice(docs: DataFrame, cfg: Config = default): DataFrame =
     docs.filter(pmod(col("doc_id"), lit(cfg.benchMod)) =!= 0)
 
-  /** Stage 1: repetition/length quality filter (t04/t09 signals). */
+  /** Stage 1: repetition/length quality filter — t09's shared
+    * [[TextOps.topWordStats]] as a semi-join filter.
+    */
   def qualityFilter(docs: DataFrame, cfg: Config = default): DataFrame = {
-    val wstat = docs
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("n")).as("mx"), sum(col("n")).cast("bigint").as("nt"))
-      .filter(col("nt") >= cfg.minWords &&
-        col("mx").cast("double") / col("nt").cast("double") <= cfg.maxTopWordFrac)
+    val keep = TextOps.topWordStats(docs)
+      .filter(col("n_tokens") >= cfg.minWords &&
+        col("top_word_n").cast("double") / col("n_tokens").cast("double")
+          <= cfg.maxTopWordFrac)
       .select(col("doc_id"))
-    docs.join(wstat, Seq("doc_id"), "left_semi")
+    docs.join(keep, Seq("doc_id"), "left_semi")
   }
 
   /** Stage 2: exact dedup — keep the smallest doc_id per content hash
@@ -91,12 +90,11 @@ object CorpusPipeline {
     docs.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
-  /** Stage 6: deterministic 80/10/10 split (t06's hash membership). */
-  def withSplit(docs: DataFrame): DataFrame = {
-    val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
-    docs.withColumn("split",
-      when(h < "cd", "train").when(h < "e6", "val").otherwise("test"))
-  }
+  /** Stage 6: deterministic 80/10/10 split — t06's shared
+    * [[TextOps.trainSplitCol]], one definition for gate and pipeline.
+    */
+  def withSplit(docs: DataFrame): DataFrame =
+    docs.withColumn("split", TextOps.trainSplitCol)
 
   /** Full chain: curated corpus with pred_lang + split columns. */
   def curate(docs: DataFrame, cfg: Config = default): DataFrame = {
@@ -143,10 +141,7 @@ object CorpusPipeline {
                    WHERE n >= ${cfg.contamMinShared}),
         clean AS (SELECT * FROM nd
                   WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
-        spl AS (SELECT *,
-                  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
-                       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
-                       ELSE 'test' END AS split
+        spl AS (SELECT *, ${TextOps.trainSplitSqlExpr} AS split
                 FROM ${TextOps.langPredSql("clean")} lp)
       SELECT split, pred_lang, COUNT(*) AS n_docs,
              CAST(SUM(n_chars) AS BIGINT) AS total_chars, MIN(doc_id) AS min_doc

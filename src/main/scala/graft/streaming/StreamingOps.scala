@@ -144,7 +144,13 @@ object StreamingOps {
         .trigger(Trigger.AvailableNow())
         .start()
       try q.processAllAvailable() finally q.stop()
-      s.table(tableName).orderBy(col("user_id"), col("event_type"))
+      // distinct: within-watermark dedup re-emits a key whose state was
+      // purged >horizon ago, so if the source ever splits into multiple
+      // micro-batches the sink may hold such re-emissions — the invariant
+      // the oracle checks is the KEY SET, which distinct() pins without
+      // depending on single-batch file listing
+      s.table(tableName).distinct()
+        .orderBy(col("user_id"), col("event_type"))
     },
     Some("""SELECT DISTINCT user_id, event_type FROM events
       ORDER BY user_id, event_type"""))

@@ -86,6 +86,14 @@ class GraphAlgsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(got == again)
   }
 
+  test("louvain: all-odd vertex ids still converge (parity-termination regression)") {
+    // triangle {1,3,5}: the even-parity sweep has no movable vertex, so a
+    // single-zero-sweep exit would freeze everyone in singletons
+    val got = GraphAlgs.louvainDF(edgeDf(1L -> 3L, 3L -> 5L, 5L -> 1L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(1L), got.toString) // one community, min id 1
+  }
+
   test("louvain: weighted edges dominate community assignment") {
     import spark.implicits._
     // path 1-2-3: heavy edge 1-2 (w=10), light 2-3 (w=1) plus 3-4 (w=10):

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -80,12 +80,27 @@ class MultimodalSpec extends AnyFunSuite with graft.SparkTestSession {
   }
 
   test("resizePlan preserves aspect ratio and caps the long side") {
+    // maxSide = 4 is BELOW most synthetic dims (2..9 x 2..7) so the
+    // scaling arithmetic is actually exercised — with a cap larger than
+    // every input the assertions would pass vacuously
     val m = Multimodal.syntheticMedia(spark, 10)
-    val r = Multimodal.resizePlan(m, maxSide = 100).collect()
+    val r = Multimodal.resizePlan(m, maxSide = 4).collect()
+    var scaledRows = 0
     r.foreach { row =>
-      assert(row.getAs[Int]("target_w") <= 100 + 1)
-      assert(row.getAs[Int]("target_h") <= 100 + 1)
+      val (w, h) = (row.getAs[Row]("meta").getAs[Int]("width"),
+        row.getAs[Row]("meta").getAs[Int]("height"))
+      val (tw, th) = (row.getAs[Int]("target_w"), row.getAs[Int]("target_h"))
+      if (math.max(w, h) <= 4) {
+        assert((tw, th) == ((w, h)), s"no upscale for ${w}x$h")
+      } else {
+        scaledRows += 1
+        assert(math.max(tw, th) == 4, s"long side ${w}x$h -> ${tw}x$th")
+        // ceil rounding keeps the short side within one pixel of exact
+        val exact = math.min(w, h) * 4.0 / math.max(w, h)
+        assert(math.abs(math.min(tw, th) - exact) <= 1.0, s"${w}x$h -> ${tw}x$th")
+      }
     }
+    assert(scaledRows > 0, "fixture must contain rows that actually scale")
   }
 
   test("sampleFrames emits every k-th frame for videos only") {

@@ -34,6 +34,18 @@ class RangeJoinSpec extends AnyFunSuite with SparkTestSession {
     assert(!got.exists(_._1 == 4L))  // key c matches nothing
   }
 
+  test("banded: exact at epoch-nanosecond magnitudes (beyond 2^53)") {
+    // double-division bucketing loses precision here; DIV must not
+    val base = 1660000000000000000L
+    val tol = 600000000000L
+    val l = Seq(("a", 1L, base)).toDF("k", "l_id", "l_t")
+    val r = Seq(("a", 2L, base - tol), ("a", 3L, base - tol - 1L),
+      ("a", 4L, base + tol)).toDF("k", "r_id", "r_t")
+    val got = RangeJoin.banded(l, r, Seq("k"), "l_t", "r_t", tol)
+      .select("r_id").as[Long].collect().toSet
+    assert(got == Set(2L, 4L)) // both exactly-at-tolerance pairs, not the Δ=tol+1
+  }
+
   test("banded: no duplicate pairs from the 3-bucket fan-out") {
     val got = RangeJoin.banded(left, right, Seq("k"), "l_t", "r_t", 100L)
       .select("l_id", "r_id").collect()
