@@ -64,6 +64,22 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("no batch query plans an unbounded product join (global sweep)") {
+    // a01/a03 intentionally crossJoin a broadcast query set (their
+    // documented baseline shape — planned as BroadcastNestedLoopJoin);
+    // graph algorithms execute iterative jobs on build and streaming
+    // queries run a sink, so both are covered by their own suites
+    val skip = Set("a01_knn_cosine", "a03_ivf_knn")
+    val sweep = graft.SparkEntry.registry.filter(q =>
+      !skip(q.name) && !q.name.startsWith("g0") && !q.name.startsWith("st"))
+    assert(sweep.size >= 40, s"sweep unexpectedly small: ${sweep.size}")
+    sweep.foreach { q =>
+      val p = q.run(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"${q.name}:\n${p.take(1500)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"${q.name}:\n${p.take(1500)}")
+    }
+  }
+
   test("partition-layout reads prune partitions (PartitionFilters)") {
     import org.apache.spark.sql.functions._
     // the at-rest layout for time/category-organized corpora at 100 TB:
