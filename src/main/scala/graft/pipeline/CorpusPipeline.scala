@@ -100,8 +100,12 @@ object CorpusPipeline {
   def curate(docs: DataFrame, cfg: Config = default): DataFrame = {
     val corpus = corpusSlice(docs, cfg)
     val bench = benchmarkSlice(docs, cfg)
-    val cleaned = decontaminate(
-      nearDedup(exactDedup(qualityFilter(corpus, cfg)), cfg), bench, cfg)
+    // cache the dedup survivors: they are re-read by the minhash shingle
+    // build (an eager action inside minhashLshPairs), the near-dup
+    // anti-join, AND the decontamination shingles — uncached, Spark
+    // recomputes the quality-filter + window-dedup lineage for each
+    val ed = exactDedup(qualityFilter(corpus, cfg)).cache()
+    val cleaned = decontaminate(nearDedup(ed, cfg), bench, cfg)
     withSplit(TextOps.withLangPred(cleaned))
   }
 
