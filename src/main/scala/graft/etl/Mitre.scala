@@ -2,7 +2,7 @@ package graft.etl
 
 import java.util.regex.Pattern
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,15 +16,40 @@ object Mitre {
 
   /** minimd text-mode markdown cleanup (mitre_json_to_csv.py:62-101):
     * headers → "# x #", <code> → backticks, attack.mitre.org links →
-    * dotted ids, <br> → newline. One-time ingest cleanup (SURVEY F14) —
-    * a UDF with precompiled patterns keeps exact reference semantics
-    * (the link rewrite needs a computed replacement).
+    * dotted ids, <br> → newline. One-time ingest cleanup (SURVEY F14).
+    *
+    * [[minimdCol]] is the production form: a pure `regexp_replace` chain
+    * (whole-stage codegen, engine-portable). The link rewrite's computed
+    * replacement (`group(2).replace("/", ".")`) is expressed by first
+    * fencing the captured id in U+0001 markers, then folding `/` → `.`
+    * inside fences with a bounded regexp cascade (MITRE ids have at most
+    * one sub-path segment; 3 passes is headroom), then dropping fences.
+    * [[minimdText]] stays as the scalar reference implementation the
+    * parity test checks the Column chain against.
     */
+  private val M = "\u0001" // fence marker: cannot occur in STIX JSON text
+  def minimdCol(c: Column): Column = {
+    val headers = regexp_replace(c, "(?:^|\n)#+([^\n]*)", "# $1 #\n")
+    val code = regexp_replace(headers, "(?s)<code>(.*?)</code>", "`$1`")
+    // drop any pre-existing marker char so a hostile payload cannot trick
+    // the slash-folding into touching non-link text
+    val safe = regexp_replace(code, M, "")
+    val marked = regexp_replace(safe,
+      "https://attack\\.mitre\\.org/(techniques|tactics|software)/([^\\])\"]+)",
+      M + "$2" + M)
+    val dotted = (1 to 3).foldLeft(marked)((acc, _) =>
+      regexp_replace(acc, M + "([^" + M + "/]*)/", M + "$1."))
+    regexp_replace(regexp_replace(dotted, M, ""), "<br>", "\n")
+  }
+
   private val headerPat = Pattern.compile("(?:^|\n)#+([^\n]*)")
   private val codePat = Pattern.compile("<code>(.*?)</code>", Pattern.DOTALL)
   private val mtilPat = Pattern.compile(
     "https://attack\\.mitre\\.org/(techniques|tactics|software)/([^\\])\"]+)")
 
+  /** Scalar reference implementation of [[minimdCol]] (exact reference
+    * semantics with precompiled patterns); used by the parity spec only.
+    */
   def minimdText(s: String): String = {
     if (s == null) return null
     var out = headerPat.matcher(s).replaceAll("# $1 #\n")
@@ -78,7 +103,6 @@ object Mitre {
     * posexplode, and kill-chain phases are resolved to tactic names.
     */
   def techniques(spark: SparkSession, objects: DataFrame): DataFrame = {
-    val minimdUdf = udf(minimdText _)
     val ap = liveObjects(objects).filter(col("type") === "attack-pattern")
       .withColumn("mitre_ref", element_at(
         expr("filter(external_references, r -> r.source_name = 'mitre-attack')"), -1))
@@ -114,9 +138,9 @@ object Mitre {
         col("url"),
         concat_ws(", ", col("platforms_arr")).as("platforms"),
         coalesce(col("kill_chain_phases"), lit("")).as("kill chain phases"),
-        minimdUdf(col("description_raw")).as("description"),
+        minimdCol(col("description_raw")).as("description"),
         concat_ws(", ", col("sources_arr")).as("data sources"),
-        minimdUdf(col("detection_raw")).as("detection"))
+        minimdCol(col("detection_raw")).as("detection"))
       .orderBy(col("id"))
   }
 

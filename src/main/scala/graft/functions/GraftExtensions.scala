@@ -56,16 +56,24 @@ object GraftFunctions {
     * round-1 `ExpressionUtils` form did not compile against the shipped
     * Spark 4.1.2 jars.
     */
+  /** Registration must happen NOW, not at analysis: without it the
+    * returned column fails to resolve far from the call site with an
+    * opaque unresolved-function error.
+    */
+  private def ensureRegistered(): Unit =
+    register(SparkSession.getActiveSession.getOrElse(throw new IllegalStateException(
+      "no active SparkSession — call GraftFunctions.register(spark) first")))
+
   def jaccardSim(a: Column, b: Column): Column = {
-    SparkSession.getActiveSession.foreach(register)
+    ensureRegistered()
     call_function("jaccard_sim", a, b)
   }
   def asciiFold(c: Column): Column = {
-    SparkSession.getActiveSession.foreach(register)
+    ensureRegistered()
     call_function("ascii_fold", c)
   }
   def vecDot(a: Column, b: Column): Column = {
-    SparkSession.getActiveSession.foreach(register)
+    ensureRegistered()
     call_function("vec_dot", a, b)
   }
 }

@@ -54,7 +54,10 @@ object GraphQueries {
     "2-hop common-supplier customer pairs (Q4 shape)",
     (s, dir) => {
       val e = edges(s, dir, filtered = false)
-        .filter(col("a") % 200 === 0) // sample customers: custkey % 100 == 0
+        // a = custkey*2, so a % 200 == 0 ⟺ custkey % 100 == 0 — the oracle
+        // filters o_custkey % 100 = 0 BEFORE the encoding; keep in sync if
+        // the 2k/2k+1 node encoding ever changes
+        .filter(col("a") % 200 === 0)
       e.as("x").join(e.as("y"),
           col("x.b") === col("y.b") && col("x.a") < col("y.a"))
         .groupBy(col("x.a").as("cust_a"), col("y.a").as("cust_b"))

@@ -158,15 +158,18 @@ object MediaCodecs {
           buf.getInt; buf.getShort // byte rate, block align
           bits = buf.getShort
           if (fmt != 1 || bits != 16) return None
-          buf.position(buf.position() + (size - 16) + (size & 1))
+          // clamp all skips: the odd-size pad byte may be absent on the
+          // final chunk — walking past limit() must mean "end of chunks",
+          // not an IllegalArgumentException out of a Spark task
+          buf.position(math.min(buf.limit(), buf.position() + (size - 16) + (size & 1)))
         case "data" =>
           val n = size / 2
           samples = new Array[Short](n)
           var i = 0
           while (i < n) { samples(i) = buf.getShort; i += 1 }
-          buf.position(buf.position() + (size & 1))
+          buf.position(math.min(buf.limit(), buf.position() + (size & 1)))
         case _ =>
-          buf.position(buf.position() + size + (size & 1))
+          buf.position(math.min(buf.limit(), buf.position() + size + (size & 1)))
       }
     }
     if (rate <= 0 || channels <= 0 || samples == null) None

@@ -32,6 +32,10 @@ object AsofJoin {
     val leftRest = left.columns.filterNot(keys.contains).toSeq
     require(payload.intersect(left.columns.toSeq).isEmpty,
       s"right payload ${payload.mkString(",")} collides with left columns")
+    val reserved = (left.columns ++ right.columns)
+      .filter(Set("__t", "__tag", "__r").contains)
+    require(reserved.isEmpty,
+      s"asof reserves internal column names ${reserved.mkString(",")}")
 
     val lU = left.select(
       keys.map(col) ++ Seq(col(leftTime).as("__t"), lit(1).as("__tag")) ++

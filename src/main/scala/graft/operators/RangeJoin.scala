@@ -27,6 +27,8 @@ object RangeJoin {
   def banded(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, tolerance: Long): DataFrame = {
     require(tolerance > 0, "tolerance must be positive")
+    require(!(left.columns ++ right.columns).contains("__bucket"),
+      "banded reserves the internal column name __bucket")
     // exact integer floor division: pmod gives floor semantics for
     // negatives, and DIV keeps the arithmetic integral — Column `/` is
     // DOUBLE division, which loses bucket precision for |t| > 2^53

@@ -41,10 +41,22 @@ object ScaleOps {
     * of 8-32 removes practically any single-key hotspot; the cost is a
     * `salts`-fold replication of the (small) right side.
     */
+  /** Join types for which salting is row-identical to the unsalted join.
+    * Right/full outer are rejected: the right side is cross-joined with
+    * the salt range BEFORE the join, so unmatched right rows would be
+    * emitted `salts` times.
+    */
+  private val saltableJoinTypes =
+    Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti")
+
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  saltBy: Column, salts: Int,
                  joinType: String = "inner"): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
+    require(saltableJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin preserves only inner/left/semi/anti semantics, got $joinType")
+    require(!(left.columns ++ right.columns).contains("__salt"),
+      "saltedJoin reserves the internal column name __salt")
     val spark = left.sparkSession
     val l = left.withColumn("__salt", pmod(xxhash64(saltBy), lit(salts)))
     val saltRange = spark.range(salts.toLong)

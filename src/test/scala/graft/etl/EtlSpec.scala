@@ -63,6 +63,30 @@ class EtlSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(desc.contains("\ndone"), desc)         // <br> -> newline
   }
 
+  test("MITRE minimdCol matches the scalar reference implementation (and uses no UDF)") {
+    val cases = Seq(
+      "## Header\nbody with <code>cmd.exe /c</code> inline",
+      "#NoSpace\nthen [link](https://attack.mitre.org/techniques/T1548/002) done<br>end",
+      "start https://attack.mitre.org/tactics/TA0002 and " +
+        "\"https://attack.mitre.org/software/S0154\" mixed",
+      "(https://attack.mitre.org/techniques/T1059/003) twice " +
+        "(https://attack.mitre.org/techniques/T1059)",
+      "<code>multi\nline</code> and ### deep header\ntail",
+      "no markup at all",
+      "")
+    val df = cases.toDF("s").select(col("s"), Mitre.minimdCol(col("s")).as("got"))
+    df.collect().foreach { r =>
+      assert(r.getString(1) == Mitre.minimdText(r.getString(0)), s"input: ${r.getString(0)}")
+    }
+    // null propagates like the scalar form
+    val nullRow = Seq[Option[String]](None).toDF("s")
+      .select(Mitre.minimdCol(col("s"))).collect()
+    assert(nullRow(0).isNullAt(0))
+    // codegen claim: the chain is pure built-ins, no ScalaUDF in the plan
+    val plan = df.queryExecution.analyzed.toString
+    assert(!plan.contains("UDF"), plan)
+  }
+
   // ---- Alerts ----
   private val rawAlerts = Seq(
     ("/alert/aa22-321a", "AA22-321A :", "Ransomware Alert",
