@@ -34,6 +34,24 @@ object DedupOps {
     */
   val shingleDfCap = 1000
 
+  /** Row cap under which a dimension-like side may be broadcast. Above
+    * it the joins here fall back to a shuffle: the guarded sides
+    * (per-document shingle counts, benchmark shingles) grow with the
+    * corpus, and unconditionally broadcasting a corpus-proportional
+    * relation collects billions of rows to the driver at 100 TB — a
+    * guaranteed OOM. 1M rows ≈ tens of MB, comfortably broadcastable.
+    */
+  private[graft] val broadcastRowLimit = 1000000L
+
+  /** Broadcast `df` only when a known row-count bound stays under
+    * `limit`; otherwise leave the join strategy to the planner (shuffle
+    * join). `rows` must come from an already-materialized/cheap count —
+    * never force a scan just to decide the hint.
+    */
+  private[graft] def broadcastIfUnder(df: DataFrame, rows: Long,
+      limit: Long = broadcastRowLimit): DataFrame =
+    if (rows <= limit) broadcast(df) else df
+
   /** Distinct (doc_id, 3-shingle) rows from a `documents`-shaped frame. */
   private[graft] def shingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
@@ -97,11 +115,17 @@ object DedupOps {
     * capped shingles; Jaccard denominator from UNCAPPED per-doc counts.
     */
   private[operators] def ngramJaccardPairs(
-      docs: DataFrame, cap: Int = shingleDfCap, minJac: Double = 0.2): DataFrame = {
+      docs: DataFrame, cap: Int = shingleDfCap, minJac: Double = 0.2,
+      broadcastLimit: Long = broadcastRowLimit): DataFrame = {
     val sh = shingles(docs).cache()
     sh.count() // fill the cache once — the broadcast(cnt) subquery and
                // the pair join otherwise race and both build the shingles
+    // cnt has ≤ one row per document: bound its broadcast by the (cheap,
+    // often metadata-only) document count, NOT unconditionally — at 100 TB
+    // the per-doc table is itself billions of rows
+    val nDocs = docs.count()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    def cntSide(alias: String) = broadcastIfUnder(cnt, nDocs, broadcastLimit).as(alias)
     // stop-shingle pruning: drop shingles hotter than the df cap BEFORE
     // the self-join (skew guard; mirrored in the oracle SQL below).
     // |hot| < |sh|/cap by construction, so it is almost always
@@ -120,8 +144,8 @@ object DedupOps {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
     pairs
-      .join(broadcast(cnt).as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(broadcast(cnt).as("cb"), col("doc_b") === col("cb.doc_id"))
+      .join(cntSide("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cntSide("cb"), col("doc_b") === col("cb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (col("shared").cast("double") /
           (col("ca.n") + col("cb.n") - col("shared"))).as("jac"))
@@ -157,9 +181,11 @@ object DedupOps {
     */
   /** d02 core, parameterized for tests and plan assertions. */
   private[graft] def minhashLshPairs(
-      docs: DataFrame, minJac: Double = 0.3): DataFrame = {
+      docs: DataFrame, minJac: Double = 0.3,
+      broadcastLimit: Long = broadcastRowLimit): DataFrame = {
       val sh = shingles(docs).cache()
       sh.count() // single cache fill (see d01)
+      val nDocs = docs.count() // bounds the per-doc cnt broadcast (see d01)
       def mhCol(i: Int) =
         min(substring(md5(concat(lit(s"${i / 4}:"), col("sh")).cast("binary")),
           1 + 8 * (i % 4), 8)).as(s"mh$i")
@@ -192,8 +218,10 @@ object DedupOps {
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("shared"))
       shared
-        .join(broadcast(cnt).as("ca"), col("doc_a") === col("ca.doc_id"))
-        .join(broadcast(cnt).as("cb"), col("doc_b") === col("cb.doc_id"))
+        .join(broadcastIfUnder(cnt, nDocs, broadcastLimit).as("ca"),
+          col("doc_a") === col("ca.doc_id"))
+        .join(broadcastIfUnder(cnt, nDocs, broadcastLimit).as("cb"),
+          col("doc_b") === col("cb.doc_id"))
         .select(col("doc_a"), col("doc_b"),
           (col("shared").cast("double") /
             (col("ca.n") + col("cb.n") - col("shared"))).as("jac"))
@@ -335,19 +363,28 @@ object DedupOps {
     * shuffled; the only shuffle is the final (doc, bench) pair count,
     * whose cardinality is bounded by matches, not corpus size.
     */
+  /** d05 core: the benchmark side is broadcast ONLY under the size
+    * contract (an eval suite is KBs–MBs); a corpus-proportional
+    * "benchmark" falls back to a shuffle join instead of shipping ~1 TB
+    * of shingles to every executor. The bench shingles are cached so the
+    * contract count does not recompute them.
+    */
+  private[graft] def contaminationPairs(sh: DataFrame, benchMod: Long = 97L,
+      broadcastLimit: Long = broadcastRowLimit): DataFrame = {
+    val bench = sh.filter(pmod(col("doc_id"), lit(benchMod)) === 0)
+      .withColumnRenamed("doc_id", "bench_id").cache()
+    val nBench = bench.count() // fills the cache AND enforces the contract
+    val corp = sh.filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)
+    corp.join(broadcastIfUnder(bench, nBench, broadcastLimit), Seq("sh"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
   val d05 = QueryDef(
     "d05_contamination",
     "benchmark-contamination: shared 3-shingle counts vs held-out set",
-    (s, dir) => {
-      val sh = shingleDf(s, dir)
-      val bench = sh.filter(pmod(col("doc_id"), lit(97L)) === 0)
-        .withColumnRenamed("doc_id", "bench_id")
-      val corp = sh.filter(pmod(col("doc_id"), lit(97L)) =!= 0)
-      corp.join(broadcast(bench), Seq("sh"))
-        .groupBy(col("doc_id"), col("bench_id"))
-        .agg(count(lit(1)).as("n_shared"))
-        .orderBy(col("doc_id"), col("bench_id"))
-    },
+    (s, dir) => contaminationPairs(shingleDf(s, dir)),
     Some(s"""WITH $shingleSql,
         bench AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 97 = 0),
         corp AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0)

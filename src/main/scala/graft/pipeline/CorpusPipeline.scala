@@ -76,13 +76,19 @@ object CorpusPipeline {
 
   /** Stage 4: decontamination — drop any doc sharing >= contamMinShared
     * 3-shingles with a single benchmark doc (d05's pair counting as a
-    * filter). The benchmark side is broadcast: eval suites are tiny.
+    * filter). The benchmark side is broadcast only while it honors the
+    * eval-suite size contract (`broadcastLimit` shingle rows); above that
+    * the join falls back to a shuffle — a corpus-sized "benchmark" must
+    * not be shipped to every executor.
     */
   def decontaminate(docs: DataFrame, bench: DataFrame,
-      cfg: Config = default): DataFrame = {
+      cfg: Config = default,
+      broadcastLimit: Long = DedupOps.broadcastRowLimit): DataFrame = {
+    val bsh = DedupOps.shingles(bench)
+      .withColumnRenamed("doc_id", "bench_id").cache()
+    val nBench = bsh.count() // fills the cache AND enforces the contract
     val contaminated = DedupOps.shingles(docs)
-      .join(broadcast(DedupOps.shingles(bench)
-        .withColumnRenamed("doc_id", "bench_id")), Seq("sh"))
+      .join(DedupOps.broadcastIfUnder(bsh, nBench, broadcastLimit), Seq("sh"))
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= cfg.contamMinShared)

@@ -43,6 +43,22 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(clean.select("doc_id").as[Long].collect().toSet == Set(1L, 7L))
   }
 
+  test("decontaminate size contract: over-limit benchmark falls back to shuffle, same rows") {
+    // plain filtered input: its plan carries no hints of its own, so the
+    // assertions below see only decontaminate's join strategy
+    val corpus = CorpusPipeline.corpusSlice(docs)
+    val bench = CorpusPipeline.benchmarkSlice(docs)
+    val hinted = CorpusPipeline.decontaminate(corpus, bench)
+    val fallback = CorpusPipeline.decontaminate(corpus, bench, broadcastLimit = 0L)
+    // plan contract: under the limit the bench side carries a broadcast
+    // hint; at limit 0 it must not (the planner is free to shuffle)
+    assert(hinted.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"))
+    assert(!fallback.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"))
+    // result contract: identical either way
+    assert(fallback.select("doc_id").as[Long].collect().toSet ==
+      hinted.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("curate end-to-end labels language and split deterministically") {
     val out = CorpusPipeline.curate(docs)
       .select("doc_id", "pred_lang", "split").collect()
