@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => VecDotRewrite)
+    ext.injectOptimizerRule(_ => BandJoinRewrite)
   }
 }
 
@@ -44,9 +45,11 @@ object GraftFunctions {
       spark.sessionState.functionRegistry
         .registerFunction(ident, info, builder)
     }
-    if (!spark.experimental.extraOptimizations.contains(VecDotRewrite))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ VecDotRewrite
+    Seq(VecDotRewrite, BandJoinRewrite).foreach { rule =>
+      if (!spark.experimental.extraOptimizations.contains(rule))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ rule
+    }
   }
 
   /** Column DSL via the public `call_function` (Spark ≥3.5): emits an

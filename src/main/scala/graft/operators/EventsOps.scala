@@ -233,5 +233,41 @@ object EventsOps {
         AND abs(c_ms - p_ms) <= 600000
       ORDER BY c.user_id, click_id, purchase_id"""))
 
-  val all: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, e06, e07, e08)
+  /** The declarative twin of e08: the user writes the natural keyless
+    * `abs(l - r) <= tol` join and [[graft.functions.BandJoinRewrite]]
+    * (injected by GraftFunctions.register) turns it into the bucketed
+    * equi-join plan automatically — Spark's own planner would pick a
+    * BroadcastNestedLoopJoin, the O(|L|·|R|) scale-killer (PlanSpec's
+    * product-join sweep covers this gate, so the rewrite firing is load-
+    * bearing, not decorative). Clicks are sampled so the keyless pair
+    * count stays output-bounded at any SF.
+    */
+  val e09 = QueryDef(
+    "e09_band_join_declarative",
+    "keyless abs(l-r)<=tol join auto-rewritten to a bucketed equi-join",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val ev = events(s, dir)
+        .select(col("event_id"), tsMs.as("ms"), col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click" &&
+          pmod(col("event_id"), lit(17L)) === 0)
+        .select(col("event_id").as("click_id"), col("ms").as("c_ms"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ms").as("p_ms"))
+      clicks.join(purchases, abs(col("c_ms") - col("p_ms")) <= lit(600000L))
+        .select(col("click_id"), col("purchase_id"),
+          (col("c_ms") - col("p_ms")).as("delta_ms"))
+        .orderBy(col("click_id"), col("purchase_id"))
+    },
+    Some("""WITH ev AS (SELECT event_id,
+              epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_type FROM events),
+        c AS (SELECT event_id AS click_id, ms AS c_ms FROM ev
+              WHERE event_type = 'click' AND event_id % 17 = 0),
+        p AS (SELECT event_id AS purchase_id, ms AS p_ms FROM ev
+              WHERE event_type = 'purchase')
+      SELECT click_id, purchase_id, c_ms - p_ms AS delta_ms
+      FROM c JOIN p ON abs(c_ms - p_ms) <= 600000
+      ORDER BY click_id, purchase_id"""))
+
+  val all: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09)
 }

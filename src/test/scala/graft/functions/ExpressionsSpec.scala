@@ -94,6 +94,54 @@ class ExpressionsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(keep.collect().head.getDouble(0) == 3.0)
   }
 
+  test("BandJoinRewrite: keyless |l-r|<=tol join plans as a bucketed equi-join") {
+    GraftFunctions.register(spark)
+    val l = spark.range(200).select(col("id").as("lid"), (col("id") * 37 % 500).as("lt"))
+    val r = spark.range(200).select(col("id").as("rid"), (col("id") * 91 % 500).as("rt"))
+    val j = l.join(r, abs(col("lt") - col("rt")) <= lit(5L))
+    val opt = j.queryExecution.optimizedPlan.toString
+    assert(opt.contains("__band_bucket"), opt)
+    val phys = j.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"), phys)
+    // exact result equivalence vs the brute-force product
+    val got = j.select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val want = (for {
+      a <- 0L until 200L; b <- 0L until 200L
+      if math.abs(a * 37 % 500 - b * 91 % 500) <= 5
+    } yield (a, b)).toSet
+    assert(got == want)
+    // guard: a join that already HAS an equi key keeps its shape (rule
+    // must not fan out the left side for nothing)
+    val keyed = l.join(r, col("lid") === col("rid") &&
+      abs(col("lt") - col("rt")) <= lit(5L))
+    assert(!keyed.queryExecution.optimizedPlan.toString.contains("__band_bucket"))
+  }
+
+  test("BandJoinRewrite: equivalence on seeded random inputs incl. negatives and nulls") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    (0 until 6).foreach { i =>
+      val rnd = new scala.util.Random(1000L + i)
+      def gen(base: Long) = List.tabulate(rnd.nextInt(60))(k =>
+        (base + k, if (rnd.nextInt(10) == 0) None
+                   else Some((rnd.nextInt(801) - 400).toLong)))
+      val ls = gen(0L); val rs = gen(10000L)
+      val tol = Seq(1L, 9L, 150L)(rnd.nextInt(3))
+      val j = ls.toDF("lid", "lt").join(rs.toDF("rid", "rt"),
+          abs(col("lt") - col("rt")) <= lit(tol))
+        .select("lid", "rid")
+      assert(j.queryExecution.optimizedPlan.toString.contains("__band_bucket"),
+        s"rewrite did not fire on case $i")
+      val got = j.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val want = (for {
+        (lid, lt) <- ls; (rid, rt) <- rs
+        l <- lt; r <- rt // null times never match, as in the naive form
+        if math.abs(l - r) <= tol
+      } yield (lid, rid)).toSet
+      assert(got == want, s"case $i tol=$tol |L|=${ls.size} |R|=${rs.size}")
+    }
+  }
+
   test("vec_dot: inside whole-stage codegen") {
     val df = spark.range(3)
       .selectExpr("array(cast(id AS double), 2D) AS a", "array(3D, cast(id AS double)) AS b")
