@@ -14,6 +14,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+    // local-dev subset (comma-separated name prefixes); driver runs all
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    def selected(name: String): Boolean = only.forall(_.exists(name.startsWith))
     val spark = Tables.requiredConf.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -39,11 +42,11 @@ object Bench {
 
     // untimed warmup: JIT + codegen caches, tiny scale
     if (warmupDir.nonEmpty && new java.io.File(warmupDir).isDirectory)
-      SparkEntry.queries.foreach { case (n, fn) => runOne(n, fn, warmupDir) }
+      SparkEntry.queries.filter(kv => selected(kv._1))
+        .foreach { case (n, fn) => runOne(n, fn, warmupDir) }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> runOne(name, fn, sfDir)
-    }
+    val results = SparkEntry.queries.filter(kv => selected(kv._1))
+      .map { case (name, fn) => name -> runOne(name, fn, sfDir) }
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, (_, Some(e))) =>

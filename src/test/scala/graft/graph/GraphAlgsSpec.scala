@@ -47,6 +47,33 @@ class GraphAlgsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(math.abs(got(2L) - 0.575) < 1e-12)
   }
 
+  test("articleRankGraphX == articleRankDF to float-summation noise (incl. sinks)") {
+    // star (undirected), a directed chain WITH a sink (4 has no out-edges),
+    // and a denser mixed graph — the three degree regimes
+    val graphs = Seq(
+      ("star", edgeDf(0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 4L), true),
+      ("chain+sink", edgeDf(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 4L), false),
+      ("mixed", edgeDf(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 1L, 4L -> 1L,
+        4L -> 2L, 5L -> 4L, 1L -> 5L), false))
+    graphs.foreach { case (name, e, und) =>
+      val g = GraphAlgs.buildGraph(e, "src", "dst", undirected = und)
+      val viaGraphX = GraphAlgs.articleRankGraphX(g, iters = 20).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val viaDF = GraphAlgs.articleRank(
+        GraphAlgs.buildGraph(e, "src", "dst", undirected = und),
+        iters = 20).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(viaGraphX.keySet == viaDF.keySet, name)
+      viaDF.foreach { case (k, v) =>
+        assert(math.abs(viaGraphX(k) - v) < 1e-12, s"$name node $k: ${viaGraphX(k)} vs $v")
+      }
+    }
+    // and the hand-computed 2-node-cycle value holds on the GraphX path too
+    val cyc = GraphAlgs.articleRankGraphX(
+      GraphAlgs.buildGraph(edgeDf(1L -> 2L, 2L -> 1L), "src", "dst"), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(cyc(1L) - 0.575) < 1e-12 && math.abs(cyc(2L) - 0.575) < 1e-12)
+  }
+
   test("labelPropagation: two triangles joined by a bridge split into two communities") {
     val g = GraphAlgs.buildGraph(
       edgeDf(1L -> 2L, 2L -> 3L, 3L -> 1L, // triangle A
