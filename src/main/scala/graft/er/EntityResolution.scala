@@ -143,6 +143,48 @@ object EntityResolution {
       .groupBy(col("alert_id"), col("best_label"), col("type"))
       .agg(count(lit(1)).as("weight"))
 
+  /** A9 (data_integration.ipynb c42:9-13): the reference's elbow/threshold
+    * profiling loop — cluster counts per (threshold, type), used to pick
+    * the per-type thresholds (c44 range 0.55–0.79). Blocking + scoring run
+    * ONCE (cached); each threshold then costs one connected-components
+    * pass over the (shrinking) thresholded edge set. Cluster count per
+    * type = components among edge-connected labels + untouched singletons;
+    * types never cross-block (blockPairs keys on type), so components are
+    * type-pure by construction.
+    *
+    * A profiling helper, not a hot-path operator: the per-threshold CC
+    * runs are sequential driver-submitted jobs, each a bounded shuffle.
+    */
+  def elbowSweep(labels: DataFrame,
+                 thresholds: Seq[Double] = (6 to 17).map(_ * 0.05)): DataFrame = {
+    val spark = labels.sparkSession
+    import spark.implicits._
+    val scored = scorePairs(blockPairs(labels), labels)
+      .select(col("id_a"), col("id_b"), col("type"), col("score")).cache()
+    val perType = labels.groupBy(col("type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = thresholds.sorted.flatMap { t =>
+      val edges = scored.filter(col("score") >= t)
+      val stats =
+        if (edges.isEmpty) Map.empty[String, (Long, Long)]
+        else {
+          val comp = GraphAlgs.connectedComponents(
+            GraphAlgs.buildGraph(edges.select(col("id_a"), col("id_b")), "id_a", "id_b"))
+          // re-attach type: ids are global, each appears under one type
+          comp.join(labels.select(col("id").as("node_id"), col("type")), Seq("node_id"))
+            .groupBy(col("type"))
+            .agg(count(lit(1)).as("v"), countDistinct(col("component")).as("c"))
+            .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        }
+      perType.toSeq.map { case (tp, n) =>
+        val (v, c) = stats.getOrElse(tp, (0L, 0L))
+        (t, tp, c + (n - v))
+      }
+    }
+    rows.toDF("threshold", "type", "n_clusters")
+      .orderBy(col("type"), col("threshold"))
+  }
+
   /** Full pipeline: labels + alert links -> (clusters, best, weights). */
   def resolve(ner: DataFrame, thresholds: Map[String, Double] = Map(),
               defaultThreshold: Double = 0.6): (DataFrame, DataFrame, DataFrame) = {

@@ -106,25 +106,28 @@ object GraphQueries {
     * the top-50 cut is identical in both engines even at rank ties.
     */
   private def articleRankSql(iters: Int, damping: Double): String = {
+    // AS MATERIALIZED: without it DuckDB inlines the single-use CTE chain,
+    // replaying the orders⋈lineitem edge build inside every superstep —
+    // measured 195 s at sf0.01 vs ~1 s materialized
     val steps = (1 to iters).map { k =>
-      s"""r$k AS (SELECT v.node_id, ${1.0 - damping} + $damping * COALESCE(m.msg, 0.0) AS r
+      s"""r$k AS MATERIALIZED (SELECT v.node_id, ${1.0 - damping} + $damping * COALESCE(m.msg, 0.0) AS r
         FROM verts v LEFT JOIN (
           SELECT e.dst, SUM(r.r / e.denom) AS msg
           FROM ewd e JOIN r${k - 1} r ON e.src = r.node_id
           GROUP BY e.dst) m ON v.node_id = m.dst)"""
     }.mkString(",\n      ")
-    s"""WITH edges AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+    s"""WITH edges AS MATERIALIZED (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-      und AS (SELECT a AS src, b AS dst FROM edges
+      und AS MATERIALIZED (SELECT a AS src, b AS dst FROM edges
               UNION ALL SELECT b AS src, a AS dst FROM edges),
-      verts AS (SELECT DISTINCT src AS node_id FROM und),
-      deg AS (SELECT src AS node_id, CAST(COUNT(*) AS DOUBLE) AS d
+      verts AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM und),
+      deg AS MATERIALIZED (SELECT src AS node_id, CAST(COUNT(*) AS DOUBLE) AS d
               FROM und GROUP BY 1),
-      ewd AS (SELECT u.src, u.dst,
+      ewd AS MATERIALIZED (SELECT u.src, u.dst,
                 d.d + (SELECT CAST(COUNT(*) AS DOUBLE) FROM und)
                         / (SELECT COUNT(*) FROM verts) AS denom
               FROM und u JOIN deg d ON u.src = d.node_id),
-      r0 AS (SELECT node_id, 1.0 AS r FROM verts),
+      r0 AS MATERIALIZED (SELECT node_id, 1.0 AS r FROM verts),
       $steps
       SELECT node_id, round(r, 6) AS score FROM r$iters
       ORDER BY score DESC, node_id LIMIT 50"""
@@ -155,25 +158,138 @@ object GraphQueries {
     },
     Some(articleRankSql(iters = 20, damping = 0.85)))
 
-  /** Q7 (gds.louvain.write): real modularity-greedy Louvain community
-    * histogram (deterministic — parity-alternating moves, min-member
-    * relabel; math pinned by GraphAlgsSpec clique fixtures). The LPA
-    * variant remains in [[GraphAlgs.labelPropagation]] as the cheaper
-    * fallback.
+  /** Q7 (gds.louvain.write): real modularity-greedy Louvain (deterministic
+    * — parity-alternating moves, min-member relabel; math pinned by
+    * GraphAlgsSpec clique fixtures). The community HISTOGRAM a user would
+    * read is [[louvainHistogram]]; the gate emits the invariant row below
+    * because no SQL engine can replay the greedy move sequence.
+    *
+    * Invariant-gate design (VERDICT r2 task 1): the Spark side measures,
+    * the oracle independently recomputes everything SQL can reach —
+    *   - n_nodes / sym_edges (m2) / n_components: exact integers, both
+    *     engines compute from the raw tables (components via the same
+    *     recursive min-label CTE as g03's oracle);
+    *   - cc_mod_num: the exact-integer numerator of the CC partition's
+    *     modularity, Q·m2² = within·m2 − Σc degc² (within/degsq/m2 are
+    *     edge & degree counts — int64 end to end, no float anywhere);
+    *     Spark computes `within` by actually joining the assignment (it
+    *     equals m2 iff CC is right), the oracle derives degsq from its
+    *     own CTE components;
+    *   - valid_partition / refines_components / louvain_q_floor /
+    *     communities_ge_components: Louvain-specific invariants the
+    *     oracle pins as literal TRUE — the assignment is a bijection over
+    *     the vertex set, every community lies inside ONE connected
+    *     component (greedy moves must never cross an edgeless boundary),
+    *     its modularity is ≥ 95 % of the CC partition's (compared in
+    *     exact integer form, no float — measured 98.4 % at sf0.01 /
+    *     97.4 % at sf0.1; Louvain legitimately stops at local optima
+    *     slightly below the coarse CC partition on this sparse graph),
+    *     and refining components can only increase the community count.
+    *     A broken Louvain (lost nodes, cross-component merges,
+    *     degenerate singleton collapse) flips one of these and
+    *     hash-fails the gate.
     */
   val g05 = QueryDef(
     "g05_communities",
-    "Louvain community sizes on the filtered graph (Q7)",
+    "Louvain partition invariants + CC-modularity cross-check (Q7)",
     (s, dir) => {
+      import s.implicits._
       val e = edges(s, dir, filtered = true)
         .select(col("a").as("src"), col("b").as("dst"))
+      // shared representation with the oracle: symmetrized distinct edges
+      val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().cache()
+      val m2 = und.count() // = 2m
+      val deg = und.groupBy(col("src").as("node_id"))
+        .agg(count(lit(1)).as("deg")).cache()
+      val nNodes = deg.count()
+      // vertex-sized sides: broadcast only below the same limit the
+      // iterative algorithms use (at 100 TB these fall back to shuffles)
+      def small(df: DataFrame): DataFrame =
+        if (nNodes < 1000000L) broadcast(df) else df
+
       // 2 levels / 4 sweeps: the gate graph converges within these
       // budgets; each extra sweep is pure fixed overhead at gate SF
-      GraphAlgs.louvainDF(e, maxLevels = 2, maxSweeps = 4)
-        .groupBy(col("community")).agg(count(lit(1)).as("size"))
-        .orderBy(col("size").desc, col("community"))
+      val assign = GraphAlgs.louvainDF(e, maxLevels = 2, maxSweeps = 4)
+        .localCheckpoint(true)
+      val cc = GraphAlgs
+        .connectedComponents(GraphAlgs.buildGraph(e, "src", "dst"))
+        .localCheckpoint(true)
+
+      /** (within, Σc degc²) for a (node_id, comm) partition — the exact
+        * integer pieces of Q = (within·m2 − degsq) / m2².
+        */
+      def pieces(part: DataFrame): (Long, Long) = {
+        val p = part.toDF("node_id", "comm")
+        val within = und
+          .join(small(p.select(col("node_id").as("src"), col("comm").as("cs"))), Seq("src"))
+          .join(small(p.select(col("node_id").as("dst"), col("comm").as("cd"))), Seq("dst"))
+          .filter(col("cs") === col("cd")).count()
+        val degsq = deg.join(small(p), Seq("node_id"))
+          .groupBy(col("comm")).agg(sum(col("deg")).as("dc"))
+          .agg(sum(col("dc") * col("dc"))).head.getLong(0)
+        (within, degsq)
+      }
+      val (wl, dl) = pieces(assign)
+      val (wc, dc) = pieces(cc)
+      val nComms = assign.select(col("community")).distinct().count()
+      val nComps = cc.select(col("component")).distinct().count()
+      val valid = assign.count() == nNodes &&
+        assign.select(col("node_id")).distinct().count() == nNodes &&
+        assign.join(deg, Seq("node_id"), "left_anti").isEmpty
+      val refines = assign.join(small(cc), Seq("node_id"))
+        .groupBy(col("community"))
+        .agg(countDistinct(col("component")).as("nc"))
+        .agg(max(col("nc"))).head.getLong(0) <= 1L
+      Seq((wc * m2 - dc, nComms >= nComps,
+        (wl * m2 - dl) * 100L >= (wc * m2 - dc) * 95L,
+        nComps, nNodes, refines, m2, valid))
+        .toDF("cc_mod_num", "communities_ge_components", "louvain_q_floor",
+          "n_components", "n_nodes", "refines_components", "sym_edges",
+          "valid_partition")
     },
-    None)
+    Some("""WITH RECURSIVE
+      edges AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                WHERE l_quantity = 1 AND month(l_shipdate) = 1),
+      und AS (SELECT a AS src, b AS dst FROM edges
+              UNION SELECT b AS src, a AS dst FROM edges),
+      deg AS (SELECT src, COUNT(*) AS d FROM und GROUP BY src),
+      walk(node, lbl) AS (
+        SELECT src, src AS lbl FROM deg
+        UNION
+        SELECT u.dst AS node, w.lbl FROM walk w JOIN und u ON u.src = w.node
+        WHERE w.lbl < u.dst),
+      comp AS (SELECT node, MIN(lbl) AS component FROM walk GROUP BY node),
+      degc AS (SELECT c.component, SUM(d.d) AS dc
+               FROM comp c JOIN deg d ON c.node = d.src GROUP BY 1),
+      stats AS (SELECT
+        (SELECT COUNT(*) FROM und) AS m2,
+        (SELECT COUNT(*) FROM deg) AS n_nodes,
+        (SELECT COUNT(DISTINCT component) FROM comp) AS n_components,
+        (SELECT SUM(dc*dc) FROM degc) AS degsq)
+      SELECT
+        CAST(m2*m2 - degsq AS BIGINT) AS cc_mod_num,
+        TRUE AS communities_ge_components,
+        TRUE AS louvain_q_floor,
+        n_components, n_nodes,
+        TRUE AS refines_components,
+        m2 AS sym_edges,
+        TRUE AS valid_partition
+      FROM stats"""))
+
+  /** The user-facing Q7 result shape — Louvain community sizes (what
+    * gds.louvain.write + a size histogram reads as). Math pinned by
+    * GraphAlgsSpec clique fixtures; the g05 gate cross-checks the same
+    * assignment's global invariants against DuckDB.
+    */
+  def louvainHistogram(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir, filtered = true)
+      .select(col("a").as("src"), col("b").as("dst"))
+    GraphAlgs.louvainDF(e, maxLevels = 2, maxSweeps = 4)
+      .groupBy(col("community")).agg(count(lit(1)).as("size"))
+      .orderBy(col("size").desc, col("community"))
+  }
 
   val all: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05)
 }

@@ -77,4 +77,34 @@ class ErEvalSpec extends AnyFunSuite with graft.SparkTestSession {
       assert(separation >= sf, f"$tpe distinct separation $separation%.3f < floor $sf")
     }
   }
+
+  test("A9 elbow sweep: monotone in threshold and consistent with cluster()") {
+    import spark.implicits._
+    val tpe = "ORG"
+    val (matches, distincts) = readPairs(tpe)
+    val labels: DataFrame = (matches ++ distincts)
+      .flatMap { case (a, b) => Seq(a, b) }.distinct
+      .map { case (id, label) => (id, label, tpe) }
+      .toDF("id", "label", "type")
+    // c42's profiling range: 0.30–0.85 step 0.05
+    val sweep = EntityResolution.elbowSweep(labels, (6 to 17).map(_ * 0.05))
+      .collect().map(r => (r.getDouble(0), r.getLong(2))).sortBy(_._1)
+    info(sweep.map { case (t, c) => f"$t%.2f->$c" }.mkString(" "))
+    // raising the threshold can only drop edges, so clusters never shrink
+    sweep.sliding(2).foreach {
+      case Array((t1, c1), (t2, c2)) =>
+        assert(c1 <= c2, f"clusters shrank $c1 -> $c2 between t=$t1%.2f and $t2%.2f")
+      case _ =>
+    }
+    val n = labels.count()
+    assert(sweep.head._2 >= 1 && sweep.last._2 <= n)
+    assert(sweep.head._2 < sweep.last._2,
+      "sweep is flat — thresholding isn't separating anything on the fixture")
+    // the c44 ORG operating point (0.60) reproduces cluster()'s count
+    val atC44 = sweep.find(p => math.abs(p._1 - 0.6) < 1e-9).get._2
+    val direct = EntityResolution.cluster(labels, Map(tpe -> 0.6), 0.6)
+      .select(col("cluster_id")).distinct().count()
+    assert(atC44 == direct,
+      s"sweep count $atC44 at 0.60 != cluster() count $direct")
+  }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.er.EntityResolution
 import graft.sim.SimilarityJoin
 import graft.sources.Csv
 
@@ -75,6 +76,66 @@ class GoldenParitySpec extends AnyFunSuite with graft.SparkTestSession {
       .join(cpes, Seq("cpe"), "left_semi")
     assert(goldRestricted.count() == 169)
     assertRowSetEqual(ours, goldRestricted)
+  }
+
+  /** alert_ner_label_weights is the one committed output with no full
+    * regeneration path (the dedupe model's cluster assignments were never
+    * committed — header comment). Partial parity instead: (a) the table's
+    * own shape/typing/referential invariants, and (b) feed its
+    * (alert_id, label, type) rows back through OUR ER chain
+    * (EntityResolution.resolve at the c44 thresholds) and assert what
+    * re-clustering must preserve — per-(alert, type) mention mass is
+    * conserved (each golden row is one mention; merging labels moves mass
+    * between best_labels but never across alerts or types), and the
+    * high-mass heads stay recognizable. Measured on the committed data:
+    * the golden top-20 ORG is two near-dup families — seven "microsoft…"
+    * variants at weight 161 and thirteen "…security agency/centre"
+    * variants at 126 — which our ER collapses, so exactly 10/20 golden
+    * heads survive as their own best_label (deterministic); the merged
+    * "microsoft" head absorbs its family's mass. Both facts are pinned.
+    */
+  test("golden(partial): alert_ner_label_weights invariants + ER re-resolution conservation") {
+    val gold = golden("alert_ner_label_weights").cache()
+    assert(gold.count() == 15552)
+    assert(gold.columns.toSeq ==
+      Seq("alert_id", "best_label", "type", "weight"))
+    // committed table: every (alert, label, type) appears once, weight 1
+    assert(gold.filter(col("weight") =!= 1).isEmpty)
+    assert(gold.select(col("type")).distinct().collect().map(_.getString(0)).toSet ==
+      Set("ORG", "GPE", "PERSON", "PRODUCT"))
+    // referential integrity against the committed alert universe
+    val alertIds = golden("alert_nodes").select(col("alert_id"))
+    assert(gold.join(alertIds, Seq("alert_id"), "left_anti").isEmpty)
+
+    // re-resolve the golden's own labels with our deterministic ER chain
+    val ner = gold.select(col("alert_id"),
+      xxhash64(col("best_label"), col("type")).as("id"),
+      col("best_label").as("label"), col("type"))
+    val thresholds =
+      Map("ORG" -> 0.6, "GPE" -> 0.55, "PERSON" -> 0.79, "PRODUCT" -> 0.64)
+    val (_, _, weights) = EntityResolution.resolve(ner, thresholds)
+    // conservation: mention mass per (alert, type) is invariant under
+    // re-clustering
+    val before = gold.groupBy(col("alert_id"), col("type"))
+      .agg(sum(col("weight")).as("w"))
+    val after = weights.groupBy(col("alert_id"), col("type"))
+      .agg(sum(col("weight")).as("w"))
+    assertRowSetEqual(after, before)
+    // head stability: top-20 ORG labels by total mass
+    def top20(df: DataFrame): Set[String] = df
+      .filter(col("type") === "ORG")
+      .groupBy(col("best_label")).agg(sum(col("weight")).as("w"))
+      .orderBy(col("w").desc, col("best_label"))
+      .limit(20).collect().map(_.getString(0)).toSet
+    val overlap = (top20(weights) & top20(gold)).size
+    assert(overlap >= 10, s"top-20 ORG overlap $overlap < 10")
+    // the microsoft family (7 golden variants, weight 161 each) must
+    // consolidate onto the plain "microsoft" head with at least the
+    // family's per-variant mass
+    val msMass = weights.filter(col("type") === "ORG" &&
+        col("best_label") === "microsoft")
+      .agg(sum(col("weight"))).head.getLong(0)
+    assert(msMass >= 161L, s"merged microsoft mass $msMass < 161")
   }
 
   test("golden: CSV read + date parse reproduces alert_nodes (286 rows)") {
