@@ -176,6 +176,218 @@ object MediaCodecs {
     else Some(WavAudio(rate, channels, samples))
   }
 
+  // ---- AVI (RIFF 'AVI ') video: MJPEG ('00dc') and raw RGB24 DIB
+  // ('00db') frames ----
+  //
+  // The same chunk-walking discipline as decodeWav. MJPEG frames decode
+  // through the JDK's built-in ImageIO JPEG reader (java.desktop ships
+  // with the JVM — a real codec, no external packages); raw-DIB frames
+  // are unpacked by hand (bottom-up, BGR, rows padded to 4 bytes, per the
+  // public BITMAPINFOHEADER layout). Structure per the public AVI RIFF
+  // form: RIFF('AVI ' LIST('hdrl' avih ...) LIST('movi' NNdc/NNdb...)).
+
+  final case class AviVideo(width: Int, height: Int,
+                            microSecPerFrame: Int,
+                            frames: Vector[PpmImage]) {
+    def fps: Float =
+      if (microSecPerFrame <= 0) 0f else 1e6f / microSecPerFrame
+  }
+
+  /** JPEG bytes -> RGB pixels via the JDK's ImageIO (None on undecodable
+    * input). Executor-side; headless-safe (no window toolkit touched).
+    */
+  def decodeJpeg(bytes: Array[Byte]): Option[PpmImage] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val o = (y * w + x) * 3
+            rgb(o) = ((p >> 16) & 0xff).toByte
+            rgb(o + 1) = ((p >> 8) & 0xff).toByte
+            rgb(o + 2) = (p & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Some(PpmImage(w, h, rgb))
+      }
+    } catch { case _: Exception => None }
+
+  /** Raw RGB24 DIB frame (bottom-up, BGR, 4-byte-aligned rows) -> pixels. */
+  private def decodeDibFrame(bytes: Array[Byte], w: Int, h: Int): Option[PpmImage] = {
+    val stride = (w * 3 + 3) & ~3
+    if (bytes.length < stride * h) return None
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = (h - 1 - y) * stride // bottom-up
+      var x = 0
+      while (x < w) {
+        val s = srcRow + x * 3
+        val d = (y * w + x) * 3
+        rgb(d) = bytes(s + 2)     // B,G,R -> R,G,B
+        rgb(d + 1) = bytes(s + 1)
+        rgb(d + 2) = bytes(s)
+        x += 1
+      }
+      y += 1
+    }
+    Some(PpmImage(w, h, rgb))
+  }
+
+  /** None when the payload is not a parseable AVI. Frames that fail to
+    * decode are skipped (a video with zero decodable frames is None).
+    */
+  def decodeAvi(bytes: Array[Byte]): Option[AviVideo] = {
+    if (bytes.length < 12) return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val t = new Array[Byte](4); buf.get(t); new String(t, StandardCharsets.US_ASCII)
+    }
+    if (tag() != "RIFF") return None
+    buf.getInt // riff size
+    if (tag() != "AVI ") return None
+    var w = -1; var h = -1; var uspf = -1
+    val frames = Vector.newBuilder[PpmImage]
+    def walkList(end: Int): Unit = {
+      while (buf.position() + 8 <= end) {
+        val t = tag(); val size = buf.getInt
+        if (size < 0 || size > end - buf.position()) return
+        val next = math.min(end, buf.position() + size + (size & 1))
+        t match {
+          case "LIST" =>
+            val kind = tag() // consumes 4 of the size
+            if (kind == "hdrl" || kind == "movi" || kind == "strl")
+              walkList(buf.position() + size - 4)
+            buf.position(next)
+          case "avih" =>
+            if (size < 40) return
+            uspf = buf.getInt
+            buf.getInt; buf.getInt; buf.getInt; buf.getInt; buf.getInt
+            buf.getInt; buf.getInt // frames..bufSize
+            w = buf.getInt; h = buf.getInt
+            buf.position(next)
+          case fcc if fcc.length == 4 && fcc.substring(2) == "dc" =>
+            val payload = new Array[Byte](size); buf.get(payload)
+            decodeJpeg(payload).foreach(frames += _)
+            buf.position(next)
+          case fcc if fcc.length == 4 && fcc.substring(2) == "db" =>
+            val payload = new Array[Byte](size); buf.get(payload)
+            if (w > 0 && h > 0) decodeDibFrame(payload, w, h).foreach(frames += _)
+            buf.position(next)
+          case _ =>
+            buf.position(next)
+        }
+      }
+    }
+    walkList(buf.limit())
+    val fs = frames.result()
+    if (w <= 0 || h <= 0 || fs.isEmpty) None
+    else Some(AviVideo(w, h, uspf, fs))
+  }
+
+  /** Minimal AVI muxer (fixture/synthetic-corpus writer — the inverse of
+    * [[decodeAvi]]): `jpeg = true` writes '00dc' MJPEG chunks, else raw
+    * RGB24 '00db' DIB frames encoded from the given pixels.
+    */
+  def encodeAvi(width: Int, height: Int, microSecPerFrame: Int,
+                frames: Seq[PpmImage], jpeg: Boolean): Array[Byte] = {
+    def fourcc(s: String): Array[Byte] = s.getBytes(StandardCharsets.US_ASCII)
+    def chunk(t: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1
+      val out = ByteBuffer.allocate(8 + body.length + pad).order(ByteOrder.LITTLE_ENDIAN)
+      out.put(fourcc(t)).putInt(body.length).put(body)
+      out.array()
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", fourcc(kind) ++ body)
+    val frameBodies: Seq[Array[Byte]] = frames.map { f =>
+      require(f.width == width && f.height == height, "frame dims mismatch")
+      if (jpeg) {
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val o = (y * width + x) * 3
+            img.setRGB(x, y, ((f.rgb(o) & 0xff) << 16) |
+              ((f.rgb(o + 1) & 0xff) << 8) | (f.rgb(o + 2) & 0xff))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      } else {
+        val stride = (width * 3 + 3) & ~3
+        val dib = new Array[Byte](stride * height)
+        var y = 0
+        while (y < height) {
+          val dstRow = (height - 1 - y) * stride
+          var x = 0
+          while (x < width) {
+            val s = (y * width + x) * 3
+            val d = dstRow + x * 3
+            dib(d) = f.rgb(s + 2); dib(d + 1) = f.rgb(s + 1); dib(d + 2) = f.rgb(s)
+            x += 1
+          }
+          y += 1
+        }
+        dib
+      }
+    }
+    val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(microSecPerFrame).putInt(0).putInt(0).putInt(0)
+      .putInt(frames.size).putInt(0).putInt(1).putInt(0)
+      .putInt(width).putInt(height).putInt(0).putInt(0).putInt(0).putInt(0)
+      .array()
+    val strh = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      .put(fourcc("vids")).put(fourcc(if (jpeg) "MJPG" else "DIB "))
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(microSecPerFrame).putInt(1000000) // scale/rate = fps
+      .putInt(0).putInt(frames.size).putInt(0).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort)
+      .array()
+    val strf = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .put(if (jpeg) fourcc("MJPG") else Array[Byte](0, 0, 0, 0))
+      .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+      .array()
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frameBodies.flatMap(b =>
+      chunk(if (jpeg) "00dc" else "00db", b)).toArray)
+    chunk("RIFF", fourcc("AVI ") ++ hdrl ++ movi)
+  }
+
+  /** n_frames, fps, duration_s, the 11 image features averaged over
+    * frames, mean |Δ luminance| between consecutive frames (motion) = 15
+    * floats.
+    */
+  def videoFeatures(v: AviVideo): Array[Float] = {
+    val per = v.frames.map(imageFeatures)
+    val avg = new Array[Float](11)
+    per.foreach(f => { var i = 0; while (i < 11) { avg(i) += f(i); i += 1 } })
+    var i = 0
+    while (i < 11) { avg(i) /= v.frames.size; i += 1 }
+    def lum(f: Array[Float]) = 0.299f * f(0) + 0.587f * f(1) + 0.114f * f(2)
+    val motion =
+      if (per.size < 2) 0f
+      else per.sliding(2).map { case Seq(a, b) => math.abs(lum(b) - lum(a)) }
+        .sum / (per.size - 1)
+    Array(v.frames.size.toFloat, v.fps,
+      if (v.fps == 0) 0f else v.frames.size / v.fps) ++ avg ++ Array(motion)
+  }
+
   /** duration_s, rms, peak, zero-crossing rate = 4 floats (all on the
     * normalized [-1,1) signal).
     */

@@ -16,12 +16,13 @@ import org.apache.spark.sql.types._
   * extraction runs partition-wise so a 100 TB corpus streams through
   * executors in batches without driver involvement.
   *
-  * Image and audio decode are REAL: [[MediaCodecs]] parses binary PPM
-  * (P6) and PCM-16 WAV with pure-JVM code — features and pixel resize
-  * operate on actual decoded samples. Video container parsing is the one
-  * STUB left (no codec libraries in this container): unrecognized
-  * payloads fall back to `stubDecode`'s deterministic SHA-256 pseudo
-  * features, keeping the pipeline total.
+  * Image, audio AND video decode are REAL: [[MediaCodecs]] parses binary
+  * PPM (P6), PCM-16 WAV, and AVI containers (MJPEG frames through the
+  * JDK's built-in ImageIO JPEG codec, raw RGB24 DIB frames by hand) with
+  * JVM-only code — features, pixel resize, and per-frame video features
+  * operate on actual decoded samples. `stubDecode`'s deterministic
+  * SHA-256 pseudo features remain only as the total-function fallback
+  * for formats this container genuinely cannot parse (e.g. H.264).
   */
 object Multimodal {
 
@@ -55,8 +56,12 @@ object Multimodal {
             (math.sin(2 * math.Pi * (220 + i % 220) * s / 16000.0) * 16000).toShort)
           MediaCodecs.encodeWav(MediaCodecs.WavAudio(16000, 1, samples))
         case _ =>
-          MessageDigest.getInstance("SHA-256")
-            .digest(s"media-$i".getBytes(StandardCharsets.UTF_8))
+          // real MJPEG-in-AVI payload: (i % 3) + 2 gradient frames
+          val frames = (0 until (i % 3).toInt + 2).map { f =>
+            val rgb = Array.tabulate(w * h * 3)(p => ((p * 5 + f * 31 + i * 13) % 256).toByte)
+            MediaCodecs.PpmImage(w, h, rgb)
+          }
+          MediaCodecs.encodeAvi(w, h, 40000, frames, jpeg = true) // 25 fps
       }
       (i, kind, payload, (w, h, 16000, (i % 100).toInt + 1))
     }.toDF("media_id", "kind", "payload", "meta")
@@ -83,9 +88,9 @@ object Multimodal {
   /** Partition-wise decode + feature extraction (the mapInPandas/Arrow
     * batch shape, Scala form: mapPartitions with a Row encoder). Emits
     * (media_id, kind, codec, features array<float>) — codec records what
-    * actually decoded (`ppm`/`wav`/`stub`). Narrow — no shuffle; each
-    * task decodes its own parquet split. Real decode first, SHA-256 stub
-    * fallback for formats this container can't parse (video).
+    * actually decoded (`ppm`/`wav`/`avi`/`stub`). Narrow — no shuffle;
+    * each task decodes its own parquet split. Real decode first, SHA-256
+    * stub fallback for formats this container can't parse.
     */
   def decodeFeatures(media: DataFrame, stubDim: Int = 64): DataFrame = {
     val outSchema = StructType(Seq(
@@ -103,6 +108,8 @@ object Multimodal {
               .map(img => "ppm" -> MediaCodecs.imageFeatures(img))
               .orElse(MediaCodecs.decodeWav(payload)
                 .map(a => "wav" -> MediaCodecs.audioFeatures(a)))
+              .orElse(MediaCodecs.decodeAvi(payload)
+                .map(v => "avi" -> MediaCodecs.videoFeatures(v)))
               .getOrElse("stub" -> stubDecode(payload, stubDim))
           Row(r.getLong(0), r.getString(1), codec, feats.toSeq)
         }

@@ -13,19 +13,20 @@ class MultimodalSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(kinds == Set("image", "audio", "video"))
   }
 
-  test("decodeFeatures: real ppm/wav decode, stub only for video, narrow") {
+  test("decodeFeatures: real ppm/wav/avi decode, stub only for unknowns, narrow") {
+    import spark.implicits._
     val m = Multimodal.syntheticMedia(spark, 20).repartition(5)
     val f1 = Multimodal.decodeFeatures(m, stubDim = 16)
     val rows = f1.collect()
     assert(rows.length == 20)
-    // every image decoded as ppm (11 features), audio as wav (4), video stub (16)
+    // image -> ppm (11 features), audio -> wav (4), video -> avi (15)
     rows.foreach { r =>
       val (kind, codec, n) = (r.getString(1), r.getString(2),
         r.getAs[Seq[Float]]("features").length)
       kind match {
         case "image" => assert(codec == "ppm" && n == 11, s"$kind/$codec/$n")
         case "audio" => assert(codec == "wav" && n == 4, s"$kind/$codec/$n")
-        case _       => assert(codec == "stub" && n == 16, s"$kind/$codec/$n")
+        case _       => assert(codec == "avi" && n == 15, s"$kind/$codec/$n")
       }
     }
     // determinism across runs
@@ -35,6 +36,57 @@ class MultimodalSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(m1 == m2)
     // no shuffle: decode is narrow
     assert(f1.rdd.getNumPartitions == 5)
+    // a payload no codec recognizes still flows through (stub fallback)
+    val junk = Seq((99L, "video", "h264???".getBytes))
+      .toDF("media_id", "kind", "payload")
+    val sr = Multimodal.decodeFeatures(junk, stubDim = 16).collect()(0)
+    assert(sr.getString(2) == "stub" && sr.getSeq[Float](3).length == 16)
+  }
+
+  test("avi codec: raw-DIB round-trip exact, MJPEG real decode, malformed -> None") {
+    // two 4x2 frames with known pixels: frame 0 all red, frame 1 all blue
+    def flat(r: Int, g: Int, b: Int) =
+      Array.tabulate(4 * 2 * 3)(p => (p % 3 match {
+        case 0 => r; case 1 => g; case 2 => b
+      }).toByte)
+    val frames = Seq(MediaCodecs.PpmImage(4, 2, flat(255, 0, 0)),
+      MediaCodecs.PpmImage(4, 2, flat(0, 0, 255)))
+
+    // raw RGB24 DIB frames: bit-exact round trip through the container
+    val rawAvi = MediaCodecs.encodeAvi(4, 2, 40000, frames, jpeg = false)
+    val v = MediaCodecs.decodeAvi(rawAvi).get
+    assert(v.width == 4 && v.height == 2 && v.frames.size == 2)
+    assert(math.abs(v.fps - 25f) < 1e-4)
+    assert(v.frames(0).rgb.toSeq == frames(0).rgb.toSeq)
+    assert(v.frames(1).rgb.toSeq == frames(1).rgb.toSeq)
+    // features exact on the known pixels: 2 frames, 25 fps, 0.08 s,
+    // mean r/g/b = (1+0)/2, (0+0)/2, (0+1)/2
+    val vf = MediaCodecs.videoFeatures(v)
+    assert(vf(0) == 2f && math.abs(vf(1) - 25f) < 1e-4)
+    assert(math.abs(vf(2) - 0.08f) < 1e-6)
+    assert(math.abs(vf(3) - 0.5f) < 1e-6 && vf(4) == 0f &&
+      math.abs(vf(5) - 0.5f) < 1e-6)
+    // motion: |lum(blue) - lum(red)| = |0.114 - 0.299| * 1.0
+    assert(math.abs(vf(14) - 0.185f) < 1e-3)
+
+    // MJPEG path: the JDK's ImageIO codec decodes what it encoded;
+    // JPEG is lossy so compare approximately, and determinism exactly
+    val mjpeg = MediaCodecs.encodeAvi(4, 2, 40000, frames, jpeg = true)
+    val vj = MediaCodecs.decodeAvi(mjpeg).get
+    assert(vj.frames.size == 2 && vj.width == 4 && vj.height == 2)
+    val red0 = vj.frames(0).rgb(0) & 0xff
+    assert(red0 > 200, s"jpeg red channel came back $red0")
+    val vj2 = MediaCodecs.decodeAvi(mjpeg).get
+    assert(MediaCodecs.videoFeatures(vj).toSeq ==
+      MediaCodecs.videoFeatures(vj2).toSeq)
+
+    // malformed payloads are None, not exceptions
+    assert(MediaCodecs.decodeAvi("RIFFxxxxAVI corrupt".getBytes).isEmpty)
+    assert(MediaCodecs.decodeAvi(Array[Byte](82, 73, 70, 70)).isEmpty)
+    assert(MediaCodecs.decodeAvi(rawAvi.take(40).toArray).isEmpty)
+    // truncated mid-movi: decodable prefix may yield frames or None,
+    // but must not throw
+    MediaCodecs.decodeAvi(rawAvi.dropRight(7).toArray)
   }
 
   test("codecs: ppm and wav round-trip; features are exact on known fixtures") {
