@@ -216,30 +216,35 @@ object GraphQueries {
         .connectedComponents(GraphAlgs.buildGraph(e, "src", "dst"))
         .localCheckpoint(true)
 
-      /** (within, Σc degc²) for a (node_id, comm) partition — the exact
-        * integer pieces of Q = (within·m2 − degsq) / m2².
-        */
-      def pieces(part: DataFrame): (Long, Long) = {
-        val p = part.toDF("node_id", "comm")
-        val within = und
-          .join(small(p.select(col("node_id").as("src"), col("comm").as("cs"))), Seq("src"))
-          .join(small(p.select(col("node_id").as("dst"), col("comm").as("cd"))), Seq("dst"))
-          .filter(col("cs") === col("cd")).count()
-        val degsq = deg.join(small(p), Seq("node_id"))
-          .groupBy(col("comm")).agg(sum(col("deg")).as("dc"))
-          .agg(sum(col("dc") * col("dc"))).head.getLong(0)
-        (within, degsq)
-      }
-      val (wl, dl) = pieces(assign)
-      val (wc, dc) = pieces(cc)
-      val nComms = assign.select(col("community")).distinct().count()
-      val nComps = cc.select(col("component")).distinct().count()
+      // one (node -> louvain community, cc component) table drives every
+      // invariant: the exact integer modularity pieces
+      // Q·m2² = within·m2 − Σc degc² come from ONE edge join (both
+      // partitions' within-counts in the same aggregate) plus
+      // vertex-sized degree passes
+      val both = assign.toDF("node_id", "lc")
+        .join(cc.toDF("node_id", "ccmp"), Seq("node_id")).cache()
+      val j = und
+        .join(small(both.select(col("node_id").as("src"),
+          col("lc").as("lcs"), col("ccmp").as("ccs"))), Seq("src"))
+        .join(small(both.select(col("node_id").as("dst"),
+          col("lc").as("lcd"), col("ccmp").as("ccd"))), Seq("dst"))
+        .agg(count(when(col("lcs") === col("lcd"), 1)).as("wl"),
+          count(when(col("ccs") === col("ccd"), 1)).as("wc")).head
+      val (wl, wc) = (j.getLong(0), j.getLong(1))
+      val dd = deg.join(small(both), Seq("node_id")).cache()
+      def degsq(c: String): Long = dd.groupBy(col(c))
+        .agg(sum(col("deg")).as("dc"))
+        .agg(sum(col("dc") * col("dc"))).head.getLong(0)
+      val (dl, dc) = (degsq("lc"), degsq("ccmp"))
+      val counts = both.agg(countDistinct(col("lc")).as("ncomm"),
+        countDistinct(col("ccmp")).as("ncomp"), count(lit(1)).as("n"),
+        countDistinct(col("node_id")).as("nd")).head
+      val (nComms, nComps) = (counts.getLong(0), counts.getLong(1))
       val valid = assign.count() == nNodes &&
-        assign.select(col("node_id")).distinct().count() == nNodes &&
+        counts.getLong(2) == nNodes && counts.getLong(3) == nNodes &&
         assign.join(deg, Seq("node_id"), "left_anti").isEmpty
-      val refines = assign.join(small(cc), Seq("node_id"))
-        .groupBy(col("community"))
-        .agg(countDistinct(col("component")).as("nc"))
+      val refines = both.groupBy(col("lc"))
+        .agg(countDistinct(col("ccmp")).as("nc"))
         .agg(max(col("nc"))).head.getLong(0) <= 1L
       Seq((wc * m2 - dc, nComms >= nComps,
         (wl * m2 - dl) * 100L >= (wc * m2 - dc) * 95L,
