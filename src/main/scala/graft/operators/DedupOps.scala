@@ -392,5 +392,45 @@ object DedupOps {
       FROM corp c JOIN bench b USING (sh)
       GROUP BY 1, 2 ORDER BY doc_id, bench_id"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05)
+  /** Near-dup RESOLUTION — the step after pair detection that an actual
+    * dedup run needs: transitive closure over the d02 pair set (connected
+    * components), canonical id = min doc_id of the cluster, and a total
+    * (doc_id -> canonical_id) map (unpaired docs map to themselves). The
+    * keep-list is `doc_id == canonical_id`; everything else drops.
+    *
+    * Scale shape: pairs come from the LSH join (never quadratic), the
+    * closure is GraphX CC over |pairs| edges (log-ish rounds of bounded
+    * shuffles), and the final map is one left join against the corpus
+    * keyed by doc_id. The oracle replays the same minhash chain in SQL
+    * and closes it with the recursive min-label CTE used by g03.
+    */
+  val d06 = QueryDef(
+    "d06_dedup_resolve",
+    "near-dup clusters -> canonical doc map (LSH pairs + transitive closure)",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = minhashLshPairs(docs).select(col("doc_a"), col("doc_b"))
+      val comp = graft.graph.GraphAlgs.connectedComponents(
+        graft.graph.GraphAlgs.buildGraph(pairs, "doc_a", "doc_b"))
+      docs.select(col("doc_id")).distinct()
+        .join(comp, col("doc_id") === col("node_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("canonical_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE ${minhashPairsSql("documents", 0.3, "")},
+      und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+      walk(node, lbl) AS (
+        SELECT a, a AS lbl FROM (SELECT DISTINCT a FROM und)
+        UNION
+        SELECT u.b AS node, w.lbl FROM walk w JOIN und u ON u.a = w.node
+        WHERE w.lbl < u.b),
+      comp AS (SELECT node, MIN(lbl) AS canonical FROM walk GROUP BY node)
+      SELECT d.doc_id, COALESCE(c.canonical, d.doc_id) AS canonical_id
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      LEFT JOIN comp c ON d.doc_id = c.node
+      ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06)
 }

@@ -215,5 +215,59 @@ object StreamingOps {
       WHERE session_end + 1800000 < max_ms
       ORDER BY user_id, session_start"""))
 
-  val all: Seq[QueryDef] = Seq(st01, st02, st03, st04)
+  /** Watermarked stream-stream interval join — the remaining core
+    * Structured Streaming shape after windows (st01/st02), dedup (st03)
+    * and custom state (st04): clicks joined to same-user purchases that
+    * land within the following hour. Both sides carry watermarks and the
+    * join condition bounds event time on BOTH ends, which is exactly what
+    * lets Spark evict join state (a click's state is droppable once the
+    * purchase watermark passes click_ts + 1h) — without the time bound,
+    * stream-stream join state grows forever and the plan is
+    * un-runnable on an unbounded stream. Inner join + AvailableNow over
+    * the finite corpus emits the complete match set, so the oracle is the
+    * same interval join in batch SQL (ms-truncated event time on both
+    * engines, the st04 convention).
+    */
+  val st05 = QueryDef(
+    "st05_stream_stream_join",
+    "watermarked stream-stream interval join (click -> purchase <= 1h)",
+    (s, dir) => {
+      val tableName = "st05_stream_out"
+      def side(tpe: String, p: String): DataFrame = s.readStream
+        .schema(eventsSchema)
+        .parquet(s"$dir/*events*")
+        .filter(col("event_type") === tpe)
+        .withColumn(s"${p}_ts",
+          timestamp_millis(expr("(ts - pmod(ts, 1000000)) DIV 1000000")))
+        .withWatermark(s"${p}_ts", "1 hour")
+        .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_user"),
+          col(s"${p}_ts"))
+      val j = side("click", "c").join(side("purchase", "p"),
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      val q = j.select(col("c_user").as("user_id"),
+          col("c_id").as("click_id"), col("p_id").as("purchase_id"))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(tableName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(tableName)
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type,
+              epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events),
+      c AS (SELECT event_id AS click_id, user_id, ms AS cms FROM e
+            WHERE event_type = 'click'),
+      p AS (SELECT event_id AS purchase_id, user_id, ms AS pms FROM e
+            WHERE event_type = 'purchase')
+      SELECT c.user_id AS user_id, click_id, purchase_id
+      FROM c JOIN p ON c.user_id = p.user_id
+        AND pms >= cms AND pms <= cms + 3600000
+      ORDER BY 1, 2, 3"""))
+
+  val all: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05)
 }
