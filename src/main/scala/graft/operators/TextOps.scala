@@ -482,6 +482,40 @@ object TextOps {
              COUNT(CASE WHEN regexp_matches(tok, '^[^a-zA-Z0-9]$') THEN 1 END) AS n_marks
       FROM toks GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Document chunking — the dual of t13's packing: split each document
+    * into overlapping word windows (size 64, stride 48 — the standard
+    * long-context training prep). Pure column math (split + sequence +
+    * slice, all codegen'd): one narrow pass, chunk count ~ tokens/stride,
+    * no shuffle until the output sort. Window starts step by `stride`;
+    * the tail window may be short but is never empty.
+    */
+  val t15 = QueryDef(
+    "t15_chunking",
+    "overlapping word-window chunks (size 64, stride 48)",
+    (s, dir) => {
+      val (win, stride) = (64, 48)
+      docs(s, dir)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), size(col("toks")) - 1, lit(stride))).as("start"))
+        .select(col("doc_id"),
+          (col("start") / stride).cast("long").as("chunk_idx"),
+          size(slice(col("toks"), col("start") + 1, lit(win))).cast("long").as("n_tokens"),
+          array_join(slice(col("toks"), col("start") + 1, lit(win)), " ").as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+              string_split_regex(trim(text), '\s+') AS toks
+            FROM documents WHERE length(trim(text)) > 0),
+      starts AS (SELECT doc_id, toks,
+              unnest(range(0, len(toks), 48)) AS start FROM toks)
+      SELECT doc_id,
+             start // 48 AS chunk_idx,
+             len(toks[start + 1 : start + 64]) AS n_tokens,
+             array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text
+      FROM starts ORDER BY doc_id, chunk_idx"""))
+
   val all: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t13, t14)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t13, t14, t15)
 }
