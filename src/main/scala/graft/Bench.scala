@@ -2,12 +2,14 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Driver-run benchmark: one warm SparkSession, per-query wall times as a
-  * single JSON line (BASELINE.md: fixed overhead, not throughput, is the
-  * binding constraint at these scales — so codegen/JIT is warmed on the
-  * tiny sf first, and the cache is cleared between queries so each
-  * measurement is self-contained rather than fighting earlier queries'
-  * persisted intermediates for storage memory).
+/** Driver-run benchmark: one warm SparkSession, best-of-N per-query wall
+  * times as a single JSON line (BASELINE.md: fixed overhead, not
+  * throughput, is the binding constraint at these scales — so codegen/JIT
+  * is warmed on the tiny sf first, the cache is cleared between queries so
+  * each measurement is self-contained rather than fighting earlier
+  * queries' persisted intermediates for storage memory, and each query
+  * reports min over SPARK_GRAFT_REPS runs so single-run GC/JIT noise
+  * cannot masquerade as a regression).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -29,8 +31,8 @@ object Bench {
     // untimed (round-1 ADVICE: clearCache in the finally block billed each
     // query for unpersisting its own intermediates). Failures keep the -1
     // sentinel but also surface the exception instead of reading as "fast".
-    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-               dir: String): (Double, Option[String]) = {
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                dir: String): (Double, Option[String]) = {
       val t0 = System.nanoTime()
       val r = try { fn(spark, dir).count(); (0.0, None) } catch {
         case e: Throwable => (-1.0, Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
@@ -40,10 +42,31 @@ object Bench {
       if (r._2.isEmpty) (elapsed, None) else r
     }
 
-    // untimed warmup: JIT + codegen caches, tiny scale
+    // best-of-N (round-3/4 VERDICT: single-shot per-query timings swing
+    // ±2.5x run-to-run from GC/codegen timing — BENCH_r03 vs r04 differed
+    // 19% on byte-identical code. min-of-N is the standard answer: the
+    // minimum is the least noise-contaminated estimate of the query's
+    // true cost, and it is what makes round-over-round regression
+    // detection possible at all). A rep that fails short-circuits: the
+    // error is the result, retrying an exception is not a measurement.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+               dir: String): (Double, Option[String]) = {
+      var best = Double.MaxValue
+      var i = 0
+      while (i < reps) {
+        val (t, err) = runOnce(name, fn, dir)
+        if (err.isDefined) return (t, err)
+        best = math.min(best, t)
+        i += 1
+      }
+      (best, None)
+    }
+
+    // untimed warmup: JIT + codegen caches, tiny scale (one rep is enough)
     if (warmupDir.nonEmpty && new java.io.File(warmupDir).isDirectory)
       SparkEntry.queries.filter(kv => selected(kv._1))
-        .foreach { case (n, fn) => runOne(n, fn, warmupDir) }
+        .foreach { case (n, fn) => runOnce(n, fn, warmupDir) }
 
     val results = SparkEntry.queries.filter(kv => selected(kv._1))
       .map { case (name, fn) => name -> runOne(name, fn, sfDir) }

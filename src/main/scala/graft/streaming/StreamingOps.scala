@@ -9,17 +9,56 @@ import graft.QueryDef
 
 /** Structured Streaming surface. The reference is 100% batch (SURVEY §1.1
   * item 5); this is the streaming extension of the same event pipeline:
-  * `readStream` → event-time tumbling window aggregation → sink. The gate
-  * query runs it synchronously over the parquet corpus with an AvailableNow
-  * trigger and a memory sink, and its oracle is the *batch* SQL for the
-  * same window — proving stream/batch parity of the aggregation.
+  * `readStream` → event-time transforms → sink. Each gate runs its query
+  * synchronously over the parquet corpus with an AvailableNow trigger and
+  * oracles against the *batch* SQL for the same semantics — stream/batch
+  * parity. All append-mode gates (st02–st05) drain through the shared
+  * parquet file-sink harness ([[runAppendToFiles]] — the production
+  * shape); only st01's complete-mode histogram uses the memory sink,
+  * which that mode requires.
   *
-  * At scale the same plan runs continuously with a watermark bounding
+  * At scale the same plans run continuously with watermarks bounding
   * state: `withWatermark("ts", "2 hours")` keeps only open windows in the
   * state store; the shuffle is (window, event_type)-keyed like the batch
   * groupBy.
   */
 object StreamingOps {
+
+  /** Sink description of the most recent [[runAppendToFiles]] query —
+    * captured from StreamingQueryProgress so StreamingSpec can assert at
+    * RUNTIME (not by source inspection) that every append-mode gate
+    * drains through the file sink, never the driver-memory sink.
+    */
+  @volatile private[streaming] var lastSinkDescription: String = ""
+
+  /** The production sink shape shared by every append-mode gate
+    * (st02–st05): parquet file sink + checkpoint dir = exactly-once,
+    * restartable, executor-side output — state the stream's own size,
+    * not the result's, bounds driver memory. (The memory sink retains
+    * every batch in driver memory; it survives only in st01, whose
+    * complete-mode output REQUIRES a driver-side table and is
+    * vertex-histogram-sized by construction.) Results are read back
+    * from the files with the plan's own schema, so a run that emits
+    * zero rows still yields an empty, well-typed DataFrame.
+    */
+  private def runAppendToFiles(s: SparkSession, out: DataFrame,
+                               name: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_$name").toString
+    val q = out.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$tmp/data")
+      .option("checkpointLocation", s"$tmp/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally {
+      lastSinkDescription =
+        Option(q.lastProgress).map(_.sink.description).getOrElse("")
+      q.stop()
+    }
+    s.read.schema(out.schema).parquet(s"$tmp/data")
+  }
+
   private val eventsSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),        // TIMESTAMP(NANOS) read as ns-long
@@ -81,7 +120,6 @@ object StreamingOps {
     "st02_stream_append",
     "append-mode streaming windows: watermark-closed only, file sink",
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_st02").toString
       val src = s.readStream
         .schema(eventsSchema)
         .parquet(s"$dir/*events*")
@@ -93,19 +131,7 @@ object StreamingOps {
         .select(
           unix_millis(col("window.start")).as("window_ms"),
           col("event_type"), col("n"))
-      val q = agg.writeStream
-        .outputMode("append")
-        .format("parquet")
-        .option("path", s"$tmp/data")
-        .option("checkpointLocation", s"$tmp/chk")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try {
-        q.processAllAvailable()
-      } finally {
-        q.stop()
-      }
-      s.read.parquet(s"$tmp/data")
+      runAppendToFiles(s, agg, "st02")
         .orderBy(col("window_ms"), col("event_type"))
     },
     Some("""WITH t AS (SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_type FROM events),
@@ -128,7 +154,6 @@ object StreamingOps {
     "st03_stream_dedup",
     "streaming dedup via dropDuplicatesWithinWatermark (bounded state)",
     (s, dir) => {
-      val tableName = "st03_stream_out"
       val src = s.readStream
         .schema(eventsSchema)
         .parquet(s"$dir/*events*")
@@ -137,19 +162,12 @@ object StreamingOps {
         .select(col("user_id"), col("event_type"), col("event_ts"))
         .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
         .select(col("user_id"), col("event_type"))
-      val q = src.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(tableName)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.processAllAvailable() finally q.stop()
       // distinct: within-watermark dedup re-emits a key whose state was
       // purged >horizon ago, so if the source ever splits into multiple
       // micro-batches the sink may hold such re-emissions — the invariant
       // the oracle checks is the KEY SET, which distinct() pins without
       // depending on single-batch file listing
-      s.table(tableName).distinct()
+      runAppendToFiles(s, src, "st03").distinct()
         .orderBy(col("user_id"), col("event_type"))
     },
     Some("""SELECT DISTINCT user_id, event_type FROM events
@@ -170,7 +188,6 @@ object StreamingOps {
       import s.implicits._
       import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
       import StatefulSessions._
-      val tableName = "st04_stream_out"
       val src = s.readStream
         .schema(eventsSchema)
         .parquet(s"$dir/*events*")
@@ -184,14 +201,7 @@ object StreamingOps {
         .flatMapGroupsWithState(
           OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
           sessionize(1800000L))
-      val q = sessions.toDF().writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(tableName)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      s.table(tableName)
+      runAppendToFiles(s, sessions.toDF(), "st04")
         .orderBy(col("user_id"), col("session_start"))
     },
     Some("""WITH e AS (SELECT user_id, event_id,
@@ -232,7 +242,6 @@ object StreamingOps {
     "st05_stream_stream_join",
     "watermarked stream-stream interval join (click -> purchase <= 1h)",
     (s, dir) => {
-      val tableName = "st05_stream_out"
       def side(tpe: String, p: String): DataFrame = s.readStream
         .schema(eventsSchema)
         .parquet(s"$dir/*events*")
@@ -246,16 +255,9 @@ object StreamingOps {
         col("c_user") === col("p_user") &&
           col("p_ts") >= col("c_ts") &&
           col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
-      val q = j.select(col("c_user").as("user_id"),
-          col("c_id").as("click_id"), col("p_id").as("purchase_id"))
-        .writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(tableName)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      s.table(tableName)
+      val out = j.select(col("c_user").as("user_id"),
+        col("c_id").as("click_id"), col("p_id").as("purchase_id"))
+      runAppendToFiles(s, out, "st05")
         .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
     },
     Some("""WITH e AS (SELECT event_id, user_id, event_type,

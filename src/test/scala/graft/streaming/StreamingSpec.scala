@@ -10,22 +10,69 @@ import org.scalatest.funsuite.AnyFunSuite
   * and their counts match the batch aggregation (stream/batch parity on
   * the closed set). The complete-mode gate st01 is oracle-verified by the
   * driver; this pins the eviction boundary st02's oracle encodes.
+  *
+  * The production-sink tests pin that every append-mode gate (st02–st05)
+  * drains through the parquet FILE sink at runtime — the memory sink
+  * retains all batches in driver memory, which is the wrong shape for a
+  * corpus-proportional output at 100 TB, so its reappearance anywhere but
+  * st01's complete mode is a regression.
   */
 class StreamingSpec extends AnyFunSuite with graft.SparkTestSession {
   import spark.implicits._
 
-  test("st02: append emits exactly the closed windows, counts batch-exact") {
-    val base = Files.createTempDirectory("graft_st_spec").toString
-    // 2 events in hour h for h=0..9 (ts in ns); watermark 2h => max=9h,
-    // wm=7h, closed windows end<=7h are hours 0..6
+  // 2 events in hour h for h=0..9 (ts in ns); watermark 2h => max=9h,
+  // wm=7h, closed windows end<=7h are hours 0..6. user_id spread over 3
+  // users and event types alternate click/purchase so st03/st05 also
+  // produce rows on the same fixture. Events sit at h:00:01/h:00:02, NOT
+  // h:00:00 — a row whose event time is exactly epoch 0 equals the
+  // query's INITIAL watermark and Spark's late-row filter (ts <= wm)
+  // silently drops it from stream-stream join input.
+  private lazy val base: String = {
+    val dir = Files.createTempDirectory("graft_st_spec").toString
     val rows = for (h <- 0 until 10; i <- 0 until 2)
-      yield (h.toLong * 10 + i, h * 3600000000000L + i * 1000000000L, 7L, "a", 1.0, "{}")
+      yield (h.toLong * 10 + i, h * 3600000000000L + (i + 1) * 1000000000L,
+        (h % 3).toLong, if (i == 0) "click" else "purchase", 1.0, "{}")
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.mode("overwrite").parquet(s"$base/events.parquet")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
 
+  test("st02: append emits exactly the closed windows, counts batch-exact") {
     val got = StreamingOps.st02.run(spark, base).collect()
       .map(r => (r.getLong(0) / 3600000, r.getString(1), r.getLong(2)))
-    assert(got.map(_._1).toSeq == (0L to 6L), got.mkString(","))
-    assert(got.forall { case (_, t, n) => t == "a" && n == 2L })
+    assert(got.map(_._1).distinct.sorted.toSeq == (0L to 6L), got.mkString(","))
+    assert(got.forall { case (_, t, n) => (t == "click" || t == "purchase") && n == 1L })
+    assert(StreamingOps.lastSinkDescription.contains("FileSink"),
+      s"st02 sink was '${StreamingOps.lastSinkDescription}', expected a file sink")
+  }
+
+  test("st03: streaming dedup emits the distinct key set via the file sink") {
+    val got = StreamingOps.st03.run(spark, base).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // 3 users x {click, purchase}, all keys occur
+    assert(got == (0L to 2L).flatMap(u => Seq((u, "click"), (u, "purchase"))).toSet)
+    assert(StreamingOps.lastSinkDescription.contains("FileSink"),
+      s"st03 sink was '${StreamingOps.lastSinkDescription}', expected a file sink")
+  }
+
+  test("st04: stateful sessions drain through the file sink") {
+    val got = StreamingOps.st04.run(spark, base).collect()
+    assert(got.nonEmpty)
+    assert(StreamingOps.lastSinkDescription.contains("FileSink"),
+      s"st04 sink was '${StreamingOps.lastSinkDescription}', expected a file sink")
+  }
+
+  test("st05: stream-stream interval join matches batch and uses the file sink") {
+    val got = StreamingOps.st05.run(spark, base).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch truth: same-user purchases within [click_ts, click_ts + 1h];
+    // each hour h has click (h*10) at h:00:00 and purchase (h*10+1) at
+    // h:00:01 for user h%3 — the only in-window same-user purchase is the
+    // same hour's (clicks also match NEXT hour's purchase only if same
+    // user, but users rotate h%3, so h and h+1 differ)
+    val expected = (0 until 10).map(h => ((h % 3).toLong, h.toLong * 10, h.toLong * 10 + 1)).toSet
+    assert(got == expected, s"got=$got")
+    assert(StreamingOps.lastSinkDescription.contains("FileSink"),
+      s"st05 sink was '${StreamingOps.lastSinkDescription}', expected a file sink")
   }
 }
