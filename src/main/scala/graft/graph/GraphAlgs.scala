@@ -195,6 +195,24 @@ object GraphAlgs {
       .map { case (id, comp) => (id, comp) }.toDF("node_id", "component")
   }
 
+  /** Connected components over an ALREADY-SYMMETRIZED (src, dst) edge
+    * DataFrame — the shared-edge-build entry point: a caller that has
+    * cached the undirected edge list (e.g. the g05/g06 gates, which feed
+    * the same table to Louvain, CC, and the invariant joins) skips the
+    * second symmetrization pass [[connectedComponents]] would do. The
+    * caller's contract: for every (a, b) row, (b, a) is present too.
+    */
+  def connectedComponentsUnd(und: DataFrame): DataFrame = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    val e: RDD[Edge[Unit]] = und
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    Graph.fromEdges(e, (), StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+      .connectedComponents().vertices
+      .map { case (id, comp) => (id, comp) }.toDF("node_id", "component")
+  }
+
   /** Deterministic synchronous label propagation (community detection —
     * the LPA stand-in for gds.louvain, divergence documented in SURVEY
     * §2.10 Q7). GraphX's LabelPropagation breaks frequency ties by map
@@ -285,6 +303,35 @@ object GraphAlgs {
         .select(col("u").as("src"), col("u").as("dst"), (col("w") * 2).as("w")))
       .repartition(col("src"))
       .cache()
+    try louvainRep(rep0, maxLevels, maxSweeps)
+    finally rep0.unpersist(blocking = false)
+  }
+
+  /** Louvain over an ALREADY-SYMMETRIZED, loop-free, deduplicated
+    * (src, dst) edge DataFrame — the shared-edge-build twin of
+    * [[connectedComponentsUnd]]: the caller's cached undirected edge list
+    * IS the internal representation with unit weights, so the canon
+    * groupBy + re-symmetrization union of [[louvainDF]] (a full shuffle
+    * of the edge table — the dominant cost at 100x, VERDICT r3/r4) is
+    * skipped entirely. Caller contract: every (a, b) has its (b, a) row,
+    * no (a, a) rows, no duplicates.
+    */
+  def louvainUnd(und: DataFrame, maxLevels: Int = 3,
+                 maxSweeps: Int = 8): DataFrame = {
+    val rep0 = und
+      .select(col("src").cast("long"), col("dst").cast("long"), lit(1.0).as("w"))
+      .repartition(col("src"))
+      .cache()
+    try louvainRep(rep0, maxLevels, maxSweeps)
+    finally rep0.unpersist(blocking = false)
+  }
+
+  /** Core Louvain loop over the internal representation (directed-both-
+    * ways weighted non-loop rows + DOUBLED self-loops, pre-partitioned by
+    * src and cached by the caller).
+    */
+  private def louvainRep(rep0: DataFrame, maxLevels: Int,
+                         maxSweeps: Int): DataFrame = {
     val vertices = rep0.select(col("src").as("node_id")).distinct().cache()
     val nVerts = vertices.count()
     if (nVerts == 0) return vertices.select(col("node_id"), col("node_id").as("community"))

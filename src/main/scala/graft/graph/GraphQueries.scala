@@ -209,11 +209,16 @@ object GraphQueries {
         if (nNodes < 1000000L) broadcast(df) else df
 
       // 2 levels / 4 sweeps: the gate graph converges within these
-      // budgets; each extra sweep is pure fixed overhead at gate SF
-      val assign = GraphAlgs.louvainDF(e, maxLevels = 2, maxSweeps = 4)
+      // budgets; each extra sweep is pure fixed overhead at gate SF.
+      // BOTH algorithms consume the gate's cached `und` (VERDICT r3/r4
+      // task: one edge build, three consumers) — e is distinct and
+      // loop-free by construction (customer ids even, supplier ids odd),
+      // so und IS louvain's internal representation with unit weights
+      // and CC's pre-symmetrized input; the per-algorithm canon/
+      // symmetrize passes over the orders⋈lineitem join are gone.
+      val assign = GraphAlgs.louvainUnd(und, maxLevels = 2, maxSweeps = 4)
         .localCheckpoint(true)
-      val cc = GraphAlgs
-        .connectedComponents(GraphAlgs.buildGraph(e, "src", "dst"))
+      val cc = GraphAlgs.connectedComponentsUnd(und)
         .localCheckpoint(true)
 
       // one (node -> louvain community, cc component) table drives every
@@ -296,5 +301,55 @@ object GraphQueries {
       .orderBy(col("size").desc, col("community"))
   }
 
-  val all: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05)
+  /** The gated form of [[louvainHistogram]] (VERDICT r4 task 6): the
+    * user-facing Q7 community-size histogram, checked through the
+    * SQL-reachable invariants of a valid size distribution — no SQL
+    * engine can replay the greedy move sequence, but it CAN pin that
+    *   - the sizes sum to exactly the vertex count (exact integer,
+    *     recomputed by the oracle from the raw tables);
+    *   - the community count lies in [n_components, n_nodes] (refining a
+    *     partition of the components can do nothing else);
+    *   - every size is >= 1 and no community is larger than the largest
+    *     connected component (communities never span components).
+    * A broken Louvain (lost/duplicated nodes, cross-component merges,
+    * degenerate collapse) flips one of these and hash-fails the gate.
+    * Shares the single cached edge build across Louvain and CC like g05.
+    */
+  val g06 = QueryDef(
+    "g06_louvain_histogram",
+    "Louvain community-size histogram invariants (Q7 user shape)",
+    (s, dir) => {
+      import s.implicits._
+      val e = edges(s, dir, filtered = true)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().cache()
+      val hist = GraphAlgs.louvainUnd(und, maxLevels = 2, maxSweeps = 4)
+        .groupBy(col("community")).agg(count(lit(1)).as("size"))
+      val h = hist.agg(sum(col("size")).as("ns"), count(lit(1)).as("nc"),
+        min(col("size")).as("mn"), max(col("size")).as("mx")).head
+      val (sumSizes, nComm, minSize, maxSize) =
+        (h.getLong(0), h.getLong(1), h.getLong(2), h.getLong(3))
+      val c = GraphAlgs.connectedComponentsUnd(und)
+        .groupBy(col("component")).agg(count(lit(1)).as("csz"))
+        .agg(count(lit(1)).as("ncomp"), max(col("csz")).as("maxcsz")).head
+      val (nComp, maxCsz) = (c.getLong(0), c.getLong(1))
+      Seq((nComm >= nComp && nComm <= sumSizes,
+        maxSize <= maxCsz, minSize >= 1L, sumSizes))
+        .toDF("communities_in_bounds", "max_size_within_component",
+          "min_size_positive", "nodes_covered")
+    },
+    Some("""WITH RECURSIVE
+      edges AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                WHERE l_quantity = 1 AND month(l_shipdate) = 1),
+      und AS (SELECT a AS src, b AS dst FROM edges
+              UNION SELECT b AS src, a AS dst FROM edges),
+      deg AS (SELECT src, COUNT(*) AS d FROM und GROUP BY src)
+      SELECT TRUE AS communities_in_bounds,
+        TRUE AS max_size_within_component,
+        TRUE AS min_size_positive,
+        CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS nodes_covered"""))
+
+  val all: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05, g06)
 }
