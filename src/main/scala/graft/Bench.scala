@@ -27,10 +27,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_ISOLATE=1: additionally hint a full GC between queries
+    // so suite-order interactions (one gate's heap residue inflating the
+    // next gate's floor — the r5 d02 anomaly class) are detectable on
+    // demand by diffing isolated vs suite numbers.
+    val isolate = sys.env.get("SPARK_GRAFT_ISOLATE").contains("1")
+
     // timed region covers the query only; cache cleanup between queries is
     // untimed (round-1 ADVICE: clearCache in the finally block billed each
-    // query for unpersisting its own intermediates). Failures keep the -1
-    // sentinel but also surface the exception instead of reading as "fast".
+    // query for unpersisting its own intermediates). clearCache only drops
+    // SQL-cached plans — GraphX's internal RDD persists (EdgeRDD/VertexRDD
+    // from the Louvain/CC gates) outlive it and squat on storage memory
+    // into later queries, so persistent RDDs are unpersisted too.
+    // Failures keep the -1 sentinel but also surface the exception
+    // instead of reading as "fast".
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                 dir: String): (Double, Option[String]) = {
       val t0 = System.nanoTime()
@@ -39,6 +49,9 @@ object Bench {
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // measurements stay independent
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      if (isolate) System.gc()
       if (r._2.isEmpty) (elapsed, None) else r
     }
 
@@ -49,7 +62,12 @@ object Bench {
     // true cost, and it is what makes round-over-round regression
     // detection possible at all). A rep that fails short-circuits: the
     // error is the result, retrying an exception is not a measurement.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    // Try-parse: a stray non-numeric env value must not abort the bench
+    // before any query runs; the reps count is echoed in the JSON line so
+    // round-over-round comparisons are self-describing (min-of-3 floors
+    // are not comparable to earlier single-run rounds).
+    val reps = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+      .toOption.getOrElse(3).max(1)
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                dir: String): (Double, Option[String]) = {
       var best = Double.MaxValue
@@ -77,7 +95,7 @@ object Bench {
         .replaceAll("[\\n\\r\\t]", " ") + "\"" }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"isolate":$isolate,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -239,7 +239,8 @@ object GraphQueries {
       val dd = deg.join(small(both), Seq("node_id")).cache()
       def degsq(c: String): Long = dd.groupBy(col(c))
         .agg(sum(col("deg")).as("dc"))
-        .agg(sum(col("dc") * col("dc"))).head.getLong(0)
+        .agg(coalesce(sum(col("dc") * col("dc")), lit(0L)))
+        .head.getLong(0) // coalesce: sum is NULL over an empty slice
       val (dl, dc) = (degsq("lc"), degsq("ccmp"))
       val counts = both.agg(countDistinct(col("lc")).as("ncomm"),
         countDistinct(col("ccmp")).as("ncomp"), count(lit(1)).as("n"),
@@ -326,13 +327,19 @@ object GraphQueries {
         .distinct().cache()
       val hist = GraphAlgs.louvainUnd(und, maxLevels = 2, maxSweeps = 4)
         .groupBy(col("community")).agg(count(lit(1)).as("size"))
-      val h = hist.agg(sum(col("size")).as("ns"), count(lit(1)).as("nc"),
-        min(col("size")).as("mn"), max(col("size")).as("mx")).head
+      // coalesce: sum/min/max are NULL over an empty histogram (e.g. an
+      // empty January/quantity=1 slice) — zeros make min_size_positive
+      // read false, failing the gate cleanly instead of NPE-ing getLong
+      val h = hist.agg(coalesce(sum(col("size")), lit(0L)).as("ns"),
+        count(lit(1)).as("nc"),
+        coalesce(min(col("size")), lit(0L)).as("mn"),
+        coalesce(max(col("size")), lit(0L)).as("mx")).head
       val (sumSizes, nComm, minSize, maxSize) =
         (h.getLong(0), h.getLong(1), h.getLong(2), h.getLong(3))
       val c = GraphAlgs.connectedComponentsUnd(und)
         .groupBy(col("component")).agg(count(lit(1)).as("csz"))
-        .agg(count(lit(1)).as("ncomp"), max(col("csz")).as("maxcsz")).head
+        .agg(count(lit(1)).as("ncomp"),
+          coalesce(max(col("csz")), lit(0L)).as("maxcsz")).head
       val (nComp, maxCsz) = (c.getLong(0), c.getLong(1))
       Seq((nComm >= nComp && nComm <= sumSizes,
         maxSize <= maxCsz, minSize >= 1L, sumSizes))

@@ -24,12 +24,33 @@ import graft.QueryDef
   */
 object StreamingOps {
 
-  /** Sink description of the most recent [[runAppendToFiles]] query —
-    * captured from StreamingQueryProgress so StreamingSpec can assert at
-    * RUNTIME (not by source inspection) that every append-mode gate
-    * drains through the file sink, never the driver-memory sink.
+  /** Per-gate sink descriptions captured from StreamingQueryProgress so
+    * StreamingSpec can assert at RUNTIME (not by source inspection) that
+    * every append-mode gate drains through the file sink, never the
+    * driver-memory sink. Keyed by gate name — a single "most recent" slot
+    * would let one gate's description overwrite another's under
+    * concurrent suites, making the assertion flaky or vacuous.
     */
-  @volatile private[streaming] var lastSinkDescription: String = ""
+  private[streaming] val sinkDescriptions =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  /** All [[runAppendToFiles]] output lands under one per-JVM root that a
+    * shutdown hook deletes recursively — the read-back is lazy, so the
+    * dirs cannot be deleted inside the harness itself, but nothing
+    * outlives the run (best-of-N Bench reps were leaving ~3x
+    * corpus-proportional parquet + checkpoint dirs in /tmp per run).
+    */
+  private lazy val tmpRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_run")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file._
+      import java.util.Comparator
+      try Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      catch { case _: Throwable => () } // cleanup is best-effort at exit
+    }))
+    root
+  }
 
   /** The production sink shape shared by every append-mode gate
     * (st02–st05): parquet file sink + checkpoint dir = exactly-once,
@@ -43,7 +64,7 @@ object StreamingOps {
     */
   private def runAppendToFiles(s: SparkSession, out: DataFrame,
                                name: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory(s"graft_$name").toString
+    val tmp = java.nio.file.Files.createTempDirectory(tmpRoot, name).toString
     val q = out.writeStream
       .outputMode("append")
       .format("parquet")
@@ -52,7 +73,7 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     try q.processAllAvailable() finally {
-      lastSinkDescription =
+      sinkDescriptions(name) =
         Option(q.lastProgress).map(_.sink.description).getOrElse("")
       q.stop()
     }

@@ -42,8 +42,8 @@ class StreamingSpec extends AnyFunSuite with graft.SparkTestSession {
       .map(r => (r.getLong(0) / 3600000, r.getString(1), r.getLong(2)))
     assert(got.map(_._1).distinct.sorted.toSeq == (0L to 6L), got.mkString(","))
     assert(got.forall { case (_, t, n) => (t == "click" || t == "purchase") && n == 1L })
-    assert(StreamingOps.lastSinkDescription.contains("FileSink"),
-      s"st02 sink was '${StreamingOps.lastSinkDescription}', expected a file sink")
+    assert(StreamingOps.sinkDescriptions.get("st02").exists(_.contains("FileSink")),
+      s"st02 sink was '${StreamingOps.sinkDescriptions.get("st02")}', expected a file sink")
   }
 
   test("st03: streaming dedup emits the distinct key set via the file sink") {
@@ -51,28 +51,29 @@ class StreamingSpec extends AnyFunSuite with graft.SparkTestSession {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     // 3 users x {click, purchase}, all keys occur
     assert(got == (0L to 2L).flatMap(u => Seq((u, "click"), (u, "purchase"))).toSet)
-    assert(StreamingOps.lastSinkDescription.contains("FileSink"),
-      s"st03 sink was '${StreamingOps.lastSinkDescription}', expected a file sink")
+    assert(StreamingOps.sinkDescriptions.get("st03").exists(_.contains("FileSink")),
+      s"st03 sink was '${StreamingOps.sinkDescriptions.get("st03")}', expected a file sink")
   }
 
   test("st04: stateful sessions drain through the file sink") {
     val got = StreamingOps.st04.run(spark, base).collect()
     assert(got.nonEmpty)
-    assert(StreamingOps.lastSinkDescription.contains("FileSink"),
-      s"st04 sink was '${StreamingOps.lastSinkDescription}', expected a file sink")
+    assert(StreamingOps.sinkDescriptions.get("st04").exists(_.contains("FileSink")),
+      s"st04 sink was '${StreamingOps.sinkDescriptions.get("st04")}', expected a file sink")
   }
 
   test("st05: stream-stream interval join matches batch and uses the file sink") {
     val got = StreamingOps.st05.run(spark, base).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // batch truth: same-user purchases within [click_ts, click_ts + 1h];
-    // each hour h has click (h*10) at h:00:00 and purchase (h*10+1) at
-    // h:00:01 for user h%3 — the only in-window same-user purchase is the
-    // same hour's (clicks also match NEXT hour's purchase only if same
-    // user, but users rotate h%3, so h and h+1 differ)
+    // each hour h has click (h*10) at h:00:01 and purchase (h*10+1) at
+    // h:00:02 for user h%3 (the i+1 shift keeps events off the epoch-0
+    // initial watermark) — the only in-window same-user purchase is the
+    // same hour's: the NEXT hour's purchase at (h+1):00:02 is 1s past
+    // the click+1h bound, and its user rotates to (h+1)%3 anyway
     val expected = (0 until 10).map(h => ((h % 3).toLong, h.toLong * 10, h.toLong * 10 + 1)).toSet
     assert(got == expected, s"got=$got")
-    assert(StreamingOps.lastSinkDescription.contains("FileSink"),
-      s"st05 sink was '${StreamingOps.lastSinkDescription}', expected a file sink")
+    assert(StreamingOps.sinkDescriptions.get("st05").exists(_.contains("FileSink")),
+      s"st05 sink was '${StreamingOps.sinkDescriptions.get("st05")}', expected a file sink")
   }
 }
