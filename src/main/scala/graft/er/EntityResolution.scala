@@ -37,6 +37,11 @@ object EntityResolution {
     */
   val charTypes: Set[String] = Set("ORG", "PRODUCT", "PERSON")
 
+  /** Max contracted-band edges the elbow sweep closes driver-side; above
+    * this the step falls back to distributed connected components.
+    */
+  private val driverCcLimit = 1000000
+
   /** Plural/possessive fold: strip one trailing 's' from each token >2
     * chars ("dprks" -> "dprk", "centres" -> "centre").
     */
@@ -146,14 +151,23 @@ object EntityResolution {
   /** A9 (data_integration.ipynb c42:9-13): the reference's elbow/threshold
     * profiling loop — cluster counts per (threshold, type), used to pick
     * the per-type thresholds (c44 range 0.55–0.79). Blocking + scoring run
-    * ONCE (cached); each threshold then costs one connected-components
-    * pass over the (shrinking) thresholded edge set. Cluster count per
-    * type = components among edge-connected labels + untouched singletons;
-    * types never cross-block (blockPairs keys on type), so components are
-    * type-pure by construction.
+    * ONCE (cached); the thresholds are then swept DESCENDING and the
+    * component assignment is carried forward incrementally: lowering the
+    * threshold only ADDS edges, so each step contracts its new edge band
+    * through the running assignment and runs connected components over
+    * that contracted (component-id, component-id) graph — the union of
+    * all the per-step CC inputs is one pass over the full edge set,
+    * versus the naive sweep's |thresholds| independent CC jobs over
+    * ever-larger edge sets. Component labels stay "min member node id"
+    * under contraction (min of mins = global min), so every step's counts
+    * are IDENTICAL to a from-scratch CC at that threshold (pinned by
+    * ErEvalSpec's cluster() cross-check at the 0.60 operating point).
+    * Cluster count per type = components among edge-connected labels +
+    * untouched singletons; types never cross-block (blockPairs keys on
+    * type), so components are type-pure by construction.
     *
-    * A profiling helper, not a hot-path operator: the per-threshold CC
-    * runs are sequential driver-submitted jobs, each a bounded shuffle.
+    * A profiling helper, not a hot-path operator: per-step jobs are
+    * driver-submitted sequentially, each a bounded shuffle.
     */
   def elbowSweep(labels: DataFrame,
                  thresholds: Seq[Double] = (6 to 17).map(_ * 0.05)): DataFrame = {
@@ -163,24 +177,104 @@ object EntityResolution {
       .select(col("id_a"), col("id_b"), col("type"), col("score")).cache()
     val perType = labels.groupBy(col("type")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val rows = thresholds.sorted.flatMap { t =>
-      val edges = scored.filter(col("score") >= t)
-      val stats =
-        if (edges.isEmpty) Map.empty[String, (Long, Long)]
-        else {
-          val comp = GraphAlgs.connectedComponents(
-            GraphAlgs.buildGraph(edges.select(col("id_a"), col("id_b")), "id_a", "id_b"))
-          // re-attach type: ids are global, each appears under one type
-          comp.join(labels.select(col("id").as("node_id"), col("type")), Seq("node_id"))
+    val lbl = labels.select(col("id").as("node_id"), col("type"))
+
+    // running (node_id, component) over edge-touched nodes; grows as the
+    // threshold descends. localCheckpoint bounds the per-step lineage.
+    // The whole loop runs at candidate-pair-proportional shuffle width
+    // (GraphAlgs.loopParts): every per-step join/agg is over data no
+    // bigger than the scored pair set, so a fixture-sized sweep stops
+    // paying full-width task barriers ~10 times per threshold.
+    var comp: Option[DataFrame] = None
+    var lastStats: Map[String, (Long, Long)] = Map.empty
+    var prevT = Double.PositiveInfinity
+    val rows = GraphAlgs.withShufflePartitions(spark,
+      GraphAlgs.loopParts(spark, scored.count())) {
+      thresholds.sorted.reverse.flatMap { t =>
+      val band = scored.filter(col("score") >= t && col("score") < prevT)
+        .select(col("id_a"), col("id_b"))
+      prevT = t
+      // contract the new band through the running assignment: an
+      // endpoint already in a component joins as its component label
+      val m = (comp match {
+        case None => band
+        case Some(c) => band
+          .join(c.select(col("node_id").as("id_a"), col("component").as("ca")),
+            Seq("id_a"), "left")
+          .join(c.select(col("node_id").as("id_b"), col("component").as("cb")),
+            Seq("id_b"), "left")
+          .select(coalesce(col("ca"), col("id_a")).as("id_a"),
+            coalesce(col("cb"), col("id_b")).as("id_b"))
+      })
+      // the contracted band is component-granular — orders of magnitude
+      // smaller than the corpus — so up to `driverCcLimit` edges the
+      // transitive closure is a driver union-find, and ONE limit-probe
+      // collect both fetches the edges and decides the path (a separate
+      // count would cost a whole extra job per threshold; the fixed
+      // per-job cost, not data, dominates this profiling loop). Beyond
+      // the limit: distributed CC, sized to the band. Both keep
+      // root = min member id, so the running assignment stays
+      // label-identical either way.
+      val probe = m.limit(driverCcLimit + 1).collect()
+      var mCached: Option[DataFrame] = None
+      if (probe.nonEmpty) {
+        val merged = (if (probe.length <= driverCcLimit) {
+          val parent = scala.collection.mutable.Map.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent(r) != r) r = parent(r)
+            var c = x
+            while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          probe.foreach { row =>
+            val (a, b) = (row.getLong(0), row.getLong(1))
+            parent.getOrElseUpdate(a, a)
+            parent.getOrElseUpdate(b, b)
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          parent.keys.toSeq.map(k => (k, find(k))).toDF("node_id", "component")
+        } else {
+          val mC = m.cache()
+          mCached = Some(mC)
+          GraphAlgs.connectedComponentsSized(mC, "id_a", "id_b", mC.count())
+        }).select(col("node_id").as("cnode"), col("component").as("root"))
+        val next = (comp match {
+          case None => merged.select(col("cnode").as("node_id"), col("root").as("component"))
+          case Some(c) =>
+            // old nodes: re-root components that merged; new nodes: the
+            // band endpoints CC just labeled (minus already-tracked ones)
+            val reRooted = c.join(merged, c("component") === col("cnode"), "left")
+              .select(col("node_id"), coalesce(col("root"), col("component")).as("component"))
+            // a prior component's label is always one of its tracked
+            // member node ids (min member), so one anti-join on node_id
+            // separates raw new nodes from contracted old components
+            val fresh = merged
+              .join(c.select(col("node_id").as("cnode")), Seq("cnode"), "left_anti")
+              .select(col("cnode").as("node_id"), col("root").as("component"))
+            reRooted.union(fresh)
+        }).localCheckpoint(true)
+        comp.foreach(_.unpersist(blocking = false))
+        comp = Some(next)
+        mCached.foreach(_.unpersist(blocking = false)) // next materialized
+        // the assignment changed: recompute the per-type stats
+        lastStats = comp match {
+          case None => Map.empty
+          case Some(c) => c.join(lbl, Seq("node_id"))
             .groupBy(col("type"))
             .agg(count(lit(1)).as("v"), countDistinct(col("component")).as("c"))
             .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
         }
+      } // else: empty band — assignment and therefore stats are unchanged
       perType.toSeq.map { case (tp, n) =>
-        val (v, c) = stats.getOrElse(tp, (0L, 0L))
+        val (v, c) = lastStats.getOrElse(tp, (0L, 0L))
         (t, tp, c + (n - v))
       }
     }
+    }
+    scored.unpersist(blocking = false)
+    comp.foreach(_.unpersist(blocking = false))
     rows.toDF("threshold", "type", "n_clusters")
       .orderBy(col("type"), col("threshold"))
   }

@@ -60,6 +60,35 @@ object GraphAlgs {
     */
   private val broadcastVertexLimit = 1000000L
 
+  /** Partition count for the iterative loops: proportional to the edge
+    * count (~2M edge rows per partition) and ceilinged by the session's
+    * configured shuffle partitions — a cluster's sizing still governs at
+    * 100 TB, while a small graph stops paying a full-width set of
+    * near-empty task barriers per superstep (the r5 bench: the gate-SF
+    * Q7 graph is ~2k edges, and 32-partition sweeps made Louvain+CC ~4x
+    * slower than the same loops at their natural width).
+    */
+  private[graft] def loopParts(spark: SparkSession, nEdges: Long): Int = {
+    val ceil = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(1, math.min(ceil.toLong, nEdges / 2000000L + 1L).toInt)
+  }
+
+  /** Run `f` with spark.sql.shuffle.partitions scoped to `n`, restoring
+    * the session value after. Safe for the iterative loops because every
+    * shuffle they plan executes eagerly inside the scope (localCheckpoint
+    * / count / broadcast builds); only the small final projection of each
+    * algorithm escapes, where AQE coalescing already applies.
+    */
+  private[graft] def withShufflePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    if (old == n.toString) f
+    else {
+      spark.conf.set(key, n.toString)
+      try f finally spark.conf.set(key, old)
+    }
+  }
+
   /** DataFrame-native ArticleRank over an (src, dst) edge table.
     * `tol` > 0 opts into an L1-delta early exit; the check costs one
     * extra vertex join + scan per superstep, and with damping 0.85 the
@@ -205,10 +234,35 @@ object GraphAlgs {
   def connectedComponentsUnd(und: DataFrame): DataFrame = {
     val spark = SparkSession.active
     import spark.implicits._
+    // GraphX keeps the input RDD's partition count through every Pregel
+    // superstep — coalesce to the edge-proportional width first (the
+    // count is cheap: the caller's contract is a cached edge table)
+    val parts = loopParts(spark, und.count())
     val e: RDD[Edge[Unit]] = und
       .select(col("src").cast("long"), col("dst").cast("long"))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+      .coalesce(parts)
     Graph.fromEdges(e, (), StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+      .connectedComponents().vertices
+      .map { case (id, comp) => (id, comp) }.toDF("node_id", "component")
+  }
+
+  /** Connected components over a DIRECTED (long, long) edge-pair
+    * DataFrame whose row count the caller already knows (it has the
+    * edges cached/counted — the elbow-sweep step shape): symmetrizes,
+    * then sizes the GraphX partitioning to the edge count like
+    * [[connectedComponentsUnd]], so a small step graph pays small
+    * supersteps instead of full-width task barriers.
+    */
+  def connectedComponentsSized(edges: DataFrame, src: String, dst: String,
+                               nEdges: Long): DataFrame = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    val parts = loopParts(spark, nEdges)
+    val e0 = edges.select(col(src).cast("long"), col(dst).cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ())).coalesce(parts)
+    val sym = e0.flatMap(x => Iterator(x, Edge(x.dstId, x.srcId, x.attr)))
+    Graph.fromEdges(sym, (), StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
       .connectedComponents().vertices
       .map { case (id, comp) => (id, comp) }.toDF("node_id", "component")
   }
@@ -332,12 +386,20 @@ object GraphAlgs {
     */
   private def louvainRep(rep0: DataFrame, maxLevels: Int,
                          maxSweeps: Int): DataFrame = {
+    val spark = SparkSession.active
     val vertices = rep0.select(col("src").as("node_id")).distinct().cache()
     val nVerts = vertices.count()
     if (nVerts == 0) return vertices.select(col("node_id"), col("node_id").as("community"))
+    val nEdges = rep0.count() // cheap: rep0 is cached by the callers
     val m2 = rep0.agg(sum(col("w"))).head.getDouble(0) // = 2m, level-invariant
     def small(df: DataFrame): DataFrame =
       if (nVerts < broadcastVertexLimit) broadcast(df) else df
+    // the whole sweep/contraction loop runs at edge-proportional width
+    // (every shuffle inside executes eagerly via localCheckpoint/count);
+    // exact for unit weights — all the loop's sums are integer-valued
+    // doubles, so partition count cannot change any score
+    withShufflePartitions(spark, loopParts(spark, nEdges)) {
+    try {
 
     /** One level of parity-alternating greedy local moves. Input/output:
       * (node_id, community) over the level's graph.
@@ -427,11 +489,16 @@ object GraphAlgs {
       }
       level += 1
     }
-    // partitioning-stable labels: community := min member node id
+    // partitioning-stable labels: community := min member node id;
+    // localCheckpoint keeps the final plan's execution inside this scope
+    // (and off the by-then-unpersisted vertices cache)
     val relabel = globalMap.groupBy(col("community"))
       .agg(min(col("node_id")).as("cmin"))
     globalMap.join(small(relabel), Seq("community"))
       .select(col("node_id"), col("cmin").as("community"))
+      .localCheckpoint(true)
+    } finally vertices.unpersist(blocking = false)
+    }
   }
 
   /** Louvain over a GraphX graph (edge list extracted, same as the other

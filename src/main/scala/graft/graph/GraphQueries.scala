@@ -252,6 +252,9 @@ object GraphQueries {
       val refines = both.groupBy(col("lc"))
         .agg(countDistinct(col("ccmp")).as("nc"))
         .agg(max(col("nc"))).head.getLong(0) <= 1L
+      // every invariant is computed by here — release the gate's caches so
+      // nothing squats on executor storage into the next query
+      Seq(dd, both, deg, und).foreach(_.unpersist(blocking = false))
       Seq((wc * m2 - dc, nComms >= nComps,
         (wl * m2 - dl) * 100L >= (wc * m2 - dc) * 95L,
         nComps, nNodes, refines, m2, valid))
@@ -341,6 +344,7 @@ object GraphQueries {
         .agg(count(lit(1)).as("ncomp"),
           coalesce(max(col("csz")), lit(0L)).as("maxcsz")).head
       val (nComp, maxCsz) = (c.getLong(0), c.getLong(1))
+      und.unpersist(blocking = false) // all consumers materialized above
       Seq((nComm >= nComp && nComm <= sumSizes,
         maxSize <= maxCsz, minSize >= 1L, sumSizes))
         .toDF("communities_in_bounds", "max_size_within_component",

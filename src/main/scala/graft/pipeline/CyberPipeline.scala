@@ -34,7 +34,8 @@ case class PipelineConfig(
     githubLanguagesParquet: Option[String] = None,
     githubContributorsParquet: Option[String] = None,
     erThresholds: Map[String, Double] = Map(),
-    quoteAll: Boolean = true)
+    quoteAll: Boolean = true,
+    rssFeedDir: Option[String] = None)
 
 object CyberPipeline {
 
@@ -57,9 +58,45 @@ object CyberPipeline {
       Mitre.techniques(spark, Mitre.readBundle(spark, conf.mitreBundle)),
       s"$work/enterprise_attack")
 
-    // stage C: scraped alerts → munge + CVE/TTP extraction (c7-c18)
+    // stage C0 (optional, S4 streaming): RSS/Atom advisories drained
+    // through the production file-sink shape — readStream over the feed
+    // drop dir, AvailableNow trigger, parquet sink + checkpoint under the
+    // work dir (so a re-run reprocesses only NEW feed files), read back
+    // and adapted to the scraped-alerts schema. Productionizes the
+    // reference's abandoned feedparser probe (alerts/parse_alert.ipynb
+    // c1-c11) per SURVEY §7: the feed path and the scrape path meet
+    // BEFORE cleanup, so every downstream stage treats both identically.
+    val scraped = spark.read.parquet(conf.alertsParquet)
+    val rawAlerts = conf.rssFeedDir match {
+      case None => scraped
+      case Some(feedDir) =>
+        import org.apache.spark.sql.streaming.Trigger
+        val sink = s"$work/rss_entries"
+        val q = graft.sources.Rss.readStream(spark, feedDir).writeStream
+          .outputMode("append")
+          .format("parquet")
+          .option("path", s"$sink/data")
+          .option("checkpointLocation", s"$sink/chk")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        // an empty feed dir produces no sink output at all — read back
+        // well-typed either way (entrySchema pins the column types)
+        val entries =
+          if (new java.io.File(s"$sink/data").isDirectory)
+            spark.read.schema(graft.sources.Rss.entrySchema).parquet(s"$sink/data")
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            graft.sources.Rss.entrySchema)
+        scraped.unionByName(
+          graft.sources.Rss.entriesAsAlerts(entries)
+            .select(scraped.columns.map(col).toSeq: _*))
+    }
+
+    // stage C: scraped (+ feed) alerts → munge + CVE/TTP extraction
+    // (c7-c18)
     val alerts = Checkpoints.checkpoint(
-      Alerts.cleanAlerts(spark.read.parquet(conf.alertsParquet)),
+      Alerts.cleanAlerts(rawAlerts),
       s"$work/alerts_clean")
     val alertNodes = Alerts.alertNodes(alerts)
     val alertCve = Alerts.alertCveEdges(alerts)

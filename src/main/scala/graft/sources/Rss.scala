@@ -130,6 +130,42 @@ object Rss {
         .schema("path string, modificationTime timestamp, length long, content binary")
         .load(path)))
 
+  /** Schema of persisted entry rows — [[readStream]]'s output drained
+    * through a parquet file sink: [[schema]] plus the normalized
+    * `published_ts`. Pass to `spark.read.schema(...)` on the sink dir so
+    * an empty first batch still reads back well-typed.
+    */
+  val entrySchema: StructType =
+    StructType(schema.fields :+ StructField("published_ts", TimestampType))
+
+  /** Adapt feed entries to the scraped-alerts input shape
+    * `[link, alert_id, title, date, text]` consumed by
+    * `etl.Alerts.cleanAlerts` — the productionized form of the
+    * reference's abandoned feedparser probe (alerts/parse_alert.ipynb
+    * c1-c11 fetched the CISA feed but never joined it into the graph):
+    * the alert id comes from the advisory-code title prefix (CISA's
+    * "AA##-###X: ..." convention) with guid/link basenames as fallback,
+    * the link is made site-relative (cleanAlerts re-prefixes the host),
+    * and the published timestamp is re-formatted to the scrape's
+    * "MMMM d, yyyy" date string so one cleanup stage serves both paths.
+    */
+  def entriesAsAlerts(entries: DataFrame): DataFrame = {
+    val idFromTitle =
+      regexp_extract(col("title"), "^(A[A-Z]\\d{2}-\\d{3}[A-Za-z]?)", 1)
+    val idFromGuid = regexp_extract(coalesce(col("guid"), lit("")), "([^/]+?)/?$", 1)
+    val idFromLink = regexp_extract(coalesce(col("link"), lit("")), "([^/]+?)/?$", 1)
+    entries.select(
+      regexp_replace(col("link"), "^https?://[^/]+", "").as("link"),
+      coalesce(
+        nullif(idFromTitle, lit("")),
+        nullif(idFromGuid, lit("")),
+        nullif(idFromLink, lit(""))).as("alert_id"),
+      regexp_replace(col("title"), "^A[A-Z]\\d{2}-\\d{3}[A-Za-z]?\\s*:\\s*", "")
+        .as("title"),
+      date_format(col("published_ts"), "MMMM d, yyyy").as("date"),
+      col("summary").as("text"))
+  }
+
   private def withPublishedTs(entries: DataFrame): DataFrame = {
     // RFC-1123 (RSS pubDate): Spark 3+ patterns can't PARSE day-of-week
     // (EEE), so strip it and map the named UTC zones to a numeric offset

@@ -87,6 +87,46 @@ class PipelineSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(labels == Set("evil", "initech systems"))
   }
 
+  test("pipeline: RSS feed entries flow through the streaming path into every stage") {
+    // fresh work/out dirs: this test must not resume from the other
+    // tests' alerts_clean checkpoint, which predates the feed union
+    val base2 = Files.createTempDirectory("graft_pipeline_rss").toString
+    val feedDir = s"$base2/feeds"
+    Files.createDirectories(java.nio.file.Paths.get(feedDir))
+    // a third advisory arriving by feed: CVE + the fixture TTP in the
+    // summary, advisory code in the title (the CISA convention)
+    val feedXml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<rss version="2.0"><channel>
+        |  <title>CISA Cybersecurity Advisories</title>
+        |  <item>
+        |    <title>AA22-003A: Feed Alert</title>
+        |    <link>https://www.cisa.gov/alert/aa22-003a</link>
+        |    <pubDate>Wed, 06 Apr 2022 00:00:00 GMT</pubDate>
+        |    <guid>https://www.cisa.gov/alert/aa22-003a</guid>
+        |    <description>Feed actors exploit CVE-2022-0003 using [T1064] macros.</description>
+        |  </item>
+        |</channel></rss>""".stripMargin
+    Files.write(java.nio.file.Paths.get(s"$feedDir/alerts.xml"),
+      feedXml.getBytes("UTF-8"))
+    val rssConf = conf.copy(workDir = s"$base2/work", outDir = s"$base2/out",
+      rssFeedDir = Some(feedDir))
+    val counts = CyberPipeline.run(spark, rssConf, nerFixture)
+    // the feed advisory lands next to the two scraped ones everywhere
+    assert(counts("alert_nodes") == 3)
+    assert(counts("alert_cve_edge") == 3)  // CVE-2022-0003 extracted
+    assert(counts("alert_ttp_data") == 3)  // T1064 joins the MITRE fixture
+    // NER fixture has no mentions for AA22-003A: ER surface unchanged
+    assert(counts("alert_ner_label_weights") == 3)
+    val nodes = Csv.read(spark, s"${rssConf.outDir}/alert_nodes")
+    val feedRow = nodes.filter(col("alert_id") === "AA22-003A").collect()
+    assert(feedRow.length == 1)
+    assert(feedRow(0).getAs[String]("title") == "Feed Alert")
+    assert(feedRow(0).getAs[String]("full_path") ==
+      "https://www.cisa.gov/alert/aa22-003a")
+    assert(String.valueOf(feedRow(0).getAs[Any]("date")).startsWith("2022-04-06"))
+  }
+
   test("pipeline: re-run resumes from checkpoints (stage outputs not recomputed)") {
     CyberPipeline.run(spark, conf, nerFixture) // ensure first run happened
     val marker = new java.io.File(s"${conf.workDir}/cve_node_data/_SUCCESS")
