@@ -107,20 +107,26 @@ object AnnOps {
         .orderBy(col("sig"))
     },
     Some {
-      // one projection term per plane p: sum over dims of +-emb[d]
-      val planes = (0 until 8).map { p =>
-        s"""CASE WHEN list_sum(list_transform(range(len(emb)), d ->
-              CASE WHEN substring(md5('$p' || '_' || CAST(d AS VARCHAR)), 1, 1) < '8'
-                   THEN emb[d + 1] ELSE -emb[d + 1] END)) >= 0
-            THEN '1' ELSE '0' END"""
-      }.mkString(" || ")
       s"""WITH e AS (SELECT vec_id,
               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
             FROM embeddings),
-        sig AS (SELECT vec_id, $planes AS sig FROM e)
+        sig AS (SELECT vec_id, ${planeSql(8)} AS sig FROM e)
         SELECT sig, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec
         FROM sig GROUP BY sig ORDER BY sig"""
     })
+
+  /** DuckDB replica of [[planeBits]] over a CTE exposing `emb`: one
+    * projection term per plane p — sum over dims of +-emb[d], sign from
+    * the same md5("p_d") convention — concatenated to an `nPlanes`-bit
+    * "1"/"0" string. Shared by the a02 and a04 oracles.
+    */
+  private def planeSql(nPlanes: Int): String =
+    (0 until nPlanes).map { p =>
+      s"""CASE WHEN list_sum(list_transform(range(len(emb)), d ->
+            CASE WHEN substring(md5('$p' || '_' || CAST(d AS VARCHAR)), 1, 1) < '8'
+                 THEN emb[d + 1] ELSE -emb[d + 1] END)) >= 0
+          THEN '1' ELSE '0' END"""
+    }.mkString(" || ")
 
   /** Banded hyperplane-LSH top-k retrieval — the search companion to
     * a02's signature/index build: `nPlanes` sign bits split into
@@ -172,6 +178,40 @@ object AnnOps {
       .select(col("q_id"), col("vec_id"), col("rank"), col("sim"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** The [[lshKnn]] default (8 planes x 4 bands, k=10) as a gated query:
+    * banded-LSH retrieval vs the DuckDB band-join replica — the search
+    * half of the a02 index build, oracled end-to-end (candidate
+    * generation AND exact re-scoring), so approximation plumbing bugs
+    * (band slicing, OR-amplification dedup, query-side exclusion) fail
+    * the hash compare rather than just nudging recall.
+    */
+  val a04 = QueryDef(
+    "a04_lsh_knn",
+    "banded hyperplane-LSH top-k retrieval (8 planes x 4 bands)",
+    (s, dir) => lshKnn(s, dir),
+    Some {
+      s"""WITH e AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings),
+        n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS norm FROM e),
+        sig AS (SELECT vec_id, ${planeSql(8)} AS sig FROM e),
+        bands AS (SELECT vec_id, CAST(b.range AS INT) AS band,
+                    substring(sig, CAST(b.range AS INT) * 2 + 1, 2) AS bsig
+                  FROM sig CROSS JOIN range(4) b),
+        cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id
+                 FROM bands c JOIN bands q USING (band, bsig)
+                 WHERE c.vec_id >= 5 AND q.vec_id < 5),
+        q AS (SELECT vec_id AS q_id, emb AS q_emb, norm AS q_norm FROM n WHERE vec_id < 5),
+        sc AS (SELECT c.q_id, c.vec_id,
+                 list_dot_product(qq.q_emb, v.emb) / (qq.q_norm * v.norm) AS sim
+               FROM cand c JOIN q qq USING (q_id) JOIN n v ON v.vec_id = c.vec_id)
+        SELECT q_id, vec_id, rank, sim FROM (
+          SELECT q_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+          FROM sc) t
+        WHERE rank <= 10 ORDER BY q_id, rank"""
+    })
 
   /** IVF-Flat shape (the other standard ANN scale path next to a02's
     * LSH): a deterministic coarse quantizer — the first 16 vectors act as
@@ -258,5 +298,5 @@ object AnnOps {
         FROM sc) t
       WHERE rank <= 10 ORDER BY q_id, rank"""))
 
-  val all: Seq[QueryDef] = Seq(a01, a02, a03)
+  val all: Seq[QueryDef] = Seq(a01, a02, a03, a04)
 }
