@@ -73,6 +73,19 @@ object GraphAlgs {
     math.max(1, math.min(ceil.toLong, nEdges / 2000000L + 1L).toInt)
   }
 
+  /** Rebuild a (small-schema, checkpoint-materialized) DataFrame as a
+    * fresh Row-RDD-backed one, severing Catalyst's STATISTICS lineage:
+    * localCheckpoint propagates the origin plan's estimated sizeInBytes,
+    * and an iterative plan that references its previous iteration k
+    * times raises that estimate to the k-th power per iteration — the
+    * BigInt's digit count grows geometrically and the stats visitor
+    * freezes in Toom-Cook multiplication within ~10 iterations. The
+    * narrow Row round-trip costs one map over the persisted checkpoint
+    * blocks per consumer and resets the estimate to the session default.
+    */
+  private def statsReset(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   /** Run `f` with spark.sql.shuffle.partitions scoped to `n`, restoring
     * the session value after. Safe for the iterative loops because every
     * shuffle they plan executes eagerly inside the scope (localCheckpoint
@@ -135,16 +148,25 @@ object GraphAlgs {
       val base = vertices
         .join(small(msgs), vertices("node_id") === msgs("dst"), "left")
       if (tol > 0) {
-        // opt-in convergence: carry prev rank, L1-delta scan on the
-        // materialized superstep
-        val next = base
+        // opt-in convergence: L1-delta against the pre-checkpoint ranks,
+        // computed as a SEPARATE query after the checkpoint. Two things
+        // hide here: (a) the delta scan is the checkpoint's first action,
+        // so the lazy checkpoint materializes in the same job (eager
+        // would pay a separate job per superstep); (b) the checkpointed
+        // plan must reference `ranks` exactly ONCE (via msgs) — the
+        // previous form joined prev-rank into the checkpointed plan,
+        // referencing ranks twice, and localCheckpoint's stats rewrite
+        // then SQUARES the estimated sizeInBytes every superstep:
+        // double-exponential BigInt growth that freezes Catalyst's stats
+        // visitor after ~30 supersteps.
+        val next = base.select(col("node_id"), newRank.as("rank"))
+          .localCheckpoint(false)
+        val delta = next
           .join(small(ranks.select(col("node_id").as("pid"), col("rank").as("prev"))),
-            vertices("node_id") === col("pid"))
-          .select(col("node_id"), newRank.as("rank"), col("prev"))
-          .localCheckpoint(true) // materializes AND truncates lineage
-        val delta = next.agg(sum(abs(col("rank") - col("prev")))).head.getDouble(0)
+            col("node_id") === col("pid"))
+          .agg(sum(abs(col("rank") - col("prev")))).head.getDouble(0)
         ranks.unpersist(blocking = false)
-        ranks = next.select(col("node_id"), col("rank"))
+        ranks = next
         i += 1
         if (delta < tol) i = iters
       } else {
@@ -406,8 +428,14 @@ object GraphAlgs {
       */
     def localMoves(e: DataFrame): DataFrame = {
       val deg = e.groupBy(col("src").as("node_id")).agg(sum(col("w")).as("k"))
-      var comm = deg.select(col("node_id"), col("node_id").as("community"), col("k"))
+      // commCk is the checkpoint handle (for unpersist); comm is the
+      // stats-severed view the sweep plans against — one sweep references
+      // comm ~4 times (sigma/nbr/candidates/argmax), so WITHOUT the
+      // reset the checkpoint's estimated sizeInBytes is raised to the
+      // 4th power every sweep (see [[statsReset]])
+      var commCk = deg.select(col("node_id"), col("node_id").as("community"), col("k"))
         .localCheckpoint(true)
+      var comm = statsReset(commCk)
       var sweep = 0
       // terminate only after BOTH parity classes sweep without a move: a
       // single zero-move sweep only proves the active parity is stable
@@ -453,29 +481,38 @@ object GraphAlgs {
             col("k"),
             (pmod(col("node_id"), lit(2)) === parity && col("new_comm").isNotNull &&
               col("new_comm") =!= col("community")).as("moved"))
-          .localCheckpoint(true) // materialized: the moved-count below is a cheap scan
+          // LAZY checkpoint: the moved-count below materializes the
+          // blocks in the SAME job (eager would pay a separate
+          // checkpoint job first — at gate SF the sweep loop's cost is
+          // job count, not data)
+          .localCheckpoint(false)
         val moved = next.filter(col("moved")).count()
         zeroStreak = if (moved == 0) zeroStreak + 1 else 0
-        comm.unpersist(blocking = false)
-        comm = next.select(col("node_id"), col("community"), col("k"))
+        commCk.unpersist(blocking = false)
+        commCk = next
+        comm = statsReset(next).select(col("node_id"), col("community"), col("k"))
         sweep += 1
       }
       comm.select(col("node_id"), col("community"))
     }
 
+    // the level loop's checkpoints are LAZY (plan truncation is what
+    // they buy; materialization rides the control-flow counts or, for
+    // the globalMap chain, the single eager checkpoint at return —
+    // which also keeps the whole chain's execution inside this scope)
     var globalMap = vertices.select(col("node_id"), col("node_id").as("community"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var curEdges = rep0
     var prevCount = nVerts
     var level = 0
     var done = false
     while (level < maxLevels && !done) {
-      val comm = localMoves(curEdges).localCheckpoint(true)
+      val comm = localMoves(curEdges).localCheckpoint(false)
       val nComm = comm.select(col("community")).distinct().count()
       globalMap = globalMap.as("g")
         .join(comm.as("c"), col("g.community") === col("c.node_id"))
         .select(col("g.node_id"), col("c.community"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       if (nComm == prevCount) done = true // no contraction progress
       else {
         prevCount = nComm
@@ -485,7 +522,7 @@ object GraphAlgs {
           .join(cb.select(col("node_id").as("dst"), col("community").as("cd")), Seq("dst"))
           .groupBy(col("cs").as("src"), col("cd").as("dst"))
           .agg(sum(col("w")).as("w"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
       }
       level += 1
     }

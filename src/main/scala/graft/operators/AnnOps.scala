@@ -213,6 +213,28 @@ object AnnOps {
         WHERE rank <= 10 ORDER BY q_id, rank"""
     })
 
+  /** Per-query retrieval recall of an approximate ANN result against the
+    * exact baseline, both in the `(q_id, vec_id, rank, sim)` result shape
+    * produced by [[a01]]/[[lshKnn]]/[[a03]] — the tuning signal for
+    * band/probe choices (recall floors for the shipped defaults are
+    * pinned in AnnRecallSpec). Output: `(q_id, n_exact, n_hit, recall)`,
+    * one row per query; `avg(recall)` gives the corpus mean. Distributed:
+    * one semi-join on (q_id, vec_id) + per-query counts — no collect, so
+    * it scales to evaluation sets far beyond driver memory.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val ex = exact.select(col("q_id"), col("vec_id"))
+    val hits = ex
+      .join(approx.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    ex.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+      .orderBy(col("q_id"))
+  }
+
   /** IVF-Flat shape (the other standard ANN scale path next to a02's
     * LSH): a deterministic coarse quantizer — the first 16 vectors act as
     * centroids (seeded, no k-means iterations, so the DuckDB oracle can

@@ -47,6 +47,32 @@ class GraphAlgsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(math.abs(got(2L) - 0.575) < 1e-12)
   }
 
+  test("articleRankDF tol path: delta check changes no values; huge tol exits after one superstep") {
+    // mixed graph (cycles + sink feeds). tol=1e-12 cannot fire inside 40
+    // supersteps (delta ~ 0.85^k), so this pins that ADDING the delta
+    // check never changes the computed ranks — and that the tol path
+    // survives 40 supersteps at all (it used to double-exponentiate the
+    // checkpoint's estimated sizeInBytes by referencing ranks twice,
+    // freezing Catalyst's stats visitor after ~30 supersteps)
+    val e = edgeDf(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 1L, 4L -> 1L,
+      4L -> 2L, 5L -> 4L, 1L -> 5L)
+    val full = GraphAlgs.articleRankDF(e, iters = 40).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val checked = GraphAlgs.articleRankDF(e, iters = 40, tol = 1e-12).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(full.keySet == checked.keySet)
+    full.foreach { case (k, v) =>
+      assert(math.abs(checked(k) - v) < 1e-12, s"node $k: ${checked(k)} vs $v")
+    }
+    // an absurdly large tol fires after the very first delta scan, so the
+    // result must equal the fixed one-superstep run exactly
+    val one = GraphAlgs.articleRankDF(e, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fired = GraphAlgs.articleRankDF(e, iters = 40, tol = Double.MaxValue).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fired == one, "huge tol must stop after superstep 1")
+  }
+
   test("articleRankGraphX == articleRankDF to float-summation noise (incl. sinks)") {
     // star (undirected), a directed chain WITH a sink (4 has no out-edges),
     // and a denser mixed graph — the three degree regimes

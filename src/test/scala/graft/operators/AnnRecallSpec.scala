@@ -58,4 +58,18 @@ class AnnRecallSpec extends AnyFunSuite with graft.SparkTestSession {
   test("lshKnn rejects a band count that does not divide the planes") {
     intercept[IllegalArgumentException] { AnnOps.lshKnn(spark, dir, nPlanes = 8, nBands = 3) }
   }
+
+  test("recallAtK (the library-side harness) agrees with the local computation") {
+    val approx = AnnOps.a03.run(spark, dir)
+    val rows = AnnOps.recallAtK(approx, AnnOps.a01.run(spark, dir)).collect()
+    assert(rows.map(_.getLong(0)).toSet == (0L to 4L).toSet)
+    val perQuery = rows.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val local = exact.map { case (q, ex) =>
+      q -> topK(approx.collect()).getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+    }
+    local.foreach { case (q, r) =>
+      assert(math.abs(perQuery(q) - r) < 1e-12, s"q$q: ${perQuery(q)} vs $r")
+    }
+    rows.foreach(r => assert(r.getLong(1) == 10L))
+  }
 }
