@@ -100,11 +100,15 @@ class ErEvalSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(sweep.head._2 >= 1 && sweep.last._2 <= n)
     assert(sweep.head._2 < sweep.last._2,
       "sweep is flat — thresholding isn't separating anything on the fixture")
-    // the c44 ORG operating point (0.60) reproduces cluster()'s count
-    val atC44 = sweep.find(p => math.abs(p._1 - 0.6) < 1e-9).get._2
-    val direct = EntityResolution.cluster(labels, Map(tpe -> 0.6), 0.6)
-      .select(col("cluster_id")).distinct().count()
-    assert(atC44 == direct,
-      s"sweep count $atC44 at 0.60 != cluster() count $direct")
+    // EVERY sweep threshold reproduces an independent from-scratch
+    // cluster() count — the incremental descending-threshold contraction
+    // (band edges folded through the running component assignment, driver
+    // union-find under the cap) must be label-exact at every step, not
+    // just at the c44 operating point
+    sweep.foreach { case (t, c) =>
+      val direct = EntityResolution.cluster(labels, Map(tpe -> t), t)
+        .select(col("cluster_id")).distinct().count()
+      assert(c == direct, f"sweep count $c at t=$t%.2f != cluster() count $direct")
+    }
   }
 }

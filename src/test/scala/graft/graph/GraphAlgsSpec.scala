@@ -21,6 +21,20 @@ class GraphAlgsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponentsSized matches connectedComponents (elbow-sweep distributed path)") {
+    // the elbow sweep's beyond-driver-cap fallback: directed pairs in,
+    // symmetrized internally, edge-proportional partitioning — labels
+    // must be the same min-member ids the GraphX path produces
+    val e = edgeDf(1L -> 2L, 2L -> 3L, 10L -> 11L, 7L -> 3L, 20L -> 20L)
+    val viaSized = GraphAlgs.connectedComponentsSized(e, "src", "dst", 5L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaGraph = GraphAlgs.connectedComponents(
+      GraphAlgs.buildGraph(e, "src", "dst")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSized == viaGraph)
+    assert(viaSized(7L) == 1L && viaSized(11L) == 10L && viaSized(20L) == 20L)
+  }
+
   test("articleRank: star center outranks leaves; deterministic across runs") {
     // undirected 5-node star centered at 0
     val star = edgeDf(0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 4L)
