@@ -86,15 +86,21 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     // a filter on the partition column must prune DIRECTORIES at planning
     // time, not rows at scan time
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
-    Tables.load(spark, sf, "events")
-      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
-    val q = spark.read.parquet(dir).filter(col("event_type") === "click")
-      .agg(count(lit(1)))
-    q.collect()
-    val p = q.queryExecution.executedPlan.toString
-    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
-    assert(scanLine.contains("event_type"), p.take(2000))
-    // and the predicate does NOT appear as a post-scan row filter
-    assert(!p.contains("PushedFilters: [IsNotNull(event_type)"), p.take(2000))
+    try {
+      Tables.load(spark, sf, "events")
+        .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      val q = spark.read.parquet(dir).filter(col("event_type") === "click")
+        .agg(count(lit(1)))
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString
+      val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+      assert(scanLine.contains("event_type"), p.take(2000))
+      // and the predicate does NOT appear as a post-scan row filter
+      assert(!p.contains("PushedFilters: [IsNotNull(event_type)"), p.take(2000))
+    } finally {
+      // the layout is re-written per run — don't accumulate in /tmp
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
   }
 }
