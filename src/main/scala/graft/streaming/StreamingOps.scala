@@ -52,6 +52,48 @@ object StreamingOps {
     root
   }
 
+  /** State-store partition count for a gate's streaming query: one per
+    * ~64 MB of source bytes, CEILINGED by the session's configured
+    * shuffle partitions (cluster sizing still governs at 100 TB) and
+    * falling back to that ceiling when the source isn't a local
+    * directory (production object stores). Stateful operators create one
+    * state store per shuffle partition and pay per-microbatch
+    * open/commit work on each, so dozens of near-empty stores dominate
+    * wall time on small inputs — [[graft.graph.GraphAlgs.loopParts]]'s
+    * sizing principle applied to streaming state. The width is captured
+    * at query START and pinned in the checkpoint thereafter, which is
+    * why the scope must cover start-to-drain, and why a per-gate fresh
+    * checkpoint re-derives it per run.
+    */
+  private def streamParts(s: SparkSession, srcDir: String): Int = {
+    val ceil = s.conf.get("spark.sql.shuffle.partitions").toInt
+    try {
+      val files = new java.io.File(srcDir).listFiles
+      if (files == null) ceil
+      else {
+        def size(f: java.io.File): Long =
+          if (f.isDirectory) Option(f.listFiles).map(_.map(size).sum).getOrElse(0L)
+          else f.length
+        val bytes = files.filter(_.getName.contains("events")).map(size).sum
+        math.max(1, math.min(ceil.toLong, bytes / (64L << 20) + 1L).toInt)
+      }
+    } catch { case _: Throwable => ceil }
+  }
+
+  /** Run `f` (query start + drain) with shuffle partitions scoped to the
+    * stream-state width for `srcDir`, restoring the session value after.
+    */
+  private def withStreamParts[T](s: SparkSession, srcDir: String)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    val n = streamParts(s, srcDir).toString
+    if (old == n) f
+    else {
+      s.conf.set(key, n)
+      try f finally s.conf.set(key, old)
+    }
+  }
+
   /** The production sink shape shared by every append-mode gate
     * (st02–st05): parquet file sink + checkpoint dir = exactly-once,
     * restartable, executor-side output — state the stream's own size,
@@ -60,22 +102,26 @@ object StreamingOps {
     * complete-mode output REQUIRES a driver-side table and is
     * vertex-histogram-sized by construction.) Results are read back
     * from the files with the plan's own schema, so a run that emits
-    * zero rows still yields an empty, well-typed DataFrame.
+    * zero rows still yields an empty, well-typed DataFrame. The query
+    * starts and drains inside a [[withStreamParts]] scope sized to
+    * `srcDir`.
     */
   private def runAppendToFiles(s: SparkSession, out: DataFrame,
-                               name: String): DataFrame = {
+                               name: String, srcDir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory(tmpRoot, name).toString
-    val q = out.writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", s"$tmp/data")
-      .option("checkpointLocation", s"$tmp/chk")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.processAllAvailable() finally {
-      sinkDescriptions(name) =
-        Option(q.lastProgress).map(_.sink.description).getOrElse("")
-      q.stop()
+    withStreamParts(s, srcDir) {
+      val q = out.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$tmp/data")
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally {
+        sinkDescriptions(name) =
+          Option(q.lastProgress).map(_.sink.description).getOrElse("")
+        q.stop()
+      }
     }
     s.read.schema(out.schema).parquet(s"$tmp/data")
   }
@@ -104,16 +150,18 @@ object StreamingOps {
       val agg = src
         .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
-      val q = agg.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(tableName)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try {
-        q.processAllAvailable()
-      } finally {
-        q.stop()
+      withStreamParts(s, dir) {
+        val q = agg.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(tableName)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try {
+          q.processAllAvailable()
+        } finally {
+          q.stop()
+        }
       }
       s.table(tableName)
         .select(
@@ -152,7 +200,7 @@ object StreamingOps {
         .select(
           unix_millis(col("window.start")).as("window_ms"),
           col("event_type"), col("n"))
-      runAppendToFiles(s, agg, "st02")
+      runAppendToFiles(s, agg, "st02", dir)
         .orderBy(col("window_ms"), col("event_type"))
     },
     Some("""WITH t AS (SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_type FROM events),
@@ -188,7 +236,7 @@ object StreamingOps {
       // micro-batches the sink may hold such re-emissions — the invariant
       // the oracle checks is the KEY SET, which distinct() pins without
       // depending on single-batch file listing
-      runAppendToFiles(s, src, "st03").distinct()
+      runAppendToFiles(s, src, "st03", dir).distinct()
         .orderBy(col("user_id"), col("event_type"))
     },
     Some("""SELECT DISTINCT user_id, event_type FROM events
@@ -222,7 +270,7 @@ object StreamingOps {
         .flatMapGroupsWithState(
           OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
           sessionize(1800000L))
-      runAppendToFiles(s, sessions.toDF(), "st04")
+      runAppendToFiles(s, sessions.toDF(), "st04", dir)
         .orderBy(col("user_id"), col("session_start"))
     },
     Some("""WITH e AS (SELECT user_id, event_id,
@@ -278,7 +326,7 @@ object StreamingOps {
           col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
       val out = j.select(col("c_user").as("user_id"),
         col("c_id").as("click_id"), col("p_id").as("purchase_id"))
-      runAppendToFiles(s, out, "st05")
+      runAppendToFiles(s, out, "st05", dir)
         .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
     },
     Some("""WITH e AS (SELECT event_id, user_id, event_type,
