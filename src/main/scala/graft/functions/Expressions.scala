@@ -4,8 +4,9 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Native Catalyst expressions (SURVEY §4.3 custom work items 1 and F7).
   *
@@ -149,6 +150,68 @@ case class VecDot(left: Expression, right: Expression)
          |}
        """.stripMargin
     })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `bloom_might_contain(bigint, binary) -> boolean`, null-safe, codegen'd.
+  *
+  * Probes a serialized `org.apache.spark.util.sketch.BloomFilter` (the
+  * format `DataFrameStatFunctions.bloomFilter` emits) with a pre-hashed
+  * long key — pair it with the built-in `xxhash64` on the probe side and
+  * build the filter over the same `xxhash64` column, so the per-row work
+  * is one primitive hash + bit-test with zero allocation (probing strings
+  * directly would re-encode every row to a JVM String).
+  *
+  * False positives are by design: callers use this as a PRE-filter ahead
+  * of an exact join that removes them (see
+  * [[graft.operators.DedupOps.contaminationPairsBloom]]) — which is why a
+  * fpp of ~1% is fine and why results stay oracle-exact.
+  *
+  * The filter argument must be a foldable binary (a `lit(bytes)`): it is
+  * deserialized ONCE lazily per JVM — the bytes ride to executors inside
+  * the literal child, so nothing here depends on the filter object's own
+  * serializability.
+  */
+case class BloomMightContain(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a bigint probe (use xxhash64), got ${left.dataType.catalogString}")
+    else if (right.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a binary filter, got ${right.dataType.catalogString}")
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a foldable (literal) filter argument")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  @transient private lazy val bloom: BloomFilter = {
+    val bytes = right.eval(null).asInstanceOf[Array[Byte]]
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+  }
+
+  /** Codegen/interpreted shared probe; called via an `addReferenceObj`
+    * handle on this expression, so the deserialized filter is cached in
+    * the generated class's references, not rebuilt per row.
+    */
+  def mightContain(h: Long): Boolean = bloom.mightContainLong(h)
+
+  override def nullSafeEval(h: Any, _bytes: Any): Any =
+    mightContain(h.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomExpr", this,
+      classOf[BloomMightContain].getName)
+    nullSafeCodeGen(ctx, ev, (h, _) => s"${ev.value} = $ref.mightContain($h);")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

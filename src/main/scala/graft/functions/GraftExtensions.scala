@@ -33,7 +33,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => AsciiFold(args.head)),
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (args: Seq[Expression]) => VecDot(args(0), args(1))))
+      (args: Seq[Expression]) => VecDot(args(0), args(1))),
+    (FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (args: Seq[Expression]) => BloomMightContain(args(0), args(1))))
 
   /** Idempotent registration into an existing session: SQL functions into
     * the registry, [[VecDotRewrite]] into the experimental optimizer batch
@@ -78,5 +81,14 @@ object GraftFunctions {
   def vecDot(a: Column, b: Column): Column = {
     ensureRegistered()
     call_function("vec_dot", a, b)
+  }
+
+  /** Probe a serialized sketch BloomFilter with a pre-hashed long column
+    * (pair with `xxhash64` on both build and probe sides).
+    */
+  def bloomMightContain(hashed: Column, filterBytes: Array[Byte]): Column = {
+    ensureRegistered()
+    call_function("bloom_might_contain", hashed,
+      org.apache.spark.sql.functions.lit(filterBytes))
   }
 }

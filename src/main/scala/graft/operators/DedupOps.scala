@@ -392,6 +392,54 @@ object DedupOps {
       FROM corp c JOIN bench b USING (sh)
       GROUP BY 1, 2 ORDER BY doc_id, bench_id"""))
 
+  /** d07 core: decontamination with a Bloom-filter PRE-filter — the shape
+    * for when even the eval-suite shingle set outgrows the broadcast row
+    * contract that [[contaminationPairs]] relies on. The filter is built
+    * DISTRIBUTED (`stat.bloomFilter` tree-aggregates per-partition bit
+    * vectors) over `xxhash64(sh)` of the benchmark side, and only its
+    * BITS ship to executors (~1.2 MB per 1M keys at 1% fpp vs tens of MB
+    * of raw shingle strings). The corpus side then drops every shingle
+    * the filter rules out BEFORE any join: in the shuffle-fallback case
+    * this cuts the shuffled corpus volume from |corpus shingles| to
+    * ~|true matches| + fpp·|corpus shingles|. The exact join afterwards
+    * removes Bloom false positives, so the result — and the DuckDB
+    * oracle — is identical to [[contaminationPairs]] bit for bit.
+    *
+    * Probe cost is one codegen'd hash + bit-test per row
+    * ([[graft.functions.BloomMightContain]]); the verify join still
+    * broadcasts the bench side under the size contract, so at gate SF the
+    * plan is d05's plan plus a map-side filter.
+    */
+  private[graft] def contaminationPairsBloom(sh: DataFrame, benchMod: Long = 97L,
+      fpp: Double = 0.01, broadcastLimit: Long = broadcastRowLimit): DataFrame = {
+    val bench = sh.filter(pmod(col("doc_id"), lit(benchMod)) === 0)
+      .withColumnRenamed("doc_id", "bench_id").cache()
+    val nBench = bench.count() // fills the cache AND enforces the contract
+    val bf = bench.select(xxhash64(col("sh")).as("h"))
+      .stat.bloomFilter("h", math.max(nBench, 1L), fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val corp = sh.filter(pmod(col("doc_id"), lit(benchMod)) =!= 0)
+      .filter(graft.functions.GraftFunctions.bloomMightContain(
+        xxhash64(col("sh")), bytes))
+    corp.join(broadcastIfUnder(bench, nBench, broadcastLimit), Seq("sh"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  /** Same oracle as d05 — the exact verify join makes the Bloom path
+    * false-positive-free, so both compute the identical relation.
+    */
+  val d07 = QueryDef(
+    "d07_bloom_decontam",
+    "decontamination via distributed Bloom prefilter + exact verify",
+    (s, dir) => contaminationPairsBloom(shingleDf(s, dir)),
+    d05.oracle)
+
   /** Near-dup RESOLUTION — the step after pair detection that an actual
     * dedup run needs: transitive closure over the d02 pair set (connected
     * components), canonical id = min doc_id of the cluster, and a total
@@ -432,5 +480,5 @@ object DedupOps {
       LEFT JOIN comp c ON d.doc_id = c.node
       ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07)
 }

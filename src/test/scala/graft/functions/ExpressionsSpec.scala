@@ -152,6 +152,37 @@ class ExpressionsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan)
   }
 
+  test("bloom_might_contain: no false negatives, prunes non-members, null-safe, codegen'd") {
+    import spark.implicits._
+    // build over the long keys directly (pre-hashed semantics: put/probe
+    // both go through BloomFilterImpl's long path)
+    val bf = spark.range(1000).toDF("k").stat.bloomFilter("k", 1000L, 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val probe = ((0L until 2000L).map(Option(_)) :+ Option.empty[Long]).toDF("k")
+      .select(col("k"),
+        GraftFunctions.bloomMightContain(col("k"), bytes).as("m"))
+    val rows = probe.collect()
+    // zero false negatives: every inserted key answers true
+    assert(rows.filter(r => !r.isNullAt(0) && r.getLong(0) < 1000)
+      .forall(_.getBoolean(1)))
+    // non-members overwhelmingly pruned (fpp target 1% over 1000 probes)
+    val fps = rows.count(r => !r.isNullAt(0) && r.getLong(0) >= 1000 && r.getBoolean(1))
+    assert(fps < 50, s"$fps false positives out of 1000 non-members")
+    // null probe → null (null-safe binary expression)
+    assert(rows.filter(_.isNullAt(0)).forall(_.isNullAt(1)))
+    // and the probe stays inside whole-stage codegen: no UDF boundary
+    val gen = spark.range(2000)
+      .filter(GraftFunctions.bloomMightContain(col("id"), bytes))
+    assert(gen.count() >= 1000)
+    val plan = gen.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan)
+  }
+
   test("codegen: expressions stay inside whole-stage codegen (no UDF node)") {
     // inputs derive from range's id so they are non-foldable — a pure
     // LocalRelation would be constant-folded into a LocalTableScan and

@@ -71,6 +71,41 @@ class DedupOpsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(rows(lsh(0L)) == rows(lsh(DedupOps.broadcastRowLimit)))
   }
 
+  test("d07 bloom path computes exactly d05's relation; the prefilter is in the plan") {
+    import spark.implicits._
+    // bench = doc_id % 5 == 0; doc 1 overlaps bench doc 5, docs 2/3 are
+    // disjoint and must be pruned by the bloom prefilter before the join
+    val numDocs = Seq(
+      (5L, "the quick brown fox jumps high today"),
+      (10L, "a completely different benchmark suite text"),
+      (1L, "the quick brown fox jumps low today"),
+      (2L, "no shingle overlap lives in this one"),
+      (3L, "another fully disjoint corpus document entirely")
+    ).toDF("doc_id", "text")
+    val sh = DedupOps.shingles(numDocs)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val exact = DedupOps.contaminationPairs(sh, benchMod = 5L)
+    val bloom = DedupOps.contaminationPairsBloom(sh, benchMod = 5L)
+    assert(bloom.schema.fieldNames.toSeq == exact.schema.fieldNames.toSeq)
+    assert(rows(bloom) == rows(exact))
+    assert(rows(bloom).nonEmpty) // fixture actually exercises the match path
+    // the prefilter reaches the plan as a codegen'd filter on the corpus side
+    val opt = bloom.queryExecution.optimizedPlan.toString
+    assert(opt.contains("bloom_might_contain"), opt)
+    // and it actually prunes: disjoint corpus shingles drop before the join
+    val bench = sh.filter(col("doc_id") % 5 === 0)
+    val bf = bench.select(xxhash64(col("sh")).as("h"))
+      .stat.bloomFilter("h", math.max(bench.count(), 1L), 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray
+    }
+    val corp = sh.filter(col("doc_id") % 5 =!= 0)
+    val kept = corp.filter(graft.functions.GraftFunctions.bloomMightContain(
+      xxhash64(col("sh")), bytes)).count()
+    assert(kept < corp.count(), s"bloom kept all $kept corpus shingles")
+  }
+
   test("d02 verify stage is candidate-driven: no all-pairs shingle self-join") {
     val df = DedupOps.minhashLshPairs(docs, minJac = 0.0)
     val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
