@@ -179,6 +179,26 @@ object DedupOps {
     * groupBy(doc_id) with map-side partial mins, no per-hash row fan-out.
     * At 100 TB that is a single 16-column-wide shuffle of |docs| rows.
     */
+  /** (doc_id, band, sig) LSH band signatures from (doc_id, sh) shingle
+    * rows: 16 minhashes as 16 MIN aggregates in ONE groupBy (map-side
+    * partial mins — a single 16-column shuffle of |docs| rows at 100 TB),
+    * then 8 bands of 2 rows each. Shared by the self-join (d02) and the
+    * bipartite incremental (d08) paths.
+    */
+  private[graft] def bandSignatures(sh: DataFrame): DataFrame = {
+    def mhCol(i: Int) =
+      min(substring(md5(concat(lit(s"${i / 4}:"), col("sh")).cast("binary")),
+        1 + 8 * (i % 4), 8)).as(s"mh$i")
+    val mh = sh.groupBy(col("doc_id"))
+      .agg(mhCol(0), (1 until 16).map(mhCol): _*)
+    val bandCols = (0 until 8).map(b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).cast("binary"))
+          .as("sig")))
+    mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
   /** d02 core, parameterized for tests and plan assertions. */
   private[graft] def minhashLshPairs(
       docs: DataFrame, minJac: Double = 0.3,
@@ -186,18 +206,7 @@ object DedupOps {
       val sh = shingles(docs).cache()
       sh.count() // single cache fill (see d01)
       val nDocs = docs.count() // bounds the per-doc cnt broadcast (see d01)
-      def mhCol(i: Int) =
-        min(substring(md5(concat(lit(s"${i / 4}:"), col("sh")).cast("binary")),
-          1 + 8 * (i % 4), 8)).as(s"mh$i")
-      val mh = sh.groupBy(col("doc_id"))
-        .agg(mhCol(0), (1 until 16).map(mhCol): _*)
-      val bandCols = (0 until 8).map(b =>
-        struct(lit(b).as("band"),
-          md5(concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).cast("binary"))
-            .as("sig")))
-      val bands = mh.select(col("doc_id"),
-        explode(array(bandCols: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      val bands = bandSignatures(sh)
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -440,6 +449,98 @@ object DedupOps {
     (s, dir) => contaminationPairsBloom(shingleDf(s, dir)),
     d05.oracle)
 
+  /** d08 core: INCREMENTAL dedup — admit the subset of an incoming batch
+    * that is not a near-duplicate of the existing corpus. This is the
+    * continuous-ingestion shape d02's self-join doesn't cover: a training
+    * pipeline re-crawls daily, and re-deduping the full corpus per batch
+    * is O(corpus) work per day when O(batch) suffices.
+    *
+    * Bipartite LSH: band signatures for both sides, candidates from a
+    * (band, sig) equi-join of NEW against EXISTING only — no new><new or
+    * old><old pairs (within-batch dedup stays d02's job, and the output
+    * pins that: two incoming docs duplicating each other are BOTH
+    * admitted). Verification is candidate-driven exact Jaccard, as in
+    * d02. Output = admitted incoming doc_ids (left_anti on verified
+    * matches).
+    *
+    * At scale: the existing side's signatures would be a precomputed
+    * index (they are deterministic column functions of the text — compute
+    * once at admission, store (doc_id, band, sig)); then per-batch cost is
+    * |batch| signature rows shuffled against the index, never a corpus
+    * rescan. Here both sides derive from one `documents` table split by
+    * `doc_id % batchMod == 0` so the DuckDB oracle can replay the whole
+    * chain. The batch side is broadcast under the size contract — a
+    * normal ingestion batch is orders of magnitude smaller than the
+    * corpus — with the usual shuffle fallback above it.
+    */
+  private[graft] def incrementalDedupAdmit(docs: DataFrame, batchMod: Long = 3L,
+      minJac: Double = 0.3, broadcastLimit: Long = broadcastRowLimit): DataFrame = {
+    val isNew = pmod(col("doc_id"), lit(batchMod)) === 0
+    val sh = shingles(docs).cache()
+    sh.count() // single cache fill (see d01)
+    val nNew = docs.filter(isNew).count() // bounds the batch-side broadcasts
+    val bands = bandSignatures(sh)
+    val newBands = bands.filter(isNew)
+    val oldBands = bands.filter(!isNew)
+    val cand = broadcastIfUnder(newBands, nNew * 8, broadcastLimit).as("a")
+      .join(oldBands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
+      .distinct()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // candidate-driven verify (see minhashLshPairs): work is linear in
+    // |cand|, never the bipartite all-pairs product
+    val shared = cand
+      .join(sh.as("sa"), col("new_id") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("old_id") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("new_id"), col("old_id"))
+      .agg(count(lit(1)).as("shared"))
+    val matched = shared
+      .join(cnt.as("ca"), col("new_id") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("old_id") === col("cb.doc_id"))
+      .filter(col("shared").cast("double") /
+        (col("ca.n") + col("cb.n") - col("shared")) >= minJac)
+      .select(col("new_id")).distinct()
+    docs.filter(isNew).select(col("doc_id")).distinct()
+      .join(matched, col("doc_id") === col("new_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
+  val d08 = QueryDef(
+    "d08_incremental_dedup",
+    "incremental ingestion dedup: admit batch docs with no near-dup in the corpus",
+    (s, dir) => incrementalDedupAdmit(Tables.load(s, dir, "documents")),
+    Some {
+      val mhs = (0 until 16).map(i =>
+        s"MIN(substring(md5('${i / 4}:' || sh), ${1 + 8 * (i % 4)}, 8)) AS mh$i")
+        .mkString(", ")
+      val bandRows = (0 until 8).map(b =>
+        s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS sig FROM mh")
+        .mkString(" UNION ALL ")
+      s"""WITH ${shingleSqlFrom("documents")},
+        mh AS (SELECT doc_id, $mhs FROM sh GROUP BY doc_id),
+        bands AS ($bandRows),
+        cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.sig = b.sig
+                 WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0),
+        cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        shared AS (SELECT c.new_id, c.old_id, COUNT(*) AS shared
+                   FROM cand c
+                   JOIN sh sa ON sa.doc_id = c.new_id
+                   JOIN sh sb ON sb.doc_id = c.old_id AND sb.sh = sa.sh
+                   GROUP BY 1, 2),
+        matched AS (SELECT DISTINCT s.new_id FROM shared s
+                    JOIN cnt ca ON ca.doc_id = s.new_id
+                    JOIN cnt cb ON cb.doc_id = s.old_id
+                    WHERE CAST(s.shared AS DOUBLE) / (ca.n + cb.n - s.shared) >= 0.3)
+        SELECT d.doc_id
+        FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 3 = 0) d
+        ANTI JOIN matched m ON m.new_id = d.doc_id
+        ORDER BY doc_id"""
+    })
+
   /** Near-dup RESOLUTION — the step after pair detection that an actual
     * dedup run needs: transitive closure over the d02 pair set (connected
     * components), canonical id = min doc_id of the cluster, and a total
@@ -480,5 +581,5 @@ object DedupOps {
       LEFT JOIN comp c ON d.doc_id = c.node
       ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08)
 }

@@ -106,6 +106,25 @@ class DedupOpsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(kept < corp.count(), s"bloom kept all $kept corpus shingles")
   }
 
+  test("d08 incremental dedup is bipartite: batch-vs-corpus only, within-batch dups both admitted") {
+    import spark.implicits._
+    // existing corpus = doc_id % 3 != 0; incoming batch = doc_id % 3 == 0
+    val numDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),  // existing
+      (2L, "an entirely separate corpus document lives here"), // existing
+      (3L, "the quick brown fox jumps over the lazy dog"),  // new, dup of 1 → rejected
+      (6L, "completely novel incoming content nothing shared"), // new → admitted
+      (9L, "completely novel incoming content nothing shared"), // new, dup of 6 ONLY → admitted
+      (12L, "too short"),                                   // new, <3 tokens → admitted
+      (15L, "an entirely separate corpus document lives here") // new, dup of 2 → rejected
+    ).toDF("doc_id", "text")
+    val admitted = DedupOps.incrementalDedupAdmit(numDocs)
+      .collect().map(_.getLong(0)).toSeq
+    // 3 and 15 match the corpus; 6/9 duplicate each other but NOT the
+    // corpus — bipartite semantics admits both (within-batch dedup is d02)
+    assert(admitted == Seq(6L, 9L, 12L))
+  }
+
   test("d02 verify stage is candidate-driven: no all-pairs shingle self-join") {
     val df = DedupOps.minhashLshPairs(docs, minJac = 0.0)
     val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
