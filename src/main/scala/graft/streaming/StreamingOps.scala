@@ -12,7 +12,7 @@ import graft.QueryDef
   * `readStream` → event-time transforms → sink. Each gate runs its query
   * synchronously over the parquet corpus with an AvailableNow trigger and
   * oracles against the *batch* SQL for the same semantics — stream/batch
-  * parity. All append-mode gates (st02–st05) drain through the shared
+  * parity. All append-mode gates (st02–st06) drain through the shared
   * parquet file-sink harness ([[runAppendToFiles]] — the production
   * shape); only st01's complete-mode histogram uses the memory sink,
   * which that mode requires.
@@ -95,7 +95,7 @@ object StreamingOps {
   }
 
   /** The production sink shape shared by every append-mode gate
-    * (st02–st05): parquet file sink + checkpoint dir = exactly-once,
+    * (st02–st06): parquet file sink + checkpoint dir = exactly-once,
     * restartable, executor-side output — state the stream's own size,
     * not the result's, bounds driver memory. (The memory sink retains
     * every batch in driver memory; it survives only in st01, whose
@@ -340,5 +340,40 @@ object StreamingOps {
         AND pms >= cms AND pms <= cms + 3600000
       ORDER BY 1, 2, 3"""))
 
-  val all: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05)
+  /** Stream-static enrichment join — the standard dimension-join shape
+    * and the one core Structured Streaming pattern st01–st05 leave
+    * uncovered. A stream-static equi-join is STATELESS: no watermark, no
+    * state store — each micro-batch plans a fresh batch join of its rows
+    * against the static side (which is re-resolved every batch, so a
+    * changing dimension source is picked up between batches). The static
+    * side here is a classic small dimension and rides a size-guarded
+    * broadcast with the usual shuffle fallback above the contract: an
+    * unconditional broadcast of a corpus-proportional "dimension" would
+    * pay the ship-to-every-executor cost once per MICRO-BATCH, which is
+    * the same OOM as batch but repeated indefinitely.
+    */
+  val st06 = QueryDef(
+    "st06_stream_static_join",
+    "stateless stream-static dimension join (purchases -> customer segment)",
+    (s, dir) => {
+      val src = s.readStream
+        .schema(eventsSchema)
+        .parquet(s"$dir/*events*")
+        .filter(col("event_type") === "purchase")
+      val dim = graft.Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val nDim = dim.count() // bounds the broadcast (dimension row count)
+      val joined = src
+        .join(graft.operators.DedupOps.broadcastIfUnder(dim, nDim),
+          col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"),
+          col("c_mktsegment").as("segment"), col("value"))
+      runAppendToFiles(s, joined, "st06", dir).orderBy(col("event_id"))
+    },
+    Some("""SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, e.value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      WHERE e.event_type = 'purchase'
+      ORDER BY event_id"""))
+
+  val all: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05, st06)
 }

@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * the closed set). The complete-mode gate st01 is oracle-verified by the
   * driver; this pins the eviction boundary st02's oracle encodes.
   *
-  * The production-sink tests pin that every append-mode gate (st02–st05)
+  * The production-sink tests pin that every append-mode gate (st02–st06)
   * drains through the parquet FILE sink at runtime — the memory sink
   * retains all batches in driver memory, which is the wrong shape for a
   * corpus-proportional output at 100 TB, so its reappearance anywhere but
@@ -34,6 +34,12 @@ class StreamingSpec extends AnyFunSuite with graft.SparkTestSession {
         (h % 3).toLong, if (i == 0) "click" else "purchase", 1.0, "{}")
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // customer dimension for the st06 stream-static join (users 0..2 plus
+    // an unreferenced key proving the join filters, not decorates)
+    Seq((0L, "c0", 0, 0.0, "SEG_A"), (1L, "c1", 0, 0.0, "SEG_B"),
+        (2L, "c2", 0, 0.0, "SEG_A"), (99L, "c99", 0, 0.0, "SEG_Z"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
     dir
   }
 
@@ -60,6 +66,20 @@ class StreamingSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(got.nonEmpty)
     assert(StreamingOps.sinkDescriptions.get("st04").exists(_.contains("FileSink")),
       s"st04 sink was '${StreamingOps.sinkDescriptions.get("st04")}', expected a file sink")
+  }
+
+  test("st06: stream-static join enriches purchases with the dimension, file sink") {
+    val got = StreamingOps.st06.run(spark, base).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // purchases are event_id h*10+1 for h=0..9, user h%3; segment comes
+    // from the customer fixture (0->SEG_A, 1->SEG_B, 2->SEG_A); the
+    // unreferenced dim key 99 must not appear (inner join, not decorate)
+    val seg = Map(0L -> "SEG_A", 1L -> "SEG_B", 2L -> "SEG_A")
+    val expected = (0 until 10)
+      .map(h => (h.toLong * 10 + 1, (h % 3).toLong, seg((h % 3).toLong))).toSet
+    assert(got == expected, s"got=$got")
+    assert(StreamingOps.sinkDescriptions.get("st06").exists(_.contains("FileSink")),
+      s"st06 sink was '${StreamingOps.sinkDescriptions.get("st06")}', expected a file sink")
   }
 
   test("st05: stream-stream interval join matches batch and uses the file sink") {
