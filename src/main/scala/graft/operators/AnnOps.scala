@@ -235,6 +235,118 @@ object AnnOps {
       .orderBy(col("q_id"))
   }
 
+  /** The `embeddings` table in the ANN working shape:
+    * (vec_id, emb double[], norm), cached and materialized — assignment,
+    * probes and scoring all reuse it.
+    */
+  private def embTable(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("emb"))
+      .withColumn("norm", sqrt(vecDot(col("emb"), col("emb"))))
+      .cache()
+    e.count()
+    e
+  }
+
+  /** IVF search core shared by the seeded gate ([[a03]]) and the
+    * k-means-trained path ([[ivfKnnTrained]]): assign every vector to its
+    * nearest centroid by cosine (ties to the smallest c_id), probe the
+    * `nProbes` nearest centroids per query (vec_id < 5, the gate's query
+    * convention), and exactly score ONLY the probed cells. `cents` must
+    * carry (c_id, c_emb, c_norm); a coarse quantizer is k << corpus by
+    * definition, so it broadcasts unconditionally.
+    */
+  private[operators] def ivfSearch(e: DataFrame, cents: DataFrame,
+      nProbes: Int = 2, topK: Int = 10): DataFrame = {
+    val cdot = vecDot(col("emb"), col("c_emb"))
+    // nearest centroid per vector: ties to the smallest centroid id
+    val assign = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("c_id"),
+        (cdot / (col("norm") * col("c_norm"))).as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_id"), struct(col("csim"), -col("c_id"))).as("c_id"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("norm").as("q_norm"))
+    val qdotC = vecDot(col("q_emb"), col("c_emb"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("psim").desc, col("c_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("c_id"),
+        (qdotC / (col("q_norm") * col("c_norm"))).as("psim"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nProbes)
+      .select(col("q_id"), col("c_id"))
+    val cand = broadcast(probes).join(assign, Seq("c_id"))
+      .filter(col("vec_id") >= 5)
+      .select(col("q_id"), col("vec_id"))
+    val scored = cand
+      .join(e, Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dotCol / (col("norm") * col("q_norm"))).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Deterministic-structure Lloyd (k-means) refinement for the IVF
+    * coarse quantizer: start from a03's seed convention (first k
+    * vec_ids), then `iters` rounds of cosine assignment + element-wise
+    * mean. The mean is posexplode → avg → rebuild sorted by dimension
+    * position, so the STRUCTURE is fully deterministic; the float VALUES
+    * are partition-summation-order-dependent like any distributed mean —
+    * which is why the trained path is spec-pinned (recall floor and
+    * no-worse-than-seeded in AnnRecallSpec) instead of hash-oracled. An
+    * emptied cell drops out (standard Lloyd degeneracy; k only shrinks).
+    *
+    * Scale shape per iteration: one broadcast-join assignment over the
+    * corpus and one (c_id, dim)-keyed mean — shuffle volume rows × dim,
+    * the standard distributed k-means cost; k and iters are small
+    * constants. Centroids live in one in-memory DataFrame of k rows.
+    */
+  def kmeansCentroids(e: DataFrame, k: Int = 16, iters: Int = 2): DataFrame = {
+    var cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"), col("norm").as("c_norm"))
+    var i = 0
+    while (i < iters) {
+      val assign = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("emb"), col("c_id"),
+          (vecDot(col("emb"), col("c_emb")) / (col("norm") * col("c_norm"))).as("csim"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("c_id"), col("emb")),
+          struct(col("csim"), -col("c_id"))).as("a"))
+        .select(col("a.c_id").as("c_id"), col("a.emb").as("emb"))
+      cents = assign
+        .select(col("c_id"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy(col("c_id"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("c_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("c_id"), expr("transform(pm, x -> x.m)").as("c_emb"))
+        .withColumn("c_norm", sqrt(vecDot(col("c_emb"), col("c_emb"))))
+      i += 1
+    }
+    cents
+  }
+
+  /** IVF top-k with Lloyd-trained centroids — the production IVF shape
+    * (train the quantizer, then probe): [[kmeansCentroids]] over the
+    * corpus, then [[ivfSearch]] with the trained cells. Quality pinned by
+    * AnnRecallSpec against a01's exact top-k.
+    */
+  def ivfKnnTrained(s: SparkSession, dir: String, k: Int = 16,
+      iters: Int = 2, nProbes: Int = 2, topK: Int = 10): DataFrame = {
+    val e = embTable(s, dir)
+    // materialize the k trained rows once: ivfSearch references the
+    // centroid frame twice, and each uncached reference would replay the
+    // full Lloyd lineage (iters corpus-wide assignments) per use
+    val cents = kmeansCentroids(e, k, iters).cache()
+    cents.count()
+    ivfSearch(e, cents, nProbes, topK)
+  }
+
   /** IVF-Flat shape (the other standard ANN scale path next to a02's
     * LSH): a deterministic coarse quantizer — the first 16 vectors act as
     * centroids (seeded, no k-means iterations, so the DuckDB oracle can
@@ -243,7 +355,8 @@ object AnnOps {
     * exactly ONLY the vectors in those cells. At 100 TB: assignment is
     * one broadcast join + max_by (no shuffle of the big side beyond the
     * cell groupBy), and search touches 2/16 of the corpus per query
-    * instead of all of it.
+    * instead of all of it. The Lloyd-trained variant of the same search
+    * is [[ivfKnnTrained]].
     *
     * Retrieval quality (pinned by AnnRecallSpec): 2-probe of 16 cells
     * holds mean recall@10 ≥ 0.7 vs a01's exact top-k on the synthetic
@@ -254,45 +367,10 @@ object AnnOps {
     "a03_ivf_knn",
     "IVF coarse-quantized cosine top-k (seeded centroids, 2 probes)",
     (s, dir) => {
-      val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> cast(x AS double))").as("emb"))
-        .withColumn("norm", sqrt(vecDot(col("emb"), col("emb"))))
-        .cache()
-      e.count() // assignment, probes, and scoring all reuse it
+      val e = embTable(s, dir)
       val seeds = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("c_id"), col("emb").as("c_emb"), col("norm").as("c_norm"))
-      val cdot = vecDot(col("emb"), col("c_emb"))
-      // nearest centroid per vector: ties to the smallest centroid id
-      val assign = e.crossJoin(broadcast(seeds))
-        .select(col("vec_id"), col("c_id"),
-          (cdot / (col("norm") * col("c_norm"))).as("csim"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("c_id"), struct(col("csim"), -col("c_id"))).as("c_id"))
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("norm").as("q_norm"))
-      val qdotC = vecDot(col("q_emb"), col("c_emb"))
-      val probeW = Window.partitionBy(col("q_id"))
-        .orderBy(col("psim").desc, col("c_id"))
-      val probes = q.crossJoin(broadcast(seeds))
-        .select(col("q_id"), col("c_id"),
-          (qdotC / (col("q_norm") * col("c_norm"))).as("psim"))
-        .withColumn("rn", row_number().over(probeW))
-        .filter(col("rn") <= 2)
-        .select(col("q_id"), col("c_id"))
-      val cand = broadcast(probes).join(assign, Seq("c_id"))
-        .filter(col("vec_id") >= 5)
-        .select(col("q_id"), col("vec_id"))
-      val scored = cand
-        .join(e, Seq("vec_id"))
-        .join(broadcast(q), Seq("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          (dotCol / (col("norm") * col("q_norm"))).as("sim"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-      scored.withColumn("rank", row_number().over(w).cast("bigint"))
-        .filter(col("rank") <= 10)
-        .select(col("q_id"), col("vec_id"), col("rank"), col("sim"))
-        .orderBy(col("q_id"), col("rank"))
+      ivfSearch(e, seeds)
     },
     Some("""WITH e AS (SELECT vec_id,
               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
