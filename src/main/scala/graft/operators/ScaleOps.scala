@@ -27,6 +27,24 @@ object ScaleOps {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Range-partitioned, sorted at-rest layout: the write-side half of
+    * scan pruning. `repartitionByRange` gives every output file a
+    * DISJOINT key range and `sortWithinPartitions` makes each file's
+    * row groups internally ordered, so parquet min/max statistics let a
+    * later range scan (`key BETWEEN ...`) skip whole files and row
+    * groups instead of decoding the corpus — the at-rest layout for
+    * time-series and id-range access at 100 TB. Pay one range shuffle
+    * (sampling + exchange) at write time; every later range read prunes.
+    * ScaleOpsSpec pins both halves: file ranges are disjoint, and a
+    * 1%-selectivity scan against this layout decodes a fraction of the
+    * rows a random layout decodes.
+    */
+  def writeRangePartitioned(df: DataFrame, path: String, key: String,
+                            partitions: Int): Unit =
+    df.repartitionByRange(partitions, col(key))
+      .sortWithinPartitions(col(key))
+      .write.mode("overwrite").parquet(path)
+
   /** Salted equi-join for skewed keys: the build side's hot keys would
     * land on one reducer in a plain shuffle join. Every left row gets a
     * random-free deterministic salt derived from a stable column

@@ -48,6 +48,62 @@ class ScaleOpsSpec extends AnyFunSuite with graft.SparkTestSession {
     }
   }
 
+  test("writeRangePartitioned: disjoint file ranges; range scans decode a fraction of a random layout") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_range_layout")
+    try {
+      val sortedPath = s"$dir/sorted"
+      val randomPath = s"$dir/random"
+      // 10k rows; md5 order = the "however the upstream job happened to
+      // partition it" layout every real table starts with
+      val df = spark.range(10000).select(col("id").as("k"),
+        md5(col("id").cast("string")).as("payload"))
+      ScaleOps.writeRangePartitioned(df.orderBy(col("payload")), sortedPath, "k", 10)
+      df.orderBy(col("payload")).repartition(10)
+        .write.mode("overwrite").parquet(randomPath)
+
+      // layout half: every file covers a disjoint k-range
+      val perFile = spark.read.parquet(sortedPath)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(perFile.length == 10, perFile.mkString(","))
+      perFile.sliding(2).foreach {
+        case Array((_, hi), (lo, _)) => assert(hi < lo, perFile.mkString(","))
+        case _ =>
+      }
+      // and nothing was lost or duplicated
+      assert(spark.read.parquet(sortedPath).count() == 10000)
+
+      // pruning half: rows the scan DECODES for a 1% range predicate —
+      // with disjoint sorted files, parquet row-group min/max stats keep
+      // all but ~one file out of the reader; a random layout decodes
+      // every row-group because each spans the full key range
+      def scanRows(path: String): Long = {
+        val q = spark.read.parquet(path).filter(col("k") >= 4000 && col("k") < 4100)
+        q.collect()
+        val plan = q.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        plan.collect { case f: FileSourceScanExec =>
+          f.metrics("numOutputRows").value }.sum
+      }
+      val pruned = scanRows(sortedPath)
+      val full = scanRows(randomPath)
+      assert(full == 10000L, s"random layout unexpectedly pruned: $full")
+      // the 1% predicate straddles at most a couple of sampled range
+      // boundaries: <= 3 of 10 files decode (vs all of them above)
+      assert(pruned <= 3000L, s"range layout decoded $pruned of 10000 rows")
+    } finally {
+      import java.nio.file._
+      import java.util.Comparator
+      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("saltedJoin: row-identical to plain join, hot key spread over salts") {
     // skewed left: 10k rows of key "hot", a few of others
     val left = spark.range(10000)
