@@ -362,5 +362,89 @@ object GraphQueries {
         TRUE AS min_size_positive,
         CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS nodes_covered"""))
 
-  val all: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05, g06)
+  /** Per-node triangle count + local clustering coefficient — the
+    * remaining standard GDS-style metric next to degree (g01), CC (g03),
+    * ArticleRank (g04) and Louvain (g05/g06). The bipartite base graph
+    * has no triangles by construction, so the gate runs on the projected
+    * customer–customer graph (g02's sampled shape: customers sharing a
+    * supplier).
+    *
+    * Scale shape: edges are ORIENTED from the endpoint with the smaller
+    * (degree, id) key to the larger, and every wedge is enumerated from
+    * its lowest-key corner only — the classic orientation bound that
+    * makes triangle enumeration O(m^1.5) total work instead of
+    * O(sum deg²) exploding on hub nodes; the closing check is an
+    * equi-join on the oriented (v, w) pair. Per-node counts come from
+    * exploding each triangle's three corners (every triangle found
+    * exactly once). The lcc division is one double op over
+    * exactly-represented integers, so it is bit-identical in DuckDB.
+    */
+  /** g07 core over any undirected edge list `proj` (u, v) with u != v and
+    * one row per edge: (node, degree, triangles, lcc) — see the gate
+    * scaladoc for the orientation bound. Factored out so GraphAlgsSpec
+    * can pin the semantics on hand-counted fixtures.
+    */
+  private[graph] def triangleStats(projIn: DataFrame): DataFrame = {
+    val proj = projIn.cache()
+    proj.count() // orientation + wedge + closing joins all reuse it
+    val deg = proj.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val dj = proj
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+    val ku = struct(col("du").as("d"), col("u").as("n"))
+    val kv = struct(col("dv").as("d"), col("v").as("n"))
+    val o = dj.select(least(ku, kv).as("s"), greatest(ku, kv).as("t"))
+      .select(col("s.n").as("src"), col("t.n").as("dst"), col("t").as("dstk"))
+    val tri = o.as("e1")
+      .join(o.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dstk") < col("e2.dstk"))
+      .join(o.as("e3"),
+        col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
+    val tc = tri.select(explode(array(col("x"), col("y"), col("z"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("t"))
+    deg.join(tc, Seq("n"), "left")
+      .select(col("n").as("node"), col("d").as("degree"),
+        coalesce(col("t"), lit(0L)).as("triangles"),
+        when(col("d") >= 2,
+          (lit(2.0) * coalesce(col("t"), lit(0L))) / (col("d") * (col("d") - 1)))
+          .otherwise(lit(0.0)).as("lcc"))
+      .orderBy(col("node"))
+  }
+
+  val g07 = QueryDef(
+    "g07_triangles",
+    "per-node triangles + local clustering coefficient (oriented wedges)",
+    (s, dir) => {
+      val e = edges(s, dir, filtered = false).filter(col("a") % 200 === 0)
+      triangleStats(e.as("x").join(e.as("y"),
+          col("x.b") === col("y.b") && col("x.a") < col("y.a"))
+        .select(col("x.a").as("u"), col("y.a").as("v")).distinct())
+    },
+    Some("""WITH e AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              WHERE o_custkey % 100 = 0),
+      proj AS (SELECT DISTINCT x.a AS u, y.a AS v
+               FROM e x JOIN e y ON x.b = y.b AND x.a < y.a),
+      deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+              FROM (SELECT u AS n FROM proj UNION ALL SELECT v AS n FROM proj) t
+              GROUP BY n),
+      tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+              FROM proj e1
+              JOIN proj e2 ON e2.u = e1.v
+              JOIN proj e3 ON e3.u = e1.u AND e3.v = e2.v),
+      tc AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS t
+             FROM (SELECT x AS n FROM tri UNION ALL SELECT y AS n FROM tri
+                   UNION ALL SELECT z AS n FROM tri) t
+             GROUP BY n)
+      SELECT deg.n AS node, deg.d AS degree,
+             COALESCE(tc.t, 0) AS triangles,
+             CASE WHEN deg.d >= 2
+                  THEN (2.0 * COALESCE(tc.t, 0)) / (deg.d * (deg.d - 1))
+                  ELSE 0.0 END AS lcc
+      FROM deg LEFT JOIN tc ON tc.n = deg.n
+      ORDER BY node"""))
+
+  val all: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05, g06, g07)
 }

@@ -172,6 +172,24 @@ class GraphAlgsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(got(1L) == got(2L) && got(3L) == got(4L) && got(1L) != got(3L), got.toString)
   }
 
+  test("triangleStats: hand-counted triangles and clustering coefficients") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, every node in 3) + pendant 5 on node 4
+    // + isolated edge 6-7 (no triangles)
+    val proj = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (6L, 7L)).toDF("u", "v")
+    val got = GraphQueries.triangleStats(proj).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // degree: 1,2,3 -> 3; 4 -> 4; 5,6,7 -> 1
+    assert(got(1L) == ((3L, 3L, 1.0)), got.toString) // all 3 neighbour pairs closed
+    assert(got(2L) == ((3L, 3L, 1.0)))
+    assert(got(3L) == ((3L, 3L, 1.0)))
+    // node 4: neighbours {1,2,3,5}, closed pairs = the 3 K4 ones of 6
+    assert(got(4L) == ((4L, 3L, 0.5)))
+    assert(got(5L) == ((1L, 0L, 0.0)))
+    assert(got(6L) == ((1L, 0L, 0.0)) && got(7L) == ((1L, 0L, 0.0)))
+  }
+
   test("pageRank: star center outranks leaves") {
     val g = GraphAlgs.buildGraph(
       edgeDf(0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 4L), "src", "dst",
