@@ -245,6 +245,42 @@ object TextOps {
         FROM documents) t
       WHERE rk <= 20 ORDER BY lang, source, rk"""))
 
+  /** Mixture re-weighting — the companion to t07's per-stratum quotas:
+    * each SOURCE gets a sampling RATE (here even-numbered sources keep
+    * everything, odd-numbered keep ~30 % — the shape of down-weighting
+    * low-quality crawls in a training mixture), and membership is a pure
+    * hash function of the doc id against the rate threshold. Like t06's
+    * split this needs no sampling state, no seed coordination, and is
+    * stable under re-partitioning and re-runs — at 100 TB it is a narrow
+    * map; the only shuffle is the reporting aggregate. The threshold
+    * compares the first 4 md5 hex chars against floor(rate·16^4) in hex
+    * ('g' > every hex digit = rate 1.0), so DuckDB replays membership
+    * exactly.
+    */
+  val t17 = QueryDef(
+    "t17_mixture_sample",
+    "deterministic per-source rate sampling (training-mixture reweighting)",
+    (s, dir) => {
+      val srcNum = substring(col("source"), 4, 10).cast("int")
+      val threshold = when(pmod(srcNum, lit(2)) === 0, "g").otherwise("4ccc")
+      val frac = substring(
+        md5(concat(lit("mix:"), col("doc_id").cast("string")).cast("binary")), 1, 4)
+      docs(s, dir)
+        .filter(frac < threshold)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("bigint").as("total_chars"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy(col("source"))
+    },
+    Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars, MIN(doc_id) AS min_doc
+      FROM documents
+      WHERE substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4) <
+            CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0
+                 THEN 'g' ELSE '4ccc' END
+      GROUP BY source ORDER BY source"""))
+
   /** Top-3 terms per language via the typed [[graft.functions.TopTerms]]
     * Aggregator: word counts (one shuffle) feed a bounded-buffer top-k
     * aggregation (second shuffle with O(k) state and map-side partial
@@ -517,5 +553,5 @@ object TextOps {
       FROM starts ORDER BY doc_id, chunk_idx"""))
 
   val all: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t13, t14, t15)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t13, t14, t15, t17)
 }
