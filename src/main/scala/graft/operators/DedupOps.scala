@@ -541,6 +541,67 @@ object DedupOps {
         ORDER BY doc_id"""
     })
 
+  /** d09 core: duplicated-SPAN detection — the exact-substring signal the
+    * doc-level family (d01/d02: "are these documents near-dups?") cannot
+    * give: "how much of THIS document is text copied across documents?"
+    * (boilerplate, licenses, templated headers — the per-span shape of
+    * training-data dedup, vs d01/d02's per-document shape). Every
+    * 8-token sliding window (stride 1) is hashed; a span is duplicated
+    * when its hash occurs in >= 2 DISTINCT documents (within-doc
+    * repetition stays t09's job); the output is each doc's duplicated
+    * fraction.
+    *
+    * Scale shape: windows are |tokens| rows (linear, not quadratic — the
+    * window explode multiplies rows, not pairs), shuffled ONCE keyed by
+    * span hash (the inverted-index shape); the per-doc rollup is a
+    * second keyed aggregation. The dup-span set is left to the planner:
+    * it is match-bounded, usually tiny, and AQE broadcasts it when it
+    * is. The final fraction is one double division of exact integers —
+    * bit-identical in DuckDB.
+    */
+  private[graft] def duplicatedSpans(docs: DataFrame, winTok: Int = 8): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= winTok)
+    val wins = toks.select(col("doc_id"), explode(expr(
+      s"""transform(sequence(0, size(toks)-$winTok),
+          s -> md5(cast(concat_ws(' ', slice(toks, s+1, $winTok)) as binary)))"""))
+      .as("h"))
+    val dup = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), lit(1L).as("isdup"))
+    wins.join(dup, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("isdup"), lit(0L))).as("n_dup"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_windows")).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d09 = QueryDef(
+    "d09_dup_spans",
+    "per-doc duplicated-span fraction (8-token windows shared across docs)",
+    (s, dir) => duplicatedSpans(Tables.load(s, dir, "documents")),
+    Some("""WITH t AS (SELECT doc_id,
+              string_split_regex(trim(text), '\s+') AS toks
+            FROM documents
+            WHERE len(string_split_regex(trim(text), '\s+')) >= 8),
+      wins AS (SELECT doc_id,
+                 md5(array_to_string(toks[s+1:s+8], ' ')) AS h
+               FROM (SELECT doc_id, toks, unnest(range(len(toks)-7)) AS s
+                     FROM t) u),
+      dup AS (SELECT h FROM wins GROUP BY h
+              HAVING COUNT(DISTINCT doc_id) >= 2),
+      fl AS (SELECT w.doc_id,
+               CASE WHEN d.h IS NULL THEN 0 ELSE 1 END AS isdup
+             FROM wins w LEFT JOIN dup d ON d.h = w.h)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+             CAST(SUM(isdup) AS BIGINT) AS n_dup,
+             CAST(SUM(isdup) AS DOUBLE) / COUNT(*) AS dup_frac
+      FROM fl GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Near-dup RESOLUTION — the step after pair detection that an actual
     * dedup run needs: transitive closure over the d02 pair set (connected
     * components), canonical id = min doc_id of the cluster, and a total
@@ -581,5 +642,5 @@ object DedupOps {
       LEFT JOIN comp c ON d.doc_id = c.node
       ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08)
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09)
 }

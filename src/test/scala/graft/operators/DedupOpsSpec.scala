@@ -125,6 +125,27 @@ class DedupOpsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(admitted == Seq(6L, 9L, 12L))
   }
 
+  test("d09 duplicated spans: cross-doc windows flagged, within-doc repetition ignored") {
+    import spark.implicits._
+    val boiler = "this license text is shared across many documents here"  // 9 tokens
+    val fix = Seq(
+      (1L, s"$boiler unique tail one"),          // 12 tokens: shares spans with 2
+      (2L, s"$boiler different ending words"),   // 12 tokens
+      (3L, "totally original content with no shared spans at all present"), // 10 toks
+      (4L, "rep rep rep rep rep rep rep rep rep") // 9 toks: within-doc repeat ONLY
+    ).toDF("doc_id", "text")
+    val got = DedupOps.duplicatedSpans(fix).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // 12 tokens -> 5 windows; the 9 boilerplate tokens give 2 shared
+    // windows (starts 0,1); windows touching the distinct tails differ
+    assert(got(1L) == ((5L, 2L, 0.4)), got.toString)
+    assert(got(2L) == ((5L, 2L, 0.4)))
+    assert(got(3L) == ((3L, 0L, 0.0)))
+    // doc 4's windows are identical to each OTHER but occur in one doc
+    // only -> not duplicated (within-doc repetition is t09's signal)
+    assert(got(4L) == ((2L, 0L, 0.0)))
+  }
+
   test("d02 verify stage is candidate-driven: no all-pairs shingle self-join") {
     val df = DedupOps.minhashLshPairs(docs, minJac = 0.0)
     val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
