@@ -125,6 +125,23 @@ class DedupOpsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(admitted == Seq(6L, 9L, 12L))
   }
 
+  test("d08 batch-side broadcast is size-guarded: limit 0 shuffles, rows unchanged") {
+    import spark.implicits._
+    val numDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (6L, "completely novel incoming content nothing shared here")
+    ).toDF("doc_id", "text")
+    def admit(limit: Long) =
+      DedupOps.incrementalDedupAdmit(numDocs, broadcastLimit = limit)
+    assert(admit(DedupOps.broadcastRowLimit).queryExecution.optimizedPlan
+      .toString.contains("strategy=broadcast"))
+    assert(!admit(0L).queryExecution.optimizedPlan.toString.contains("strategy=broadcast"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.getLong(0)).toSeq
+    assert(rows(admit(0L)) == rows(admit(DedupOps.broadcastRowLimit)))
+    assert(rows(admit(0L)) == Seq(6L))
+  }
+
   test("d09 duplicated spans: cross-doc windows flagged, within-doc repetition ignored") {
     import spark.implicits._
     val boiler = "this license text is shared across many documents here"  // 9 tokens
