@@ -398,5 +398,49 @@ object AnnOps {
         FROM sc) t
       WHERE rank <= 10 ORDER BY q_id, rank"""))
 
-  val all: Seq[QueryDef] = Seq(a01, a02, a03, a04)
+  /** Johnson–Lindenstrauss random projection — embedding COMPRESSION next
+    * to the search family: project each vector onto k=8 ±1 hyperplanes
+    * (the same md5-derived sign matrix a02/a04 binarize) and scale by
+    * 1/sqrt(k), preserving pairwise distances to within the JL bound.
+    * The shape that feeds a cheap pre-filter stage (score in 8-d, rescore
+    * survivors in full-d) or shrinks an embedding store ~8x at rest.
+    *
+    * Per row this is k sequential-fold dot products ([[graft.functions.
+    * VecDot]]) and one multiply — a narrow map with no shuffle at all, so
+    * it streams at scan speed at 100 TB. Every op is bit-deterministic
+    * (the fold is sequential; ±1 multiplies and the constant scale are
+    * exact IEEE ops), which is why the gate hash-oracles real doubles
+    * against DuckDB's list_dot_product rather than pinning invariants.
+    */
+  val a05 = QueryDef(
+    "a05_jl_project",
+    "Johnson-Lindenstrauss +-1 projection to 8 dims (1/sqrt(k) scale)",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x AS double))").as("emb"))
+      val maxDim = e.select(size(col("emb"))).take(1)
+        .headOption.map(_.getInt(0)).getOrElse(0)
+      val scale = lit(1.0 / math.sqrt(8.0))
+      val pCols = (0 until 8).map { p =>
+        val row = typedlit((0 until maxDim).map(d => planeSign(p, d)))
+        (vecDot(col("emb"), row) * scale).as(s"p$p")
+      }
+      e.select(col("vec_id") +: pCols: _*).orderBy(col("vec_id"))
+    },
+    Some {
+      val pExprs = (0 until 8).map { p =>
+        s"""list_dot_product(emb, list_transform(range(len(emb)), d ->
+              CASE WHEN substring(md5('$p' || '_' || CAST(d AS VARCHAR)), 1, 1) < '8'
+                   THEN 1.0 ELSE -1.0 END)) * (1.0 / sqrt(8.0)) AS p$p"""
+      }.mkString(",\n             ")
+      s"""WITH e AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings)
+        SELECT vec_id,
+             $pExprs
+        FROM e ORDER BY vec_id"""
+    })
+
+  val all: Seq[QueryDef] = Seq(a01, a02, a03, a04, a05)
 }

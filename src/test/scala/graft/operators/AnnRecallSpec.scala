@@ -91,6 +91,27 @@ class AnnRecallSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(dirs == Set("A", "B"), cents.mkString(","))
   }
 
+  test("a05 JL projection: mean norm preservation (unbiased estimator)") {
+    import org.apache.spark.sql.functions._
+    // E[||p(x)||^2] = ||x||^2 for a +-1/sqrt(k) projection; with one fixed
+    // 8-plane matrix the per-vector ratio is wide (measured 0.18-4.7 at
+    // k=8, exactly the JL variance story) but the MEAN over 500 diverse
+    // vectors concentrates (measured 1.04) — pin the mean, not the tails
+    val p = AnnOps.a05.run(spark, dir)
+    val e = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("emb"))
+      .select(col("vec_id"), expr("aggregate(emb, 0D, (a, x) -> a + x * x)").as("n2"))
+    val ratios = p.select(col("vec_id"),
+        (0 until 8).map(i => col(s"p$i") * col(s"p$i")).reduce(_ + _).as("pn2"))
+      .join(e, "vec_id")
+      .select((col("pn2") / col("n2")).as("r"))
+      .collect().map(_.getDouble(0))
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.8 && mean < 1.25, s"mean norm ratio $mean")
+    assert(ratios.forall(r => r >= 0.0 && java.lang.Double.isFinite(r)))
+  }
+
   test("lshKnn rejects a band count that does not divide the planes") {
     intercept[IllegalArgumentException] { AnnOps.lshKnn(spark, dir, nPlanes = 8, nBands = 3) }
   }
