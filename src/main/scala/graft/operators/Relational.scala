@@ -372,7 +372,90 @@ object Relational {
       GROUP BY ROLLUP(r_name, n_name)
       ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"""))
 
+  /** PIVOT (long→wide): counts per (user bucket, event_type) with the
+    * type values spread into columns. The value list is EXPLICIT —
+    * without it Spark runs an extra distinct job to discover values and
+    * the output schema becomes data-dependent, which is exactly what a
+    * 100 TB pipeline must not do (schema drift on a new event type).
+    * Missing combinations are pinned to 0 (Spark pivots them to null;
+    * the oracle's conditional COUNT yields 0).
+    */
+  val q17 = QueryDef(
+    "q17_pivot",
+    "pivot event counts to one column per event type (explicit values)",
+    (s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = T(s, dir, "events")
+        .select(pmod(col("user_id"), lit(10)).as("bucket"), col("event_type"))
+        .groupBy(col("bucket"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      wide.select(col("bucket") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy(col("bucket"))
+    },
+    Some {
+      val cols = Seq("click", "error", "purchase", "signup", "view")
+        .map(t => s"CAST(COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS BIGINT) AS $t")
+        .mkString(", ")
+      s"""SELECT user_id % 10 AS bucket, $cols
+        FROM events GROUP BY 1 ORDER BY bucket"""
+    })
+
+  /** UNPIVOT/melt (wide→long): the inverse shape, e.g. turning a metrics
+    * table into (entity, metric, value) rows for generic downstream
+    * consumers. Spark's `unpivot` keeps this a narrow map (no shuffle
+    * beyond the upstream aggregate); the oracle is the UNION ALL
+    * expansion.
+    */
+  val q18 = QueryDef(
+    "q18_unpivot",
+    "melt per-nation metrics into (nation, metric, value) rows",
+    (s, dir) => {
+      val wide = T(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).cast("double").as("n_customers"),
+          moneySum(col("c_acctbal")).as("total_acctbal"))
+      wide.unpivot(Array(col("c_nationkey")),
+          Array(col("n_customers"), col("total_acctbal")),
+          "metric", "value")
+        .orderBy(col("c_nationkey"), col("metric"))
+    },
+    Some("""WITH w AS (SELECT c_nationkey,
+              CAST(COUNT(*) AS DOUBLE) AS n_customers,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+            FROM customer GROUP BY c_nationkey)
+      SELECT c_nationkey, metric, value FROM (
+        SELECT c_nationkey, 'n_customers' AS metric, n_customers AS value FROM w
+        UNION ALL
+        SELECT c_nationkey, 'total_acctbal' AS metric, total_acctbal AS value FROM w) u
+      ORDER BY c_nationkey, metric"""))
+
+  /** Sorted group-concat (string_agg): a deterministic per-group list
+    * column. collect_list order is partition-arrival-dependent, so the
+    * sort INSIDE the aggregate value is what makes the result stable
+    * under any partitioning — the same determinism discipline as the
+    * money decimals.
+    */
+  val q19 = QueryDef(
+    "q19_group_concat",
+    "per-region sorted comma-joined nation list (deterministic string_agg)",
+    (s, dir) => {
+      val n = T(s, dir, "nation")
+      val r = T(s, dir, "region")
+      n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy(col("r_name"))
+    },
+    Some("""SELECT r_name,
+        string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        COUNT(*) AS n_nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""))
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-        q11, q12, q13, q14, q15, q16)
+        q11, q12, q13, q14, q15, q16, q17, q18, q19)
 }
