@@ -203,9 +203,22 @@ object DedupOps {
   private[graft] def minhashLshPairs(
       docs: DataFrame, minJac: Double = 0.3,
       broadcastLimit: Long = broadcastRowLimit): DataFrame = {
-      val sh = shingles(docs).cache()
-      sh.count() // single cache fill (see d01)
-      val nDocs = docs.count() // bounds the per-doc cnt broadcast (see d01)
+    val sh = shingles(docs).cache()
+    sh.count() // single cache fill (see d01)
+    minhashLshPairsFromShingles(sh, docs.count(), minJac, broadcastLimit)
+  }
+
+  /** [[minhashLshPairs]] over PRECOMPUTED (doc_id, sh) shingle rows —
+    * `sh` must already be cached/materialized by the caller and `nDocs`
+    * a cheap known bound for the per-doc count broadcast. This is the
+    * entry point compositions use to build the corpus shingles ONCE and
+    * share them across stages: at 100 TB re-deriving shingles is a
+    * second full text scan + explode, and t12's curation chain needs
+    * them in both the near-dup and decontamination stages.
+    */
+  private[graft] def minhashLshPairsFromShingles(
+      sh: DataFrame, nDocs: Long, minJac: Double = 0.3,
+      broadcastLimit: Long = broadcastRowLimit): DataFrame = {
       val bands = bandSignatures(sh)
       val cand = bands.as("a")
         .join(bands.as("b"),

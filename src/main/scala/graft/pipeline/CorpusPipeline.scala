@@ -66,11 +66,18 @@ object CorpusPipeline {
   }
 
   /** Stage 3: near-duplicate removal — MinHash+LSH verified pairs (d02),
-    * dropping the larger doc_id of each pair.
+    * dropping the larger doc_id of each pair. `sharedShingles` (with its
+    * doc count) lets [[curate]] reuse ONE cached shingle build across
+    * this stage and decontamination instead of re-scanning the text.
     */
-  def nearDedup(docs: DataFrame, cfg: Config = default): DataFrame = {
-    val dupIds = DedupOps.minhashLshPairs(docs, cfg.nearDupMinJac)
-      .select(col("doc_b").as("doc_id")).distinct()
+  def nearDedup(docs: DataFrame, cfg: Config = default,
+      sharedShingles: Option[(DataFrame, Long)] = None): DataFrame = {
+    val pairs = sharedShingles match {
+      case Some((sh, nDocs)) =>
+        DedupOps.minhashLshPairsFromShingles(sh, nDocs, cfg.nearDupMinJac)
+      case None => DedupOps.minhashLshPairs(docs, cfg.nearDupMinJac)
+    }
+    val dupIds = pairs.select(col("doc_b").as("doc_id")).distinct()
     docs.join(dupIds, Seq("doc_id"), "left_anti")
   }
 
@@ -81,13 +88,25 @@ object CorpusPipeline {
     * the join falls back to a shuffle — a corpus-sized "benchmark" must
     * not be shipped to every executor.
     */
+  /** `docShingles`: a precomputed (doc_id, sh) superset covering `docs`
+    * (e.g. the shared quality+exact-dedup-survivor shingles from
+    * [[curate]]) — restricted here to `docs`' ids by a semi-join, which
+    * at scale replaces a second full text scan + explode with a filter
+    * over already-materialized shingle rows. Shingling is per-document,
+    * so the restriction is exactly shingles(docs).
+    */
   def decontaminate(docs: DataFrame, bench: DataFrame,
       cfg: Config = default,
-      broadcastLimit: Long = DedupOps.broadcastRowLimit): DataFrame = {
+      broadcastLimit: Long = DedupOps.broadcastRowLimit,
+      docShingles: Option[DataFrame] = None): DataFrame = {
     val bsh = DedupOps.shingles(bench)
       .withColumnRenamed("doc_id", "bench_id").cache()
     val nBench = bsh.count() // fills the cache AND enforces the contract
-    val contaminated = DedupOps.shingles(docs)
+    val dsh = docShingles match {
+      case Some(sh) => sh.join(docs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      case None => DedupOps.shingles(docs)
+    }
+    val contaminated = dsh
       .join(DedupOps.broadcastIfUnder(bsh, nBench, broadcastLimit), Seq("sh"))
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
@@ -106,12 +125,18 @@ object CorpusPipeline {
   def curate(docs: DataFrame, cfg: Config = default): DataFrame = {
     val corpus = corpusSlice(docs, cfg)
     val bench = benchmarkSlice(docs, cfg)
-    // cache the dedup survivors: they are re-read by the minhash shingle
-    // build (an eager action inside minhashLshPairs), the near-dup
-    // anti-join, AND the decontamination shingles — uncached, Spark
+    // cache the dedup survivors: they are re-read by the shingle build,
+    // the near-dup anti-join, AND the final projection — uncached, Spark
     // recomputes the quality-filter + window-dedup lineage for each
     val ed = exactDedup(qualityFilter(corpus, cfg)).cache()
-    val cleaned = decontaminate(nearDedup(ed, cfg), bench, cfg)
+    // ONE shingle build feeds both near-dup and decontamination:
+    // re-deriving shingles per stage is a second full text scan +
+    // explode at 100 TB. The decontam side restricts this superset to
+    // the near-dup survivors by id (per-doc shingling makes that exact).
+    val shEd = DedupOps.shingles(ed).cache()
+    shEd.count() // fill once; both stages read the materialized rows
+    val nd = nearDedup(ed, cfg, sharedShingles = Some((shEd, ed.count())))
+    val cleaned = decontaminate(nd, bench, cfg, docShingles = Some(shEd))
     withSplit(TextOps.withLangPred(cleaned))
   }
 
