@@ -63,6 +63,40 @@ class JoinPropertySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("d08 soundness: every rejected batch doc has a true Jaccard match in the corpus") {
+    // LSH may MISS near-dups (false negatives are the banding trade-off,
+    // bounded by the band/row choice), but it must never reject a doc
+    // that has no true match: every rejection passed the exact Jaccard
+    // verify. Sweep seeded random corpora drawn from a small word pool
+    // so genuine near-dups occur, and check each rejection against the
+    // brute-force shingle Jaccard.
+    def shingleSet(text: String): Set[String] = {
+      val t = text.trim.split("\\s+").toSeq
+      if (t.size < 3) Set.empty
+      else (0 to t.size - 3).map(i => t.slice(i, i + 3).mkString(" ")).toSet
+    }
+    cases(77L, 4).foreach { rnd =>
+      val pool = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+      def doc() = List.fill(4 + rnd.nextInt(4))(pool(rnd.nextInt(pool.size))).mkString(" ")
+      val rows = (1L to 30L).map(i => (i, doc()))
+      val admitted = DedupOps.incrementalDedupAdmit(rows.toDF("doc_id", "text"))
+        .collect().map(_.getLong(0)).toSet
+      val batch = rows.filter(_._1 % 3 == 0)
+      val corpus = rows.filter(_._1 % 3 != 0)
+      assert(admitted.subsetOf(batch.map(_._1).toSet))
+      val rejected = batch.map(_._1).toSet -- admitted
+      rejected.foreach { id =>
+        val s = shingleSet(batch.find(_._1 == id).get._2)
+        val hasTrueMatch = corpus.exists { case (_, ctext) =>
+          val c = shingleSet(ctext)
+          val union = (s ++ c).size
+          union > 0 && s.intersect(c).size.toDouble / union >= 0.3
+        }
+        assert(hasTrueMatch, s"doc $id rejected without a true corpus match")
+      }
+    }
+  }
+
   test("vec_dot == HOF fold on random vectors incl. length mismatches") {
     cases(11L, 6).foreach { rnd =>
       val pairs = List.fill(8)((
