@@ -455,7 +455,39 @@ object Relational {
       FROM nation JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name ORDER BY r_name"""))
 
+  /** INTERSECT / EXCEPT — the remaining set operators next to q09's
+    * UNION: customers ordering in both January and February 1995 vs
+    * January-only. Both plan as aggregating joins (left-semi /
+    * left-anti over distinct inputs), so they shuffle once on the key
+    * like any equi-join — no pairwise comparison semantics to worry
+    * about at scale.
+    */
+  val q20 = QueryDef(
+    "q20_intersect_except",
+    "set ops: customers in both Jan+Feb 1995 vs Jan-only (INTERSECT/EXCEPT)",
+    (s, dir) => {
+      val o = T(s, dir, "orders")
+      def monthKeys(m: Int) = o
+        .filter(year(col("o_orderdate")) === 1995 && month(col("o_orderdate")) === m)
+        .select(col("o_custkey")).distinct()
+      val jan = monthKeys(1)
+      val feb = monthKeys(2)
+      jan.intersect(feb).select(lit("both").as("tag"), col("o_custkey"))
+        .unionAll(jan.except(feb).select(lit("jan_only").as("tag"), col("o_custkey")))
+        .orderBy(col("tag"), col("o_custkey"))
+    },
+    Some("""WITH jan AS (SELECT DISTINCT o_custkey FROM orders
+              WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 1),
+      feb AS (SELECT DISTINCT o_custkey FROM orders
+              WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 2)
+      SELECT 'both' AS tag, o_custkey
+      FROM (SELECT o_custkey FROM jan INTERSECT SELECT o_custkey FROM feb) b
+      UNION ALL
+      SELECT 'jan_only' AS tag, o_custkey
+      FROM (SELECT o_custkey FROM jan EXCEPT SELECT o_custkey FROM feb) j
+      ORDER BY tag, o_custkey"""))
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-        q11, q12, q13, q14, q15, q16, q17, q18, q19)
+        q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
 }
