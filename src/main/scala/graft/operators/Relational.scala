@@ -487,7 +487,38 @@ object Relational {
       FROM (SELECT o_custkey FROM jan EXCEPT SELECT o_custkey FROM feb) j
       ORDER BY tag, o_custkey"""))
 
+  /** Ranking-window variety beyond q07's argmax and q15's running frame:
+    * ntile / percent_rank / cume_dist / first_value in one windowed
+    * pass. The ORDER BY carries a unique tiebreak (o_orderkey), so every
+    * rank function is fully determined; percent_rank and cume_dist are
+    * single divisions of exact integers — bit-identical cross-engine.
+    * One shuffle on the partition key, like any window at scale.
+    */
+  val q21 = QueryDef(
+    "q21_rank_windows",
+    "ntile/percent_rank/cume_dist/first_value over priority partitions",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).cast("bigint").as("quartile"), // DuckDB ntile is BIGINT
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first(col("o_orderkey")).over(w).as("top_order"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_orderpriority,
+        ntile(4)      OVER w AS quartile,
+        percent_rank() OVER w AS pr,
+        cume_dist()    OVER w AS cd,
+        first_value(o_orderkey) OVER w AS top_order
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey)
+      ORDER BY o_orderpriority, o_orderkey"""))
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-        q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+        q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21)
 }
