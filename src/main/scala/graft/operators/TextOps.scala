@@ -281,6 +281,46 @@ object TextOps {
                  THEN 'g' ELSE '4ccc' END
       GROUP BY source ORDER BY source"""))
 
+  /** Character-entropy quality score: H(doc) = -Σ p(ch)·ln p(ch) over
+    * the document's characters — the cheap repetitiveness/gibberish
+    * signal next to t09's token-level repetition cut (low entropy ⇒
+    * repeated characters/patterns; high ⇒ diverse text). Two keyed
+    * aggregations, both map-side combinable: (doc, char) counts then the
+    * per-doc entropy fold.
+    *
+    * Float parity: the per-char terms are ln over exact integer ratios,
+    * but their SUM is partition-order-dependent (and libm ln may differ
+    * in the last ulp cross-engine), so both sides round to 6 dp — the
+    * g04 ArticleRank oracle convention.
+    */
+  val t18 = QueryDef(
+    "t18_char_entropy",
+    "per-doc character-entropy quality score (6 dp, g04 rounding convention)",
+    (s, dir) => {
+      val chars = docs(s, dir)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= "")
+      val cnt = chars.groupBy(col("doc_id"), col("ch"))
+        .agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+      cnt.join(tot, Seq("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n")).cast("bigint").as("n_chars_counted"),
+          round(-sum((col("c") / col("n")) * log(col("c") / col("n"))), 6)
+            .as("entropy"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH chars AS (SELECT doc_id, substring(text, CAST(i AS INT) + 1, 1) AS ch
+              FROM (SELECT doc_id, text, unnest(range(length(text))) AS i
+                    FROM documents WHERE length(trim(text)) > 0) t),
+      cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2),
+      tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1)
+      SELECT cnt.doc_id, MAX(tot.n) AS n_chars_counted,
+             ROUND(-SUM((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)), 6) AS entropy
+      FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+      GROUP BY cnt.doc_id ORDER BY cnt.doc_id"""))
+
   /** Top-3 terms per language via the typed [[graft.functions.TopTerms]]
     * Aggregator: word counts (one shuffle) feed a bounded-buffer top-k
     * aggregation (second shuffle with O(k) state and map-side partial
@@ -553,5 +593,5 @@ object TextOps {
       FROM starts ORDER BY doc_id, chunk_idx"""))
 
   val all: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t13, t14, t15, t17)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t13, t14, t15, t17, t18)
 }
