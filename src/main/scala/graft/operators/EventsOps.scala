@@ -269,5 +269,40 @@ object EventsOps {
       FROM c JOIN p ON abs(c_ms - p_ms) <= 600000
       ORDER BY click_id, purchase_id"""))
 
-  val all: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09)
+  /** Cohort retention — the classic product-analytics events workload:
+    * cohort = each user's first active day; for every (cohort day,
+    * day offset) cell, how many of that cohort's users were active. Two
+    * keyed aggregations and one join, all on integer day arithmetic
+    * (ms floor-divided by 86_400_000 — engine-identical), so the whole
+    * matrix is hash-exact. At scale: the (user, day) distinct and the
+    * first-day aggregate are each one user-keyed shuffle with map-side
+    * combine; the cohort join is keyed by user; the final cell rollup is
+    * bounded by days², not events.
+    */
+  val e10 = QueryDef(
+    "e10_cohort_retention",
+    "cohort-day x day-offset active-user retention matrix",
+    (s, dir) => {
+      // ns -> ms -> day, all floor divisions (pmod form, see tsMs)
+      val ms = "(ts - pmod(ts, 1000000)) DIV 1000000"
+      val days = events(s, dir)
+        .select(col("user_id"),
+          expr(s"(($ms) - pmod(($ms), 86400000)) DIV 86400000").as("day"))
+        .distinct()
+      val cohorts = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      days.join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users")) // (user, day) is distinct -> count = users
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+    Some("""WITH d AS (SELECT DISTINCT user_id,
+              epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS day
+            FROM events),
+      c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+      SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+             COUNT(*) AS n_users
+      FROM d JOIN c ON d.user_id = c.user_id
+      GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""))
+
+  val all: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10)
 }
