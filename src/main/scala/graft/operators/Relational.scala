@@ -518,7 +518,39 @@ object Relational {
                    ORDER BY o_totalprice DESC, o_orderkey)
       ORDER BY o_orderpriority, o_orderkey"""))
 
+  /** GROUP BY CUBE — the full grouping-sets lattice next to q16's
+    * hierarchical ROLLUP: every (region, priority) margin including the
+    * priority-only one ROLLUP omits. Same single-shuffle expansion with
+    * per-level partial aggregation; NULL ordering pinned as in q16.
+    */
+  val q22 = QueryDef(
+    "q22_cube",
+    "CUBE margins: revenue by region x order priority incl. all subtotals",
+    (s, dir) => {
+      val o = T(s, dir, "orders")
+      val c = T(s, dir, "customer")
+      val n = T(s, dir, "nation")
+      val r = T(s, dir, "region")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .cube(col("r_name"), col("o_orderpriority"))
+        .agg(moneySum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+    Some("""SELECT r_name, o_orderpriority,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY CUBE(r_name, o_orderpriority)
+      ORDER BY r_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-        q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21)
+        q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
 }
