@@ -304,5 +304,52 @@ object EventsOps {
       FROM d JOIN c ON d.user_id = c.user_id
       GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""))
 
-  val all: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10)
+  /** Ordered funnel — the other classic product-analytics shape next to
+    * e10's cohorts: how many users progress view → click → purchase IN
+    * ORDER. Stage k's anchor is the user's earliest stage-k event at or
+    * after their stage-(k-1) anchor (the standard earliest-completion
+    * funnel), all in exact integer ms. Three user-keyed aggregations and
+    * two user-keyed joins — no event self-join blow-up: each stage
+    * touches only its own event-type slice.
+    */
+  val e11 = QueryDef(
+    "e11_funnel",
+    "ordered view->click->purchase funnel: users reaching each stage",
+    (s, dir) => {
+      val ms = "(ts - pmod(ts, 1000000)) DIV 1000000"
+      val e = events(s, dir)
+        .select(col("user_id"), col("event_type"), expr(ms).as("ms"))
+      def stage(tpe: String) = e.filter(col("event_type") === tpe)
+      val v = stage("view").groupBy(col("user_id")).agg(min(col("ms")).as("v_ms"))
+      val c = stage("click").join(v, Seq("user_id"))
+        .filter(col("ms") >= col("v_ms"))
+        .groupBy(col("user_id")).agg(min(col("ms")).as("c_ms"))
+      val p = stage("purchase").join(c, Seq("user_id"))
+        .filter(col("ms") >= col("c_ms"))
+        .groupBy(col("user_id")).agg(min(col("ms")).as("p_ms"))
+      v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+        .unionAll(c.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_click").as("stage"), col("n_users")))
+        .unionAll(p.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase").as("stage"), col("n_users")))
+        .orderBy(col("stage"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type,
+              epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM events),
+      v AS (SELECT user_id, MIN(ms) AS v_ms FROM e
+            WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, MIN(e.ms) AS c_ms
+            FROM e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ms >= v.v_ms
+            GROUP BY e.user_id),
+      p AS (SELECT e.user_id, MIN(e.ms) AS p_ms
+            FROM e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ms >= c.c_ms
+            GROUP BY e.user_id)
+      SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+      UNION ALL SELECT '2_click', COUNT(*) FROM c
+      UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+      ORDER BY stage"""))
+
+  val all: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11)
 }
