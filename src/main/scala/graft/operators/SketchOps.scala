@@ -54,14 +54,21 @@ object SketchOps {
   /** CMS frequency estimates for `keys` (a `tok` column): min over the
     * depth rows of each key's bucket counters. The grid side is at most
     * depth·width rows, so it broadcasts unconditionally.
+    *
+    * LEFT join + coalesce-to-0: a key absent from the corpus may hit
+    * buckets no corpus token touched — an inner join would either drop
+    * the key entirely or take the min over only its colliding cells
+    * (a collision-only over-estimate). Empty cells are exact zeros in
+    * the counter grid, so the min must see them: est = 0 for unseen
+    * keys, the true CMS semantics.
     */
   private[operators] def cmsEstimates(toks: DataFrame, keys: DataFrame): DataFrame = {
     val probes = keys.select(col("tok"),
         posexplode(array((0 until depth).map(j =>
           bucketCol(j, col("tok"))): _*)).as(Seq("j", "bucket")))
-    probes.join(broadcast(cmsCounters(toks)), Seq("j", "bucket"))
+    probes.join(broadcast(cmsCounters(toks)), Seq("j", "bucket"), "left")
       .groupBy(col("tok"))
-      .agg(min(col("c")).as("est"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 
   private def tokens(s: SparkSession, dir: String): DataFrame =
@@ -90,8 +97,8 @@ object SketchOps {
         kb AS (${(0 until depth).map(j =>
           s"SELECT tok, $j AS j, ${bucketSql(j, "tok")} AS bucket FROM keys")
           .mkString(" UNION ALL ")})
-        SELECT kb.tok, MIN(g.c) AS est
-        FROM kb JOIN grid g USING (j, bucket)
+        SELECT kb.tok, MIN(COALESCE(g.c, 0)) AS est
+        FROM kb LEFT JOIN grid g USING (j, bucket)
         GROUP BY kb.tok ORDER BY tok"""
     })
 

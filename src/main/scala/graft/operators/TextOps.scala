@@ -261,7 +261,11 @@ object TextOps {
     "t17_mixture_sample",
     "deterministic per-source rate sampling (training-mixture reweighting)",
     (s, dir) => {
-      val srcNum = substring(col("source"), 4, 10).cast("int")
+      // uncapped tail substring — the oracle's substring(source, 4) parses
+      // the IDENTICAL characters; a length-capped Spark side would diverge
+      // silently (null-drop vs hard CAST error) if the source naming
+      // contract ever grew past the cap
+      val srcNum = col("source").substr(lit(4), length(col("source"))).cast("int")
       val threshold = when(pmod(srcNum, lit(2)) === 0, "g").otherwise("4ccc")
       val frac = substring(
         md5(concat(lit("mix:"), col("doc_id").cast("string")).cast("binary")), 1, 4)
@@ -293,24 +297,33 @@ object TextOps {
     * in the last ulp cross-engine), so both sides round to 6 dp — the
     * g04 ArticleRank oracle convention.
     */
+  /** t18 core over any documents-shaped frame, factored for the non-BMP
+    * parity spec. Codepoint-safe segmentation: Java-regex `.` consumes one
+    * CODE POINT (a surrogate pair stays one match), matching DuckDB's
+    * codepoint-based substring/length — split(text, "") segments by UTF-16
+    * code unit and would silently break hash parity on any non-BMP
+    * character (emoji, rare CJK). (?s) so newlines count.
+    */
+  private[operators] def charEntropy(d: DataFrame): DataFrame = {
+    val chars = d
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("(?s)."), lit(0))).as("ch"))
+    val cnt = chars.groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    cnt.join(tot, Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).cast("bigint").as("n_chars_counted"),
+        round(-sum((col("c") / col("n")) * log(col("c") / col("n"))), 6)
+          .as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   val t18 = QueryDef(
     "t18_char_entropy",
     "per-doc character-entropy quality score (6 dp, g04 rounding convention)",
-    (s, dir) => {
-      val chars = docs(s, dir)
-        .filter(length(trim(col("text"))) > 0)
-        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
-        .filter(col("ch") =!= "")
-      val cnt = chars.groupBy(col("doc_id"), col("ch"))
-        .agg(count(lit(1)).as("c"))
-      val tot = cnt.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
-      cnt.join(tot, Seq("doc_id"))
-        .groupBy(col("doc_id"))
-        .agg(max(col("n")).cast("bigint").as("n_chars_counted"),
-          round(-sum((col("c") / col("n")) * log(col("c") / col("n"))), 6)
-            .as("entropy"))
-        .orderBy(col("doc_id"))
-    },
+    (s, dir) => charEntropy(docs(s, dir)),
     Some("""WITH chars AS (SELECT doc_id, substring(text, CAST(i AS INT) + 1, 1) AS ch
               FROM (SELECT doc_id, text, unnest(range(length(text))) AS i
                     FROM documents WHERE length(trim(text)) > 0) t),

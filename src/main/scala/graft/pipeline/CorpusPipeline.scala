@@ -77,7 +77,11 @@ object CorpusPipeline {
         DedupOps.minhashLshPairsFromShingles(sh, nDocs, cfg.nearDupMinJac)
       case None => DedupOps.minhashLshPairs(docs, cfg.nearDupMinJac)
     }
+    // eager drop-id set (tiny): downstream consumers re-read only the ids,
+    // never the LSH pair lineage — and [[curate]] can release the shingle
+    // cache as soon as this and the decontam id set are materialized
     val dupIds = pairs.select(col("doc_b").as("doc_id")).distinct()
+      .localCheckpoint(true)
     docs.join(dupIds, Seq("doc_id"), "left_anti")
   }
 
@@ -106,14 +110,30 @@ object CorpusPipeline {
       case Some(sh) => sh.join(docs.select(col("doc_id")), Seq("doc_id"), "left_semi")
       case None => DedupOps.shingles(docs)
     }
-    val contaminated = dsh
+    // the contaminated-id set is tiny (bounded by dropped docs), so it is
+    // materialized eagerly — which lets the benchmark-shingle cache be
+    // RELEASED here instead of squatting on executor storage until LRU
+    // eviction (the cache outlives no consumer past this point)
+    val contaminated =
+      contaminatedIds(dsh, bsh, nBench, cfg, broadcastLimit).localCheckpoint(true)
+    bsh.unpersist(blocking = false)
+    docs.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** The lazy contamination plan (factored so the broadcast-vs-shuffle
+    * contract stays plan-assertable after [[decontaminate]]'s eager
+    * checkpoint): ids of docs sharing >= contamMinShared shingles with one
+    * benchmark doc. `bsh` is (bench_id, sh); `nBench` its known row bound.
+    */
+  private[pipeline] def contaminatedIds(dsh: DataFrame, bsh: DataFrame,
+      nBench: Long, cfg: Config = default,
+      broadcastLimit: Long = DedupOps.broadcastRowLimit): DataFrame =
+    dsh
       .join(DedupOps.broadcastIfUnder(bsh, nBench, broadcastLimit), Seq("sh"))
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= cfg.contamMinShared)
       .select(col("doc_id")).distinct()
-    docs.join(contaminated, Seq("doc_id"), "left_anti")
-  }
 
   /** Stage 6: deterministic 80/10/10 split — t06's shared
     * [[TextOps.trainSplitCol]], one definition for gate and pipeline.
@@ -121,7 +141,16 @@ object CorpusPipeline {
   def withSplit(docs: DataFrame): DataFrame =
     docs.withColumn("split", TextOps.trainSplitCol)
 
-  /** Full chain: curated corpus with pred_lang + split columns. */
+  /** Full chain: curated corpus with pred_lang + split columns.
+    *
+    * Cache lifecycle (round-7 ADVICE): every cache this chain fills is
+    * released before it returns — the drop-id sets (near-dup, contam) are
+    * materialized eagerly inside their stages, the near-dup survivors are
+    * localCheckpointed so the final projection re-reads materialized rows
+    * instead of the cached quality+dedup lineage, and then the survivor
+    * and shingle caches are unpersisted. A long-lived session running the
+    * chain many times accumulates nothing.
+    */
   def curate(docs: DataFrame, cfg: Config = default): DataFrame = {
     val corpus = corpusSlice(docs, cfg)
     val bench = benchmarkSlice(docs, cfg)
@@ -135,8 +164,14 @@ object CorpusPipeline {
     // the near-dup survivors by id (per-doc shingling makes that exact).
     val shEd = DedupOps.shingles(ed).cache()
     shEd.count() // fill once; both stages read the materialized rows
+    // nd's checkpoint materializes the survivor rows, cutting the final
+    // projection loose from the ed cache (dupIds inside nearDedup is
+    // already eager, so this single action pays the whole anti-join)
     val nd = nearDedup(ed, cfg, sharedShingles = Some((shEd, ed.count())))
+      .localCheckpoint(true)
     val cleaned = decontaminate(nd, bench, cfg, docShingles = Some(shEd))
+    // decontaminate materialized its id set; no lazy consumer reads these
+    Seq(shEd, ed).foreach(_.unpersist(blocking = false))
     withSplit(TextOps.withLangPred(cleaned))
   }
 

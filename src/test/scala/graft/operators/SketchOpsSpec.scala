@@ -33,4 +33,20 @@ class SketchOpsSpec extends AnyFunSuite with graft.SparkTestSession {
     val exact = truth.count { case (w, n) => est(w) == n }
     assert(exact >= 45, s"only $exact/50 estimates exact")
   }
+
+  test("keys absent from the corpus estimate as 0, never vanish") {
+    // corpus of 3 tokens; probe with 40 unseen keys — with depth=4 rows
+    // over 256 buckets an unseen key almost surely has >=1 empty cell, so
+    // min-with-coalesced-zeros returns 0; an inner join would drop the
+    // key (no cell) or report a collision-only overcount
+    val toks = Seq("a", "b", "c").toDF("tok")
+    val keys = ((1 to 40).map(i => s"unseen$i") ++ Seq("a")).toDF("tok")
+    val est = SketchOps.cmsEstimates(toks, keys).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet.size == 41, "every probe key must appear in the output")
+    assert(est("a") >= 1L)
+    val unseen = est.view.filterKeys(_.startsWith("unseen")).values
+    assert(unseen.forall(_ == 0L),
+      s"unseen keys must estimate 0, got ${unseen.toSeq.distinct.sorted}")
+  }
 }

@@ -44,17 +44,23 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("decontaminate size contract: over-limit benchmark falls back to shuffle, same rows") {
-    // plain filtered input: its plan carries no hints of its own, so the
-    // assertions below see only decontaminate's join strategy
+    // plan contract, asserted on the LAZY contamination plan (decontaminate
+    // itself checkpoints the id set eagerly, so the hint is consumed
+    // before its returned plan): under the limit the bench side carries a
+    // broadcast hint; at limit 0 it must not (the planner may shuffle)
     val corpus = CorpusPipeline.corpusSlice(docs)
     val bench = CorpusPipeline.benchmarkSlice(docs)
+    import graft.operators.DedupOps
+    val dsh = DedupOps.shingles(corpus)
+    val bsh = DedupOps.shingles(bench).withColumnRenamed("doc_id", "bench_id")
+    val nBench = bsh.count()
+    val hintedIds = CorpusPipeline.contaminatedIds(dsh, bsh, nBench)
+    val fallbackIds = CorpusPipeline.contaminatedIds(dsh, bsh, nBench, broadcastLimit = 0L)
+    assert(hintedIds.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"))
+    assert(!fallbackIds.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"))
+    // result contract: identical rows through the public API either way
     val hinted = CorpusPipeline.decontaminate(corpus, bench)
     val fallback = CorpusPipeline.decontaminate(corpus, bench, broadcastLimit = 0L)
-    // plan contract: under the limit the bench side carries a broadcast
-    // hint; at limit 0 it must not (the planner is free to shuffle)
-    assert(hinted.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"))
-    assert(!fallback.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"))
-    // result contract: identical either way
     assert(fallback.select("doc_id").as[Long].collect().toSet ==
       hinted.select("doc_id").as[Long].collect().toSet)
   }
