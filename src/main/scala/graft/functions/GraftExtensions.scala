@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => VecDotRewrite)
     ext.injectOptimizerRule(_ => BandJoinRewrite)
+    ext.injectOptimizerRule(_ => SimilarityJoinRewrite)
   }
 }
 
@@ -48,7 +49,7 @@ object GraftFunctions {
       spark.sessionState.functionRegistry
         .registerFunction(ident, info, builder)
     }
-    Seq(VecDotRewrite, BandJoinRewrite).foreach { rule =>
+    Seq(VecDotRewrite, BandJoinRewrite, SimilarityJoinRewrite).foreach { rule =>
       if (!spark.experimental.extraOptimizations.contains(rule))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ rule

@@ -655,5 +655,48 @@ object DedupOps {
       LEFT JOIN comp c ON d.doc_id = c.node
       ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09)
+  /** The declarative twin of [[graft.sim.SimilarityJoin.join]] (SURVEY
+    * §4.3 item 4; reference semantics `cpe_product.ipynb c13:8-13`): the
+    * user writes the natural `crossJoin.filter(jaccard_sim >= t)` and
+    * [[graft.functions.SimilarityJoinRewrite]] (injected by
+    * GraftFunctions.register) turns it into the inverted-index token
+    * equi-join automatically — Spark's own planner would pick a
+    * CartesianProduct, the O(|L|·|R|) scale-killer (PlanSpec's
+    * product-join sweep covers this gate, so the rewrite firing is
+    * load-bearing, not decorative). Token sets are each document's first
+    * 8 whitespace tokens; the left side is sampled so the pair count
+    * stays output-bounded at any SF. Output is integer ids only —
+    * hash-exact; both engines compare small-int ratio divisions, which
+    * IEEE-round identically.
+    */
+  val d10 = QueryDef(
+    "d10_sim_join_declarative",
+    "crossJoin+jaccard_sim threshold auto-rewritten to an inverted-index join",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.load(s, dir, "documents")
+      def prefixToks = slice(split(trim(col("text")), "\\s+"), 1, 8)
+      val l = docs.filter(col("doc_id") % 41 === 0)
+        .select(col("doc_id").as("l_id"), prefixToks.as("l_toks"))
+      val r = docs.select(col("doc_id").as("r_id"), prefixToks.as("r_toks"))
+      l.crossJoin(r)
+        .filter(graft.functions.GraftFunctions
+          .jaccardSim(col("l_toks"), col("r_toks")) >= lit(0.5) &&
+          col("l_id") =!= col("r_id"))
+        .select(col("l_id"), col("r_id"))
+        .orderBy(col("l_id"), col("r_id"))
+    },
+    Some("""WITH l AS (SELECT doc_id AS l_id,
+              list_distinct(string_split_regex(trim(text), '\s+')[1:8]) AS lt
+            FROM documents WHERE doc_id % 41 = 0),
+      r AS (SELECT doc_id AS r_id,
+              list_distinct(string_split_regex(trim(text), '\s+')[1:8]) AS rt
+            FROM documents)
+      SELECT l_id, r_id FROM l, r
+      WHERE l_id <> r_id
+        AND len(list_intersect(lt, rt)) * 1.0 /
+            (len(lt) + len(rt) - len(list_intersect(lt, rt))) >= 0.5
+      ORDER BY l_id, r_id"""))
+
+  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10)
 }
