@@ -39,8 +39,11 @@ object EntityResolution {
 
   /** Max contracted-band edges the elbow sweep closes driver-side; above
     * this the step falls back to distributed connected components.
+    * Overridable per-sweep so tests exercise the distributed branch with
+    * fixture-sized data (round-6 VERDICT item 8: both branches must be
+    * CI-covered, label-identical).
     */
-  private val driverCcLimit = 1000000
+  val DefaultDriverCcLimit = 1000000
 
   /** Plural/possessive fold: strip one trailing 's' from each token >2
     * chars ("dprks" -> "dprk", "centres" -> "centre").
@@ -170,7 +173,8 @@ object EntityResolution {
     * driver-submitted sequentially, each a bounded shuffle.
     */
   def elbowSweep(labels: DataFrame,
-                 thresholds: Seq[Double] = (6 to 17).map(_ * 0.05)): DataFrame = {
+                 thresholds: Seq[Double] = (6 to 17).map(_ * 0.05),
+                 driverCcLimit: Int = DefaultDriverCcLimit): DataFrame = {
     val spark = labels.sparkSession
     import spark.implicits._
     val scored = scorePairs(blockPairs(labels), labels)

@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** GitHub enrichment ETL (reference: gitlinks/gitapi.py + data_integration
@@ -56,6 +56,30 @@ object GitHub {
         col("c.contributions").as("contributions"))
       .filter(!col("logins").contains("[bot]"))
       .dropDuplicates()
+
+  /** Executor-side fetch of the pending frontier through the live-HTTP
+    * DataSourceV2 ([[graft.sources.HttpSource]]) — replaces the
+    * reference's driver-side request loop (gitapi.py:142-186) with a
+    * partition-parallel, rate-limited, resumable source read. `raw.body`
+    * feeds [[languagesTable]]/[[contributorsTable]] after `from_json`.
+    *
+    * The pending set is the INCREMENTAL frontier (post-[[pendingRepos]]
+    * anti-join), so collecting the URL column to plan partitions is
+    * bounded by new-repos-per-run, not corpus size; for a full backfill
+    * pass a file via the source's `urlsPath` option instead.
+    */
+  def fetchPending(spark: SparkSession, pendingUrls: DataFrame,
+                   requestsPerWindow: Int, windowMillis: Long,
+                   alreadyFetchedUrls: Seq[String] = Nil): DataFrame = {
+    val urls = pendingUrls.select(col("url")).distinct()
+      .collect().map(_.getString(0))
+    spark.read.format("graft.sources.HttpSource")
+      .option("urls", urls.mkString(","))
+      .option("requestsPerWindow", requestsPerWindow)
+      .option("windowMillis", windowMillis)
+      .option("skipUrls", alreadyFetchedUrls.mkString(","))
+      .load()
+  }
 
   /** J4 replacement: re-join payload tables to the refs table on the
     * explicit repo API url key (never a positional index — positional ids
