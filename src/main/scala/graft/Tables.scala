@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided synthetic parquet corpus (TESTDATA.md).
   *
@@ -24,16 +26,44 @@ object Tables {
   val requiredConf: Map[String, String] =
     Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** The parquet file as-is (no column normalization). Streaming readers
+    * need this: `readStream.schema(...)` must match the file's physical
+    * schema, so they peek this schema and then apply [[normalizeEventTs]]
+    * on the streaming DataFrame themselves.
+    */
+  def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame = {
     // pointed failure instead of a deep parquet-reader error when a
     // session was built without requiredConf (an external driver using
-    // its own builder would otherwise die inside the events scan)
+    // its own builder would otherwise die inside a TIMESTAMP(NANOS) scan)
     if (name == "events")
       require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
           .contains("true"),
-        "events.ts is parquet TIMESTAMP(NANOS): build the session with " +
+        "events.ts may be parquet TIMESTAMP(NANOS): build the session with " +
           "graft.Tables.requiredConf (spark.sql.legacy.parquet.nanosAsLong=true)")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Normalize `events.ts` to an epoch-NANOSECOND long regardless of how
+    * the generator wrote it — TIMESTAMP(NANOS) (reads as ns-long under
+    * nanosAsLong) or timestamp[us] (reads as TIMESTAMP_NTZ). Everything
+    * downstream does integer epoch math on the ns long, which is identical
+    * in every engine; the NTZ→TZ cast interprets the naive value in the
+    * session timezone (pinned UTC session-wide), matching the DuckDB
+    * oracle's `epoch_ms(CAST(ts AS TIMESTAMP))` on the same file.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampType | TimestampNTZType =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other => throw new IllegalStateException(
+        s"events.ts has unexpected type $other")
+    }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = loadRaw(spark, dir, name)
+    if (name == "events") normalizeEventTs(df) else df
   }
 
   /** Register every table as a temp view so the whole gate surface is also

@@ -1,8 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -64,6 +66,56 @@ object ExpressionHelpers {
     java.lang.Double.valueOf(acc)
   }
 
+  /** One-pass verify step for the inverted-index similarity join
+    * ([[SimilarityJoinRewrite]]): given the two DISTINCT non-null token
+    * arrays (materialized once per input row below the join), the exploded
+    * alignment token, and the threshold, decide in a single hash pass
+    * whether this candidate row is the pair's canonical alignment AND the
+    * pair passes the Jaccard threshold.
+    *
+    * Semantics bit-identical to the unfused conjunction
+    *   tok = array_min(array_intersect(aT, bT)) && jaccard_sim(a, b) cmp t
+    * on the raw arrays: `aT`/`bT` are exactly the distinct non-null sets
+    * [[jaccard]] builds internally, the min-token tie-break uses the same
+    * binary UTF8String order as `array_min`, and the division is the same
+    * `inter / (|A| + |B| - inter)` double op. `tok == null` is the
+    * both-empty sentinel (J(∅,∅) = 1 by [[jaccard]]'s totalization).
+    *
+    * Fusing matters because the join condition runs once per CANDIDATE
+    * (shared-token pair), not per row: the unfused form re-derived the
+    * distinct sets ~6× per candidate (ArrayExcept in both prune sizes, the
+    * dedup intersect, and jaccard_sim itself).
+    */
+  def simJoinKeep(a: ArrayData, b: ArrayData, tok: UTF8String,
+      t: Double, strict: Boolean): Boolean = {
+    val nA = a.numElements()
+    val nB = b.numElements()
+    if (tok == null) { // sentinel: both sides effectively empty -> J = 1
+      if (nA != 0 || nB != 0) return false
+      return if (strict) 1.0 > t else 1.0 >= t
+    }
+    if (nA == 0 || nB == 0) return false
+    // size prune (implied by J >= t, so never drops a passing pair)
+    if (nB < t * nA || nA < t * nB) return false
+    val aSet = new java.util.HashSet[UTF8String](nA * 2)
+    var i = 0
+    while (i < nA) { aSet.add(a.getUTF8String(i)); i += 1 }
+    var inter = 0
+    var minTok: UTF8String = null
+    var j = 0
+    while (j < nB) {
+      val e = b.getUTF8String(j)
+      if (aSet.contains(e)) {
+        inter += 1
+        if (minTok == null || e.compareTo(minTok) < 0) minTok = e
+      }
+      j += 1
+    }
+    if (minTok == null || !tok.equals(minTok)) return false
+    val jac = inter.toDouble / (nA + nB - inter)
+    if (strict) jac > t else jac >= t
+  }
+
   /** Unicode fold: NFD-decompose, strip combining marks, lowercase —
     * the `unidecode(x).lower()` step of the reference's dedupe preProcess
     * (alerts/parse_alert.ipynb c45:3-13).
@@ -109,6 +161,66 @@ case class JaccardSim(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Internal verify predicate planted by [[SimilarityJoinRewrite]] into the
+  * rewritten join's condition — never user-facing (not in the function
+  * registry). `simjoin_keep(aToks, bToks, tok)` with the threshold and
+  * comparison strictness baked in as literals at rewrite time; see
+  * [[ExpressionHelpers.simJoinKeep]] for the one-pass semantics. Always
+  * boolean non-null (null token arrays — which jaccard_sim's
+  * null-intolerant comparison would drop — evaluate to false).
+  */
+case class SimJoinKeep(aToks: Expression, bToks: Expression, tok: Expression,
+    threshold: Double, strict: Boolean) extends Expression {
+
+  override def children: Seq[Expression] = Seq(aToks, bToks, tok)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val arraysOk = Seq(aToks, bToks).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (arraysOk && tok.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<string>, array<string>, string), got " +
+        children.map(_.dataType.catalogString).mkString(", "))
+  }
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "simjoin_keep"
+
+  override def eval(input: InternalRow): Any = {
+    val a = aToks.eval(input)
+    val b = bToks.eval(input)
+    if (a == null || b == null) false
+    else ExpressionHelpers.simJoinKeep(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      tok.eval(input).asInstanceOf[UTF8String], threshold, strict)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aG = aToks.genCode(ctx)
+    val bG = bToks.genCode(ctx)
+    val tG = tok.genCode(ctx)
+    val resultCode =
+      code"""
+        |${aG.code}
+        |${bG.code}
+        |boolean ${ev.value} = false;
+        |if (!${aG.isNull} && !${bG.isNull}) {
+        |  ${tG.code}
+        |  ${ev.value} = graft.functions.ExpressionHelpers.simJoinKeep(
+        |    ${aG.value}, ${bG.value}, ${tG.isNull} ? null : ${tG.value},
+        |    $threshold, $strict);
+        |}
+       """.stripMargin
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(aToks = newChildren(0), bToks = newChildren(1), tok = newChildren(2))
 }
 
 /** `vec_dot(array<double>, array<double>) -> double`, null-safe at the

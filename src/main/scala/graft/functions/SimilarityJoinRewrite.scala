@@ -24,25 +24,39 @@ import org.apache.spark.sql.types.{DoubleType, StringType}
   *   Join(L, R, Inner|Cross, jaccard_sim(a, b) >= t && rest)
   *     ==>
   *   Project(origOutput,
-  *     Join(Generate(explode(emit(a)) AS __sim_tok_l, L),
-  *          Generate(explode(emit(b)) AS __sim_tok_r, R),
+  *     Join(Generate(explode(emit(lt)) AS __sim_tok_l,
+  *            Project(L.*, toks(a) AS __sim_toks_l, L)),
+  *          Generate(explode(emit(rt)) AS __sim_tok_r,
+  *            Project(R.*, toks(b) AS __sim_toks_r, R)),
   *          Inner,
   *          __sim_tok_l <=> __sim_tok_r
-  *            && size prune: t·|toks(a)| <= |toks(b)| && t·|toks(b)| <= |toks(a)|
-  *            && (__sim_tok_l IS NULL ||
-  *                __sim_tok_l = array_min(array_intersect(toks(a), toks(b))))
-  *            && <original condition>))
+  *            && simjoin_keep(__sim_toks_l, __sim_toks_r, __sim_tok_l)
+  *            && rest))
   *
   * with toks(x) = array_except(x, [null]) (distinct, null-elements
   * dropped — exactly the token universe jaccard_sim counts) and
   * emit(x) = CASE WHEN size(toks(x)) = 0 THEN [null] ELSE toks(x) END.
   *
+  * [[SimJoinKeep]] (`simjoin_keep`, threshold + strictness baked in at
+  * rewrite time) fuses into ONE hash pass over the pre-materialized
+  * distinct sets what the first cut of this rule spelled as four separate
+  * array ops per candidate row — size prune (t·|A| <= |B| && t·|B| <= |A|),
+  * min-shared-token alignment dedup (`tok = array_min(array_intersect)`),
+  * and the original jaccard_sim threshold itself — each of which
+  * re-derived the distinct sets from the raw arrays. The join condition
+  * runs once per CANDIDATE (shared-token pair), so at corpus scale the
+  * fusion is the difference between ~6 array materializations per
+  * candidate and zero (the sets are computed once per INPUT row, below
+  * the explode, where the row count is |L|+|R|, not Σdf²).
+  *
   * Soundness, case by case against jaccard_sim's semantics
   * (ExpressionHelpers.jaccard):
   *   - shared-token pairs: every candidate appears once per shared token;
-  *     the `tok = array_min(array_intersect(..))` conjunct keeps exactly
-  *     one alignment, and the ORIGINAL predicate is kept verbatim as the
-  *     residual, so the rewrite can never widen the result.
+  *     simjoin_keep's min-shared-token tie-break keeps exactly one
+  *     alignment, its threshold comparison is bit-identical to
+  *     jaccard_sim's (same distinct sets, same `inter/(|A|+|B|-inter)`
+  *     double division), and every OTHER original conjunct is kept
+  *     verbatim as the residual — the rewrite can never widen the result.
   *   - disjoint non-empty pairs: J = 0 < t (the guard requires t > 0 for
   *     >=, t >= 0 for >), and they produce no matching token row — dropped
   *     on both sides of the rewrite.
@@ -66,23 +80,24 @@ import org.apache.spark.sql.types.{DoubleType, StringType}
   */
 object SimilarityJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
-  /** jaccard_sim(a, b) >= t in either comparison orientation; returns
-    * (a, b, t) when the threshold makes the rewrite sound.
+  /** jaccard_sim(a, b) >= t (strict = false) or > t (strict = true) in
+    * either comparison orientation; returns (a, b, t, strict) when the
+    * threshold makes the rewrite sound.
     */
-  private def simOf(p: Expression): Option[(Expression, Expression, Double)] = {
+  private def simOf(p: Expression): Option[(Expression, Expression, Double, Boolean)] = {
     def thresh(e: Expression): Option[Double] = e match {
       case Literal(v: Double, DoubleType) => Some(v)
       case _                              => None
     }
     p match {
       case GreaterThanOrEqual(JaccardSim(a, b), t) =>
-        thresh(t).filter(_ > 0d).map((a, b, _))
+        thresh(t).filter(_ > 0d).map((a, b, _, false))
       case GreaterThan(JaccardSim(a, b), t) =>
-        thresh(t).filter(_ >= 0d).map((a, b, _))
+        thresh(t).filter(_ >= 0d).map((a, b, _, true))
       case LessThanOrEqual(t, JaccardSim(a, b)) =>
-        thresh(t).filter(_ > 0d).map((a, b, _))
+        thresh(t).filter(_ > 0d).map((a, b, _, false))
       case LessThan(t, JaccardSim(a, b)) =>
-        thresh(t).filter(_ >= 0d).map((a, b, _))
+        thresh(t).filter(_ >= 0d).map((a, b, _, true))
       case _ => None
     }
   }
@@ -117,39 +132,44 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case j @ Join(left, right, jt, Some(cond), hint)
         if (jt == Inner || jt == Cross) && j.resolved &&
           !hasEquiKey(splitConjunctivePredicates(cond), left, right) =>
-      val sim = splitConjunctivePredicates(cond).iterator.flatMap { p =>
-        simOf(p).flatMap { case (x, y, t) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val sim = conjuncts.iterator.flatMap { p =>
+        simOf(p).flatMap { case (x, y, t, strict) =>
           // orientation only affects which side explodes first; jaccard
           // itself is symmetric
-          if (canEvaluate(x, left) && canEvaluate(y, right)) Some((x, y, t))
-          else if (canEvaluate(y, left) && canEvaluate(x, right)) Some((y, x, t))
+          if (canEvaluate(x, left) && canEvaluate(y, right))
+            Some((p, x, y, t, strict))
+          else if (canEvaluate(y, left) && canEvaluate(x, right))
+            Some((p, y, x, t, strict))
           else None
-        }.filter { case (a, b, _) => a.deterministic && b.deterministic }
+        }.filter { case (_, a, b, _, _) => a.deterministic && b.deterministic }
       }.take(1).toSeq.headOption
 
       sim match {
         case None => j
-        case Some((la, rb, tLit)) =>
-          val (lt, rt) = (toks(la), toks(rb))
+        case Some((simPred, la, rb, tLit, strict)) =>
+          // Materialize each side's distinct non-null token set ONCE per
+          // input row, below the explode — the join condition then reads
+          // the arrays per candidate without re-deriving them.
+          val lToks = Alias(toks(la), "__sim_toks_l")()
+          val rToks = Alias(toks(rb), "__sim_toks_r")()
+          val projL = Project(left.output :+ lToks, left)
+          val projR = Project(right.output :+ rToks, right)
           val lAttr = AttributeReference("__sim_tok_l", StringType)()
           val rAttr = AttributeReference("__sim_tok_r", StringType)()
-          val genL = Generate(Explode(emit(lt)), unrequiredChildIndex = Nil,
-            outer = false, qualifier = None, generatorOutput = Seq(lAttr),
-            child = left)
-          val genR = Generate(Explode(emit(rt)), unrequiredChildIndex = Nil,
-            outer = false, qualifier = None, generatorOutput = Seq(rAttr),
-            child = right)
-          // J >= t implies t·|A| <= |B| and t·|B| <= |A| (|·| = distinct
-          // non-null sizes): prunes size-mismatched candidates before the
-          // per-pair intersect. Vacuous (0 <= 0) for the sentinel pairs.
-          def dbl(e: Expression) = Cast(Size(e), DoubleType)
-          val prune = And(
-            GreaterThanOrEqual(dbl(rt), Multiply(dbl(lt), Literal(tLit))),
-            GreaterThanOrEqual(dbl(lt), Multiply(dbl(rt), Literal(tLit))))
-          val dedup = Or(IsNull(lAttr),
-            EqualTo(lAttr, ArrayMin(ArrayIntersect(lt, rt))))
-          val newCond = And(EqualNullSafe(lAttr, rAttr),
-            And(prune, And(dedup, cond)))
+          val genL = Generate(Explode(emit(lToks.toAttribute)),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Seq(lAttr), child = projL)
+          val genR = Generate(Explode(emit(rToks.toAttribute)),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Seq(rAttr), child = projR)
+          // One fused pass per candidate: size prune, min-shared-token
+          // alignment dedup, and the threshold itself (see SimJoinKeep).
+          val keep = SimJoinKeep(lToks.toAttribute, rToks.toAttribute,
+            lAttr, tLit, strict)
+          val residual = conjuncts.filterNot(_ eq simPred)
+          val newCond = (EqualNullSafe(lAttr, rAttr) +: keep +: residual)
+            .reduceLeft(And)
           Project(j.output, Join(genL, genR, Inner, Some(newCond), hint))
       }
   }

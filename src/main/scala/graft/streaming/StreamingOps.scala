@@ -126,13 +126,20 @@ object StreamingOps {
     s.read.schema(out.schema).parquet(s"$tmp/data")
   }
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),        // TIMESTAMP(NANOS) read as ns-long
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Streaming events source with `ts` normalized to an epoch-ns long.
+    * The file-source schema must match the parquet physically, and the
+    * generator has shipped both TIMESTAMP(NANOS) and timestamp[us] `ts`
+    * columns across rounds — so peek the real footer schema via a batch
+    * read (one footer, driver-side, O(1)) and apply the same
+    * normalization the batch path uses ([[graft.Tables.normalizeEventTs]]).
+    */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val fileSchema = graft.Tables.loadRaw(s, dir, "events").schema
+    graft.Tables.normalizeEventTs(
+      s.readStream
+        .schema(fileSchema)
+        .parquet(s"$dir/*events*")) // glob: stream file source requires a directory basePath
+  }
 
   /** Tumbling 1-hour event-time window counts, computed by an actual
     * streaming query (memory sink), matching e02's batch semantics.
@@ -142,9 +149,7 @@ object StreamingOps {
     "structured-streaming tumbling 1h window counts (memory sink)",
     (s, dir) => {
       val tableName = "st01_stream_out"
-      val src = s.readStream
-        .schema(eventsSchema)
-        .parquet(s"$dir/*events*") // glob: stream file source requires a directory basePath
+      val src = eventsStream(s, dir)
         .withColumn("event_ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000")))
         .withWatermark("event_ts", "2 hours")
       val agg = src
@@ -189,9 +194,7 @@ object StreamingOps {
     "st02_stream_append",
     "append-mode streaming windows: watermark-closed only, file sink",
     (s, dir) => {
-      val src = s.readStream
-        .schema(eventsSchema)
-        .parquet(s"$dir/*events*")
+      val src = eventsStream(s, dir)
         .withColumn("event_ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000")))
         .withWatermark("event_ts", "2 hours")
       val agg = src
@@ -223,9 +226,7 @@ object StreamingOps {
     "st03_stream_dedup",
     "streaming dedup via dropDuplicatesWithinWatermark (bounded state)",
     (s, dir) => {
-      val src = s.readStream
-        .schema(eventsSchema)
-        .parquet(s"$dir/*events*")
+      val src = eventsStream(s, dir)
         .withColumn("event_ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000")))
         .withWatermark("event_ts", "2 hours")
         .select(col("user_id"), col("event_type"), col("event_ts"))
@@ -257,9 +258,7 @@ object StreamingOps {
       import s.implicits._
       import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
       import StatefulSessions._
-      val src = s.readStream
-        .schema(eventsSchema)
-        .parquet(s"$dir/*events*")
+      val src = eventsStream(s, dir)
         .withColumn("ms", expr("(ts - pmod(ts, 1000000)) DIV 1000000"))
         .withColumn("event_ts", timestamp_millis(col("ms")))
         .withWatermark("event_ts", "0 seconds")
@@ -311,9 +310,7 @@ object StreamingOps {
     "st05_stream_stream_join",
     "watermarked stream-stream interval join (click -> purchase <= 1h)",
     (s, dir) => {
-      def side(tpe: String, p: String): DataFrame = s.readStream
-        .schema(eventsSchema)
-        .parquet(s"$dir/*events*")
+      def side(tpe: String, p: String): DataFrame = eventsStream(s, dir)
         .filter(col("event_type") === tpe)
         .withColumn(s"${p}_ts",
           timestamp_millis(expr("(ts - pmod(ts, 1000000)) DIV 1000000")))
@@ -356,9 +353,7 @@ object StreamingOps {
     "st06_stream_static_join",
     "stateless stream-static dimension join (purchases -> customer segment)",
     (s, dir) => {
-      val src = s.readStream
-        .schema(eventsSchema)
-        .parquet(s"$dir/*events*")
+      val src = eventsStream(s, dir)
         .filter(col("event_type") === "purchase")
       val dim = graft.Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
