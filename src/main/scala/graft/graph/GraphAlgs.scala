@@ -17,6 +17,46 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphAlgs {
 
+  /** Edge-row ceiling under which the iterative algorithms run their
+    * driver-local replay instead of distributed supersteps. At gate scale
+    * the filtered graphs are a few thousand edges, and a superstep loop's
+    * cost there is pure job-dispatch overhead (30–40 Spark jobs ≈ 10 s
+    * for g05+g06's shared Louvain at sf0.1 — none of it data); the
+    * driver replay is milliseconds and produces IDENTICAL labels (see
+    * [[louvainLocal]] / the union-find in [[connectedComponents]]).
+    * 200k edge rows ≈ a few MB collected — far below driver pressure —
+    * while any corpus-proportional graph sails past it onto the
+    * distributed path, exactly the [[graft.er.EntityResolution]]
+    * driverCcLimit hybrid. Tests pin local/distributed label identity by
+    * forcing the limit to 0.
+    */
+  val DefaultDriverGraphLimit: Int = 200000
+
+  /** Driver union-find over an edge array: component = min reachable id,
+    * the same label [[org.apache.spark.graphx.lib.ConnectedComponents]]
+    * converges to (roots merge toward the smaller id, so the final root
+    * of every set is its minimum). `verts` seeds isolated vertices.
+    */
+  private def unionFindMin(verts: Iterator[Long],
+                           edges: Iterator[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    verts.foreach(v => parent.getOrElseUpdate(v, v))
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keysIterator.map(n => n -> find(n)).toMap
+  }
+
   /** Build a GraphX graph from an edge DataFrame with long src/dst cols.
     * `undirected = true` reproduces gds.graph.project's
     * orientation:'undirected' by emitting each edge both ways.
@@ -237,9 +277,28 @@ object GraphAlgs {
   /** Connected components (GraphX built-in: component id = min vertex id
     * reachable — matches a min-label-propagation oracle).
     */
-  def connectedComponents(g: Graph[Unit, Unit]): DataFrame = {
+  def connectedComponents(g: Graph[Unit, Unit],
+                          driverLimit: Int = DefaultDriverGraphLimit): DataFrame = {
     val spark = SparkSession.active
     import spark.implicits._
+    if (driverLimit > 0) {
+      // limit-probe decides the path AND fetches the edges (the
+      // EntityResolution driverCcLimit shape): union-find labels are
+      // min-reachable-id, identical to GraphX CC, and direction is
+      // irrelevant to a union
+      val probe = g.edges.take(driverLimit + 1)
+      if (probe.length <= driverLimit) {
+        // vertex seed: fromEdges-built graphs derive vertices from edge
+        // endpoints (already in the probe), but a caller-constructed
+        // Graph may carry edgeless vertices — one small collect covers
+        // both (bounded: |V| <= 2|E| <= 2*driverLimit via fromEdges, and
+        // caller-vertex sets at this scale are component-sized)
+        val comp = unionFindMin(
+          g.vertices.map(_._1).collect().iterator,
+          probe.iterator.map(e => (e.srcId, e.dstId)))
+        return comp.toSeq.toDF("node_id", "component")
+      }
+    }
     val sym = Graph.fromEdges(
       g.edges.flatMap(e => Iterator(e, Edge(e.dstId, e.srcId, e.attr))), ())
     sym.connectedComponents().vertices
@@ -253,9 +312,19 @@ object GraphAlgs {
     * second symmetrization pass [[connectedComponents]] would do. The
     * caller's contract: for every (a, b) row, (b, a) is present too.
     */
-  def connectedComponentsUnd(und: DataFrame): DataFrame = {
+  def connectedComponentsUnd(und: DataFrame,
+                             driverLimit: Int = DefaultDriverGraphLimit): DataFrame = {
     val spark = SparkSession.active
     import spark.implicits._
+    if (driverLimit > 0) {
+      val probe = und.select(col("src").cast("long"), col("dst").cast("long"))
+        .limit(driverLimit + 1).collect()
+      if (probe.length <= driverLimit) {
+        val comp = unionFindMin(Iterator.empty,
+          probe.iterator.map(r => (r.getLong(0), r.getLong(1))))
+        return comp.toSeq.toDF("node_id", "component")
+      }
+    }
     // GraphX keeps the input RDD's partition count through every Pregel
     // superstep — coalesce to the edge-proportional width first (the
     // count is cheap: the caller's contract is a cached edge table)
@@ -362,8 +431,109 @@ object GraphAlgs {
     * level-to-level (intra-community mass lands on the loop row already
     * doubled).
     */
+  /** Driver-local replay of [[louvainRep]]'s EXACT move sequence over a
+    * collected edge array — same parity-alternating sweeps, same
+    * candidate set (neighbour communities ∪ own), same ΔQ formula with
+    * the same individual double ops, same (score, stay, smallest-id)
+    * argmax tie-break, same both-parities-quiet termination, same
+    * contraction and min-member relabel. Label-IDENTITY with the
+    * distributed loop holds because every accumulated quantity (k, σ,
+    * w→C, m2) is an integer-valued double for the unit/integer weights
+    * this path is gated to (unweighted callers), so neither path's
+    * summation order can round, and each per-candidate score is then the
+    * same two IEEE ops on the same values. Pinned by the forced-path
+    * parity tests in GraphAlgsSpec.
+    *
+    * Input rows follow louvainRep's internal representation: directed
+    * both ways, deduplicated, self-loop weights doubled.
+    */
+  private def louvainLocal(rows: Array[(Long, Long, Double)], maxLevels: Int,
+                           maxSweeps: Int): Seq[(Long, Long)] = {
+    import scala.collection.mutable
+    if (rows.isEmpty) return Seq.empty
+    val m2 = { var s = 0.0; rows.foreach(s += _._3); s }
+    var edges = rows
+    // original node -> current-level community (community ids are
+    // current-level node ids)
+    val globalMap = mutable.LongMap.empty[Long]
+    rows.foreach { case (s, _, _) => globalMap.getOrElseUpdate(s, s) }
+    var prevCount = globalMap.size.toLong
+    var level = 0
+    var done = false
+    while (level < maxLevels && !done) {
+      // ---- localMoves over this level's edges ----
+      val k = mutable.LongMap.empty[Double]
+      edges.foreach { case (s, _, w) => k(s) = k.getOrElse(s, 0.0) + w }
+      val comm = mutable.LongMap.empty[Long]
+      k.foreachKey(n => comm(n) = n)
+      var sweep = 0
+      var zeroStreak = 0
+      while (sweep < maxSweeps && zeroStreak < 2) {
+        val sigma = mutable.LongMap.empty[Double]
+        k.foreach { case (n, kn) =>
+          val c = comm(n); sigma(c) = sigma.getOrElse(c, 0.0) + kn
+        }
+        // w from each node to each neighbouring community (self edges
+        // excluded), plus the own community as a 0-weight candidate
+        val wTo = mutable.Map.empty[(Long, Long), Double]
+        edges.foreach { case (s, d, w) =>
+          if (s != d) {
+            val key = (s, comm(d)); wTo(key) = wTo.getOrElse(key, 0.0) + w
+          }
+        }
+        k.foreachKey { n =>
+          val key = (n, comm(n)); wTo(key) = wTo.getOrElse(key, 0.0)
+        }
+        // argmax by (score, stay, -community): max score, ties to
+        // staying, then smallest community id
+        val best = mutable.LongMap.empty[(Double, Int, Long)]
+        wTo.foreach { case ((s, c), w) =>
+          val cur = comm(s)
+          val adj = if (c == cur) k(s) else 0.0
+          val score = w - k(s) * (sigma(c) - adj) / m2
+          val cand = (score, if (c == cur) 1 else 0, c)
+          val prev = best.getOrNull(s)
+          val better = (prev == null) ||
+            (cand._1 > prev._1 || (cand._1 == prev._1 &&
+              (cand._2 > prev._2 || (cand._2 == prev._2 && cand._3 < prev._3))))
+          if (better) best(s) = cand
+        }
+        val parity = sweep % 2
+        var moved = 0L
+        best.foreach { case (n, (_, _, c)) =>
+          if (java.lang.Math.floorMod(n, 2L) == parity && comm(n) != c) {
+            comm(n) = c; moved += 1
+          }
+        }
+        zeroStreak = if (moved == 0) zeroStreak + 1 else 0
+        sweep += 1
+      }
+      // ---- level bookkeeping: map originals, check progress, contract ----
+      val nComm = comm.values.toSet.size.toLong
+      globalMap.foreachKey(orig => globalMap(orig) = comm(globalMap(orig)))
+      if (nComm == prevCount) done = true
+      else {
+        prevCount = nComm
+        val contracted = mutable.Map.empty[(Long, Long), Double]
+        edges.foreach { case (s, d, w) =>
+          val key = (comm(s), comm(d))
+          contracted(key) = contracted.getOrElse(key, 0.0) + w
+        }
+        edges = contracted.iterator.map { case ((s, d), w) => (s, d, w) }.toArray
+      }
+      level += 1
+    }
+    // partitioning-stable labels: community := min member node id
+    val cmin = mutable.LongMap.empty[Long]
+    globalMap.foreach { case (n, c) =>
+      cmin(c) = math.min(cmin.getOrElse(c, Long.MaxValue), n)
+    }
+    globalMap.iterator.map { case (n, c) => (n, cmin(c)) }.toSeq
+  }
+
   def louvainDF(edges: DataFrame, maxLevels: Int = 3,
-                maxSweeps: Int = 8): DataFrame = {
+                maxSweeps: Int = 8,
+                driverLimit: Int = DefaultDriverGraphLimit): DataFrame = {
     val hasW = edges.columns.contains("weight")
     val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"),
       (if (hasW) col("weight").cast("double") else lit(1.0)).as("w"))
@@ -379,7 +549,10 @@ object GraphAlgs {
         .select(col("u").as("src"), col("u").as("dst"), (col("w") * 2).as("w")))
       .repartition(col("src"))
       .cache()
-    try louvainRep(rep0, maxLevels, maxSweeps)
+    // the local replay's label-identity argument needs integer-valued
+    // accumulations: gate it to unweighted inputs (unit weights sum to
+    // integers at every level); weighted graphs always run distributed
+    try louvainRep(rep0, maxLevels, maxSweeps, if (hasW) 0 else driverLimit)
     finally rep0.unpersist(blocking = false)
   }
 
@@ -393,12 +566,27 @@ object GraphAlgs {
     * no (a, a) rows, no duplicates.
     */
   def louvainUnd(und: DataFrame, maxLevels: Int = 3,
-                 maxSweeps: Int = 8): DataFrame = {
+                 maxSweeps: Int = 8,
+                 driverLimit: Int = DefaultDriverGraphLimit): DataFrame = {
+    // probe the caller's (cached) edge table BEFORE the loop-only
+    // repartition: the local path then costs one narrow collect instead
+    // of a shuffle + cache fill it would never read
+    if (driverLimit > 0) {
+      val probe = und.select(col("src").cast("long"), col("dst").cast("long"))
+        .limit(driverLimit + 1).collect()
+      if (probe.length <= driverLimit) {
+        val spark = und.sparkSession
+        import spark.implicits._
+        return louvainLocal(
+          probe.map(r => (r.getLong(0), r.getLong(1), 1.0)),
+          maxLevels, maxSweeps).toDF("node_id", "community")
+      }
+    }
     val rep0 = und
       .select(col("src").cast("long"), col("dst").cast("long"), lit(1.0).as("w"))
       .repartition(col("src"))
       .cache()
-    try louvainRep(rep0, maxLevels, maxSweeps)
+    try louvainRep(rep0, maxLevels, maxSweeps, 0) // path already decided
     finally rep0.unpersist(blocking = false)
   }
 
@@ -407,8 +595,20 @@ object GraphAlgs {
     * src and cached by the caller).
     */
   private def louvainRep(rep0: DataFrame, maxLevels: Int,
-                         maxSweeps: Int): DataFrame = {
+                         maxSweeps: Int,
+                         driverLimit: Int = DefaultDriverGraphLimit): DataFrame = {
     val spark = SparkSession.active
+    if (driverLimit > 0) {
+      // limit-probe both fetches the representation and decides the path
+      val probe = rep0.select(col("src"), col("dst"), col("w"))
+        .limit(driverLimit + 1).collect()
+      if (probe.length <= driverLimit) {
+        import spark.implicits._
+        return louvainLocal(
+          probe.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))),
+          maxLevels, maxSweeps).toDF("node_id", "community")
+      }
+    }
     val vertices = rep0.select(col("src").as("node_id")).distinct().cache()
     val nVerts = vertices.count()
     if (nVerts == 0) return vertices.select(col("node_id"), col("node_id").as("community"))

@@ -35,6 +35,37 @@ class GraphAlgsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(viaSized(7L) == 1L && viaSized(11L) == 10L && viaSized(20L) == 20L)
   }
 
+  test("connectedComponents: forced distributed path matches the driver union-find") {
+    val e = edgeDf(1L -> 2L, 2L -> 3L, 10L -> 11L, 7L -> 3L, 20L -> 20L)
+    val g = GraphAlgs.buildGraph(e, "src", "dst")
+    val local = GraphAlgs.connectedComponents(g).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = GraphAlgs.connectedComponents(g, driverLimit = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+  }
+
+  test("louvain: forced distributed path is label-identical to the driver replay") {
+    // the two-cliques fixture plus a dangling pendant and a self loop —
+    // covers moves, contraction, the stay tie-break, and loop weighting
+    val cliqueA = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val cliqueB = for (i <- 4L to 7L; j <- (i + 1) to 7L) yield (i, j)
+    val pairs = cliqueA ++ cliqueB ++ Seq(3L -> 4L, 7L -> 9L, 9L -> 9L)
+    val local = GraphAlgs.louvainDF(edgeDf(pairs: _*)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = GraphAlgs.louvainDF(edgeDf(pairs: _*), driverLimit = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+    // and the und entry point (the g05/g06 shape: pre-symmetrized input)
+    val und = edgeDf((pairs.filter(p => p._1 != p._2)
+      .flatMap(p => Seq(p, p.swap)).distinct): _*)
+    val localU = GraphAlgs.louvainUnd(und, maxLevels = 2, maxSweeps = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val distU = GraphAlgs.louvainUnd(und, maxLevels = 2, maxSweeps = 4,
+      driverLimit = 0).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(localU == distU)
+  }
+
   test("articleRank: star center outranks leaves; deterministic across runs") {
     // undirected 5-node star centered at 0
     val star = edgeDf(0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 4L)
