@@ -204,7 +204,7 @@ object GraphAlgs {
         val delta = next
           .join(small(ranks.select(col("node_id").as("pid"), col("rank").as("prev"))),
             col("node_id") === col("pid"))
-          .agg(sum(abs(col("rank") - col("prev")))).head.getDouble(0)
+          .agg(sum(abs(col("rank") - col("prev")))).head().getDouble(0)
         ranks.unpersist(blocking = false)
         ranks = next
         i += 1
@@ -613,7 +613,7 @@ object GraphAlgs {
     val nVerts = vertices.count()
     if (nVerts == 0) return vertices.select(col("node_id"), col("node_id").as("community"))
     val nEdges = rep0.count() // cheap: rep0 is cached by the callers
-    val m2 = rep0.agg(sum(col("w"))).head.getDouble(0) // = 2m, level-invariant
+    val m2 = rep0.agg(sum(col("w"))).head().getDouble(0) // = 2m, level-invariant
     def small(df: DataFrame): DataFrame =
       if (nVerts < broadcastVertexLimit) broadcast(df) else df
     // the whole sweep/contraction loop runs at edge-proportional width

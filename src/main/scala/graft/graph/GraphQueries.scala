@@ -276,7 +276,7 @@ object GraphQueries {
       countDistinct(col("ccmp")).as("ncomp"),
       // refines ⟺ every community meets exactly one component ⟺
       // #distinct (lc, ccmp) pairs == #distinct lc
-      countDistinct(col("lc"), col("ccmp")).as("npair")).head
+      countDistinct(col("lc"), col("ccmp")).as("npair")).head()
     val (nComms, nComps) = (v.getLong(3), v.getLong(4))
     val valid = v.getLong(0) == nNodes && v.getLong(1) == nNodes &&
       v.getLong(2) == 0L
@@ -290,7 +290,7 @@ object GraphQueries {
       .join(small(ext.select(col("node_id").as("dst"),
         col("lc").as("lcd"), col("ccmp").as("ccd"))), Seq("dst"))
       .agg(count(when(col("lcs") === col("lcd"), 1)).as("wl"),
-        count(when(col("ccs") === col("ccd"), 1)).as("wc")).head
+        count(when(col("ccs") === col("ccd"), 1)).as("wc")).head()
     val (wl, wc) = (j.getLong(0), j.getLong(1))
 
     // fused per-partition pass: explode each node into its (partition,

@@ -91,7 +91,7 @@ object ScaleData {
     // one stride per key-owning table: max key + 1, so copies are disjoint
     val strides: Map[String, Long] = keyCols.keys.map { t =>
       val k = keyCols(t).head
-      t -> (Tables.load(spark, srcDir, t).agg(max(col(k))).head.getLong(0) + 1L)
+      t -> (Tables.load(spark, srcDir, t).agg(max(col(k))).head().getLong(0) + 1L)
     }.toMap
 
     Tables.names.foreach { name =>
