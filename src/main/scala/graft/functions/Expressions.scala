@@ -116,6 +116,80 @@ object ExpressionHelpers {
     if (strict) jac > t else jac >= t
   }
 
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** All 16 MinHash components of a distinct-shingle array in ONE pass
+    * per element — the signature convention the DuckDB oracles replay
+    * (DedupOps.minhashPairsSql): component i is
+    * MIN over shingles of substring(md5(concat("<i/4>:", sh)), 1+8*(i%4), 8),
+    * i.e. four MD5 digests per shingle, each split into four 8-hex-char
+    * windows; mins compare in byte order, which over lowercase hex equals
+    * the UTF8String/SQL varchar ordering the aggregate form used.
+    *
+    * Returns null for an empty array (no shingles -> no signature; the
+    * shingle builders filter docs below 3 tokens, so callers never see
+    * it). Replaces a corpus-sized explode + 16-way MIN groupBy: the
+    * signature becomes a narrow per-row projection with NO shuffle,
+    * which at 100 TB removes the dominant shuffle of the near-dup
+    * pipeline (the shingle row count is corpus-length-proportional).
+    */
+  def minhashSig(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = new Array[Array[Char]](16)
+    var e = 0
+    while (e < n) {
+      val sh = arr.getUTF8String(e).getBytes
+      var p = 0
+      while (p < 4) {
+        md.reset()
+        md.update((48 + p).toByte) // '0'+p
+        md.update(58.toByte)       // ':'
+        md.update(sh)
+        val dig = md.digest()      // 16 bytes -> 32 hex chars
+        val hex = new Array[Char](32)
+        var b = 0
+        while (b < 16) {
+          hex(2 * b) = hexDigits((dig(b) >> 4) & 0xf)
+          hex(2 * b + 1) = hexDigits(dig(b) & 0xf)
+          b += 1
+        }
+        var w = 0
+        while (w < 4) {
+          val i = p * 4 + w
+          val off = 8 * w
+          val cur = mins(i)
+          var replace = cur == null
+          if (!replace) {
+            var c = 0
+            var cmp = 0
+            while (c < 8 && cmp == 0) {
+              cmp = java.lang.Character.compare(hex(off + c), cur(c))
+              c += 1
+            }
+            replace = cmp < 0
+          }
+          if (replace) {
+            val m = new Array[Char](8)
+            System.arraycopy(hex, off, m, 0, 8)
+            mins(i) = m
+          }
+          w += 1
+        }
+        p += 1
+      }
+      e += 1
+    }
+    val out = new Array[AnyRef](16)
+    var i = 0
+    while (i < 16) {
+      out(i) = UTF8String.fromString(new String(mins(i)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Unicode fold: NFD-decompose, strip combining marks, lowercase —
     * the `unidecode(x).lower()` step of the reference's dedupe preProcess
     * (alerts/parse_alert.ipynb c45:3-13).
@@ -221,6 +295,42 @@ case class SimJoinKeep(aToks: Expression, bToks: Expression, tok: Expression,
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(aToks = newChildren(0), bToks = newChildren(1), tok = newChildren(2))
+}
+
+/** `minhash_sig(array<string>) -> array<string>(16)`: the full 16-component
+  * MinHash signature of a distinct-shingle array in one codegen'd pass
+  * (see [[ExpressionHelpers.minhashSig]]). Null for null/empty input.
+  */
+case class MinhashSig(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(a: Any): Any =
+    ExpressionHelpers.minhashSig(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val tmp = ctx.freshName("sig")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.functions.ExpressionHelpers.minhashSig($a);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $tmp;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** `vec_dot(array<double>, array<double>) -> double`, null-safe at the

@@ -37,7 +37,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => VecDot(args(0), args(1))),
     (FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
-      (args: Seq[Expression]) => BloomMightContain(args(0), args(1))))
+      (args: Seq[Expression]) => BloomMightContain(args(0), args(1))),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => MinhashSig(args.head)))
 
   /** Idempotent registration into an existing session: SQL functions into
     * the registry, [[VecDotRewrite]] into the experimental optimizer batch
@@ -82,6 +85,10 @@ object GraftFunctions {
   def vecDot(a: Column, b: Column): Column = {
     ensureRegistered()
     call_function("vec_dot", a, b)
+  }
+  def minhashSig(shArr: Column): Column = {
+    ensureRegistered()
+    call_function("minhash_sig", shArr)
   }
 
   /** Probe a serialized sketch BloomFilter with a pre-hashed long column

@@ -60,6 +60,23 @@ object DedupOps {
         "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("sh"))
       .distinct()
 
+  /** The ARRAY form of [[shingles]]: one (doc_id, shArr) row per doc with
+    * the distinct 3-shingle SET as a column — same doc universe (>= 3
+    * tokens), same set per doc (`array_distinct` over the same transform;
+    * exploding this frame reproduces [[shingles]] exactly). This is the
+    * at-scale representation for the MinHash pipeline: signatures become
+    * a narrow per-row [[graft.functions.MinhashSig]] projection (NO
+    * corpus-sized shingle-row shuffle — neither the distinct() nor the
+    * 16-way MIN groupBy of the row form), per-doc set sizes are `size()`
+    * calls, and candidate verification is an `array_intersect` on the
+    * two rows instead of a double explode-join.
+    */
+  private[graft] def shingleArrs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("shArr"))
+
   private def shingleDf(s: SparkSession, dir: String): DataFrame =
     shingles(Tables.load(s, dir, "documents"))
 
@@ -177,81 +194,71 @@ object DedupOps {
   /** MinHash (16 hashes = 4 salted md5s x 4 8-hex-char slices) + LSH
     * banding (8 bands x 2 rows) + exact Jaccard verification.
     *
-    * The 16 minhashes are 16 MIN aggregates over the shingle rows — one
-    * groupBy(doc_id) with map-side partial mins, no per-hash row fan-out.
-    * At 100 TB that is a single 16-column-wide shuffle of |docs| rows.
+    * The 16 minhashes come from ONE codegen'd pass over each doc's
+    * distinct-shingle array ([[graft.functions.MinhashSig]]) — a narrow
+    * projection with NO shuffle at all (the earlier row form shuffled
+    * every shingle row through a 16-way MIN groupBy). At 100 TB the only
+    * corpus-sized shuffle left in the near-dup plan is the 8-rows-per-doc
+    * band equi-join.
     */
-  /** (doc_id, band, sig) LSH band signatures from (doc_id, sh) shingle
-    * rows: 16 minhashes as 16 MIN aggregates in ONE groupBy (map-side
-    * partial mins — a single 16-column shuffle of |docs| rows at 100 TB),
-    * then 8 bands of 2 rows each. Shared by the self-join (d02) and the
-    * bipartite incremental (d08) paths.
+  /** (doc_id, band, sig) LSH band rows from the ARRAY representation:
+    * the 16 minhashes come from one codegen'd [[graft.functions.MinhashSig]]
+    * pass per doc (identical values to [[bandSignatures]]'s 16 MIN
+    * aggregates — same per-shingle hash windows, same byte-order min),
+    * banded 8x2 by the same md5(mh2b || '|' || mh2b+1) convention. The
+    * explode multiplies rows by 8 (bands), not by shingle count.
     */
-  private[graft] def bandSignatures(sh: DataFrame): DataFrame = {
-    def mhCol(i: Int) =
-      min(substring(md5(concat(lit(s"${i / 4}:"), col("sh")).cast("binary")),
-        1 + 8 * (i % 4), 8)).as(s"mh$i")
-    val mh = sh.groupBy(col("doc_id"))
-      .agg(mhCol(0), (1 until 16).map(mhCol): _*)
+  private[graft] def bandsFromArrs(arr: DataFrame): DataFrame = {
+    val sig = arr.select(col("doc_id"),
+      graft.functions.GraftFunctions.minhashSig(col("shArr")).as("mhs"))
     val bandCols = (0 until 8).map(b =>
       struct(lit(b).as("band"),
-        md5(concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).cast("binary"))
-          .as("sig")))
-    mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+        md5(concat_ws("|", element_at(col("mhs"), 2 * b + 1),
+          element_at(col("mhs"), 2 * b + 2)).cast("binary")).as("sig")))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** [[minhashLshPairs]] over the PRECOMPUTED array representation
+    * ([[shingleArrs]]; must be cached/materialized by the caller). The
+    * only corpus-sized shuffle left in the plan is the band equi-join's
+    * (8 rows/doc); verification joins the candidate pair ids back to the
+    * array rows and computes Jaccard from ONE `array_intersect` per
+    * candidate — |intersection| over distinct sets is exactly the
+    * shared-shingle count the row form aggregated.
+    */
+  private[graft] def minhashLshPairsFromArrs(
+      arr: DataFrame, minJac: Double = 0.3): DataFrame = {
+    val bands = bandsFromArrs(arr)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(arr.select(col("doc_id").as("doc_a"), col("shArr").as("sa")),
+        Seq("doc_a"))
+      .join(arr.select(col("doc_id").as("doc_b"), col("shArr").as("sb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("double").as("inter"),
+        size(col("sa")).as("na"), size(col("sb")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jac"))
+      .filter(col("jac") >= minJac)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** d02 core, parameterized for tests and plan assertions. */
   private[graft] def minhashLshPairs(
       docs: DataFrame, minJac: Double = 0.3,
       broadcastLimit: Long = broadcastRowLimit): DataFrame = {
-    val sh = shingles(docs).cache()
-    sh.count() // single cache fill (see d01)
-    minhashLshPairsFromShingles(sh, docs.count(), minJac, broadcastLimit)
+    val arr = shingleArrs(docs).cache()
+    arr.count() // single cache fill (see d01)
+    minhashLshPairsFromArrs(arr, minJac)
   }
 
-  /** [[minhashLshPairs]] over PRECOMPUTED (doc_id, sh) shingle rows —
-    * `sh` must already be cached/materialized by the caller and `nDocs`
-    * a cheap known bound for the per-doc count broadcast. This is the
-    * entry point compositions use to build the corpus shingles ONCE and
-    * share them across stages: at 100 TB re-deriving shingles is a
-    * second full text scan + explode, and t12's curation chain needs
-    * them in both the near-dup and decontamination stages.
-    */
-  private[graft] def minhashLshPairsFromShingles(
-      sh: DataFrame, nDocs: Long, minJac: Double = 0.3,
-      broadcastLimit: Long = broadcastRowLimit): DataFrame = {
-      val bands = bandSignatures(sh)
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      // Verify ONLY the LSH candidate pairs: drive the shingle joins from
-      // `cand`, so the work is |cand| x |shingles/doc| — linear in the
-      // candidate count — instead of the all-pairs sh >< sh aggregation
-      // LSH exists to avoid (the round-1 shape computed the full quadratic
-      // pair counts and only then filtered to candidates; Catalyst cannot
-      // push the candidate filter below that aggregation).
-      val shared = cand
-        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sh.as("sb"),
-          col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("shared"))
-      shared
-        .join(broadcastIfUnder(cnt, nDocs, broadcastLimit).as("ca"),
-          col("doc_a") === col("ca.doc_id"))
-        .join(broadcastIfUnder(cnt, nDocs, broadcastLimit).as("cb"),
-          col("doc_b") === col("cb.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          (col("shared").cast("double") /
-            (col("ca.n") + col("cb.n") - col("shared"))).as("jac"))
-        .filter(col("jac") >= minJac)
-        .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   val d02 = QueryDef(
     "d02_minhash_lsh",
@@ -491,10 +498,10 @@ object DedupOps {
   private[graft] def incrementalDedupAdmit(docs: DataFrame, batchMod: Long = 3L,
       minJac: Double = 0.3, broadcastLimit: Long = broadcastRowLimit): DataFrame = {
     val isNew = pmod(col("doc_id"), lit(batchMod)) === 0
-    val sh = shingles(docs).cache()
-    sh.count() // single cache fill (see d01)
+    val arr = shingleArrs(docs).cache()
+    arr.count() // single cache fill (see d01)
     val nNew = docs.filter(isNew).count() // bounds the batch-side broadcasts
-    val bands = bandSignatures(sh)
+    val bands = bandsFromArrs(arr)
     val newBands = bands.filter(isNew)
     val oldBands = bands.filter(!isNew)
     val cand = broadcastIfUnder(newBands, nNew * 8, broadcastLimit).as("a")
@@ -502,20 +509,18 @@ object DedupOps {
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
       .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
       .distinct()
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // candidate-driven verify (see minhashLshPairs): work is linear in
-    // |cand|, never the bipartite all-pairs product
-    val shared = cand
-      .join(sh.as("sa"), col("new_id") === col("sa.doc_id"))
-      .join(sh.as("sb"),
-        col("old_id") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy(col("new_id"), col("old_id"))
-      .agg(count(lit(1)).as("shared"))
-    val matched = shared
-      .join(cnt.as("ca"), col("new_id") === col("ca.doc_id"))
-      .join(cnt.as("cb"), col("old_id") === col("cb.doc_id"))
-      .filter(col("shared").cast("double") /
-        (col("ca.n") + col("cb.n") - col("shared")) >= minJac)
+    // candidate-driven verify (see minhashLshPairsFromArrs): one
+    // array_intersect per candidate, work linear in |cand|, never the
+    // bipartite all-pairs product
+    val matched = cand
+      .join(arr.select(col("doc_id").as("new_id"), col("shArr").as("sa")),
+        Seq("new_id"))
+      .join(arr.select(col("doc_id").as("old_id"), col("shArr").as("sb")),
+        Seq("old_id"))
+      .select(col("new_id"),
+        size(array_intersect(col("sa"), col("sb"))).cast("double").as("inter"),
+        size(col("sa")).as("na"), size(col("sb")).as("nb"))
+      .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= minJac)
       .select(col("new_id")).distinct()
     docs.filter(isNew).select(col("doc_id")).distinct()
       .join(matched, col("doc_id") === col("new_id"), "left_anti")

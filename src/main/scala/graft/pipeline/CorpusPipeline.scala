@@ -66,15 +66,16 @@ object CorpusPipeline {
   }
 
   /** Stage 3: near-duplicate removal — MinHash+LSH verified pairs (d02),
-    * dropping the larger doc_id of each pair. `sharedShingles` (with its
-    * doc count) lets [[curate]] reuse ONE cached shingle build across
-    * this stage and decontamination instead of re-scanning the text.
+    * dropping the larger doc_id of each pair. `sharedArrs` (the cached
+    * [[DedupOps.shingleArrs]] frame) lets [[curate]] reuse ONE shingle
+    * build across this stage and decontamination instead of re-scanning
+    * the text.
     */
   def nearDedup(docs: DataFrame, cfg: Config = default,
-      sharedShingles: Option[(DataFrame, Long)] = None): DataFrame = {
-    val pairs = sharedShingles match {
-      case Some((sh, nDocs)) =>
-        DedupOps.minhashLshPairsFromShingles(sh, nDocs, cfg.nearDupMinJac)
+      sharedArrs: Option[DataFrame] = None): DataFrame = {
+    val pairs = sharedArrs match {
+      case Some(arr) =>
+        DedupOps.minhashLshPairsFromArrs(arr, cfg.nearDupMinJac)
       case None => DedupOps.minhashLshPairs(docs, cfg.nearDupMinJac)
     }
     // eager drop-id set (tiny): downstream consumers re-read only the ids,
@@ -160,18 +161,23 @@ object CorpusPipeline {
     val ed = exactDedup(qualityFilter(corpus, cfg)).cache()
     // ONE shingle build feeds both near-dup and decontamination:
     // re-deriving shingles per stage is a second full text scan +
-    // explode at 100 TB. The decontam side restricts this superset to
-    // the near-dup survivors by id (per-doc shingling makes that exact).
-    val shEd = DedupOps.shingles(ed).cache()
-    shEd.count() // fill once; both stages read the materialized rows
+    // explode at 100 TB. The shared representation is the per-doc
+    // distinct-shingle ARRAY (DedupOps.shingleArrs): near-dup reads it
+    // directly (narrow minhash_sig signatures, array_intersect verify),
+    // and the decontam side explodes it into the (doc_id, sh) rows its
+    // benchmark join needs — a narrow explode of materialized arrays,
+    // not a text re-scan.
+    val arrEd = DedupOps.shingleArrs(ed).cache()
+    arrEd.count() // fill once; both stages read the materialized rows
     // nd's checkpoint materializes the survivor rows, cutting the final
     // projection loose from the ed cache (dupIds inside nearDedup is
     // already eager, so this single action pays the whole anti-join)
-    val nd = nearDedup(ed, cfg, sharedShingles = Some((shEd, ed.count())))
+    val nd = nearDedup(ed, cfg, sharedArrs = Some(arrEd))
       .localCheckpoint(true)
+    val shEd = arrEd.select(col("doc_id"), explode(col("shArr")).as("sh"))
     val cleaned = decontaminate(nd, bench, cfg, docShingles = Some(shEd))
     // decontaminate materialized its id set; no lazy consumer reads these
-    Seq(shEd, ed).foreach(_.unpersist(blocking = false))
+    Seq(arrEd, ed).foreach(_.unpersist(blocking = false))
     withSplit(TextOps.withLangPred(cleaned))
   }
 

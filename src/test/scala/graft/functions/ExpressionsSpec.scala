@@ -183,6 +183,38 @@ class ExpressionsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan)
   }
 
+  test("minhash_sig: identical to the 16 MIN-aggregate signature it replaced") {
+    import spark.implicits._
+    // random-ish shingle sets incl. a single-element doc; the aggregate
+    // form below is the exact convention the DuckDB oracles replay
+    val rows = Seq(
+      (1L, Seq("alpha beta gamma", "beta gamma delta", "x y z")),
+      (2L, Seq("alpha beta gamma")),
+      (3L, (1 to 40).map(i => s"tok$i tok${i + 1} tok${i + 2}")))
+    val arr = rows.toDF("doc_id", "shArr")
+    val viaExpr = arr
+      .select(col("doc_id"), GraftFunctions.minhashSig(col("shArr")).as("mhs"))
+      .select(col("doc_id") +: (0 until 16).map(i =>
+        element_at(col("mhs"), i + 1).as(s"mh$i")): _*)
+      .collect().map(r => r.getLong(0) -> (0 until 16).map(i => r.getString(i + 1)))
+      .toMap
+    val viaAgg = arr
+      .select(col("doc_id"), explode(col("shArr")).as("sh"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(substring(md5(concat(lit("0:"), col("sh")).cast("binary")), 1, 8)).as("m0"),
+        (1 until 16).map(i =>
+          min(substring(md5(concat(lit(s"${i / 4}:"), col("sh")).cast("binary")),
+            1 + 8 * (i % 4), 8)).as(s"m$i")): _*)
+      .collect().map(r => r.getLong(0) -> (0 until 16).map(i => r.getString(i + 1)))
+      .toMap
+    assert(viaExpr == viaAgg)
+    // codegen'd, not a UDF
+    val plan = arr.select(GraftFunctions.minhashSig(col("shArr")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
   test("codegen: expressions stay inside whole-stage codegen (no UDF node)") {
     // inputs derive from range's id so they are non-foldable — a pure
     // LocalRelation would be constant-folded into a LocalTableScan and
