@@ -240,9 +240,12 @@ object GraphQueries {
     // BOTH algorithms consume this one cached build — e is distinct and
     // loop-free by construction (customer ids even, supplier ids odd), so
     // und IS louvain's internal representation with unit weights and CC's
-    // pre-symmetrized input.
+    // pre-symmetrized input. No distinct() on the union: e is already
+    // distinct and every forward row is (even, odd) while every swapped
+    // row is (odd, even), so the two halves cannot collide — the dedup
+    // would be a full extra shuffle of the edge table for nothing.
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().cache()
+      .cache()
     val m2 = und.count() // = 2m
     val deg = und.groupBy(col("src").as("node_id"))
       .agg(count(lit(1)).as("deg")).cache()
