@@ -66,6 +66,29 @@ class GraphAlgsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(localU == distU)
   }
 
+  test("louvain: seeded-random graphs stay label-identical across the two paths") {
+    // deterministic LCG so the graphs are reproducible; shapes chosen to
+    // exercise what the fixtures don't: uneven degrees, multiple
+    // components, odd/even vertex-id mixes (parity classes), and enough
+    // density that contraction actually fires
+    var state = 0x9e3779b97f4a7c15L
+    def nextInt(bound: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (((state >>> 33) % bound + bound) % bound).toInt
+    }
+    (1 to 3).foreach { round =>
+      val n = 20 + nextInt(15)
+      val pairs = (0 until n * 3).map { _ =>
+        (nextInt(n).toLong, nextInt(n).toLong)
+      }.filter(p => p._1 != p._2).distinct
+      val local = GraphAlgs.louvainDF(edgeDf(pairs: _*)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = GraphAlgs.louvainDF(edgeDf(pairs: _*), driverLimit = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == dist, s"round $round: n=$n pairs=$pairs")
+    }
+  }
+
   test("articleRank: star center outranks leaves; deterministic across runs") {
     // undirected 5-node star centered at 0
     val star = edgeDf(0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 4L)
