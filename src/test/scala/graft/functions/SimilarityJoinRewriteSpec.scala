@@ -104,6 +104,51 @@ class SimilarityJoinRewriteSpec extends AnyFunSuite with SparkTestSession {
     assert(decl == direct)
   }
 
+  test("equivalence on seeded random token arrays incl. nulls, dups, strictness") {
+    // exercises the fused SimJoinKeep verify on surfaces the fixtures
+    // don't: null ELEMENTS inside arrays (jaccard ignores them), null
+    // ARRAYS (comparison is null -> row dropped), duplicate tokens
+    // (distinct semantics), and the strict `>` orientation
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    var state = 0x2545f4914f6cdd1dL
+    def nextInt(bound: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (((state >>> 33) % bound + bound) % bound).toInt
+    }
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    def randToks(): Seq[String] =
+      if (nextInt(12) == 0) null
+      else (0 until nextInt(6)).map { _ =>
+        if (nextInt(10) == 0) null else vocab(nextInt(vocab.size))
+      }
+    val lRows = (1L to 30L).map(i => (i, randToks()))
+    val rRows = (100L to 130L).map(i => (i, randToks()))
+    def replay(t: Double, strict: Boolean): Set[(Long, Long)] = {
+      def ds(x: Seq[String]) = Option(x).map(_.filter(_ != null).toSet)
+      for {
+        (li, ls) <- lRows.toSet[(Long, Seq[String])]
+        (ri, rs) <- rRows.toSet[(Long, Seq[String])]
+        a <- ds(ls); b <- ds(rs)
+        u = (a ++ b).size
+        j = if (u == 0) 1.0 else (a & b).size.toDouble / u
+        if (strict && j > t) || (!strict && j >= t)
+      } yield (li, ri)
+    }
+    val l = lRows.toDF("l_id", "l_toks")
+    val r = rRows.toDF("r_id", "r_toks")
+    for (t <- Seq(0.25, 0.5, 0.9); strict <- Seq(false, true)) {
+      val cond =
+        if (strict) GraftFunctions.jaccardSim(col("l_toks"), col("r_toks")) > lit(t)
+        else GraftFunctions.jaccardSim(col("l_toks"), col("r_toks")) >= lit(t)
+      val df = l.crossJoin(r).filter(cond).select(col("l_id"), col("r_id"))
+      val got = df.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got == replay(t, strict), s"t=$t strict=$strict")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"t=$t strict=$strict: ${p.take(800)}")
+    }
+  }
+
   test("does not fire when an equi key already exists (plan still correct)") {
     GraftFunctions.register(spark)
     val l = docs(left, "l_id", "l_toks").withColumn("k", col("l_id") % 2)
