@@ -63,6 +63,11 @@ class SchemaDriftSpec extends AnyFunSuite with SparkTestSession {
       "label" -> integral))
   }
 
+  test("driver smoke contract: entry() returns rows on sf0.001") {
+    // the driver's t1 smoke gate: SparkEntry.entry must yield rows > 0
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("relational star schema: key and date column contracts hold") {
     check("orders", Map(
       "o_orderkey" -> integral, "o_custkey" -> integral,
