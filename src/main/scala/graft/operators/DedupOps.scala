@@ -134,25 +134,31 @@ object DedupOps {
   private[operators] def ngramJaccardPairs(
       docs: DataFrame, cap: Int = shingleDfCap, minJac: Double = 0.2,
       broadcastLimit: Long = broadcastRowLimit): DataFrame = {
-    val sh = shingles(docs).cache()
+    // the cached representation is the per-doc distinct-shingle ARRAY;
+    // the inverted-index rows explode from it as a NARROW map over the
+    // cache — the distinct() shuffle the row build paid is now a per-doc
+    // array_distinct, and the per-doc set sizes are size() calls instead
+    // of a second corpus-wide groupBy over the shingle rows
+    val arr = shingleArrs(docs).cache()
+    val sh = arr.select(col("doc_id"), explode(col("shArr")).as("sh"))
     // stop-shingle pruning: drop shingles hotter than the df cap BEFORE
     // the self-join (skew guard; mirrored in the oracle SQL below).
     // |hot| < |sh|/cap by construction, so it is almost always
     // broadcastable; when it is empty (healthy corpora at gate SF) the
     // anti-join is skipped entirely — the cap costs one aggregate over
-    // the cached shingles, not a full re-shuffle of them.
+    // the cached arrays, not a full re-shuffle of them.
     val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > cap).select(col("sh"))
-    // this action doubles as the cache fill: it scans sh exactly once, so
-    // the broadcast(cnt) subquery and the pair join below read the cached
-    // shingles instead of racing to rebuild them (round-6 VERDICT: the
+    // this action doubles as the cache fill: it scans arr exactly once,
+    // so the cnt projection and the pair join below read the cached
+    // arrays instead of racing to rebuild them (round-6 VERDICT: the
     // separate count-then-count pair was one redundant pass over sh)
     val hotCount = hot.count()
     // cnt has ≤ one row per document: bound its broadcast by the (cheap)
     // document count, NOT unconditionally — at 100 TB the per-doc table
     // is itself billions of rows
     val nDocs = docs.count()
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val cnt = arr.select(col("doc_id"), size(col("shArr")).cast("long").as("n"))
     def cntSide(alias: String) = broadcastIfUnder(cnt, nDocs, broadcastLimit).as(alias)
     val shc =
       if (hotCount == 0) sh
