@@ -116,7 +116,15 @@ object ExpressionHelpers {
     if (strict) jac > t else jac >= t
   }
 
-  private val hexDigits = "0123456789abcdef".toCharArray
+  private val hexBytes = "0123456789abcdef".getBytes("US-ASCII")
+
+  // One MessageDigest + scratch buffers per executor thread: MD5 instance
+  // creation per row is measurable at corpus scale, and the signature loop
+  // runs inside whole-stage codegen where every allocation is hot.
+  private val md5Scratch = new ThreadLocal[(java.security.MessageDigest, Array[Byte], Array[Byte])] {
+    override def initialValue(): (java.security.MessageDigest, Array[Byte], Array[Byte]) =
+      (java.security.MessageDigest.getInstance("MD5"), new Array[Byte](16), new Array[Byte](32))
+  }
 
   /** All 16 MinHash components of a distinct-shingle array in ONE pass
     * per element — the signature convention the DuckDB oracles replay
@@ -126,65 +134,72 @@ object ExpressionHelpers {
     * windows; mins compare in byte order, which over lowercase hex equals
     * the UTF8String/SQL varchar ordering the aggregate form used.
     *
-    * Returns null for an empty array (no shingles -> no signature; the
-    * shingle builders filter docs below 3 tokens, so callers never see
-    * it). Replaces a corpus-sized explode + 16-way MIN groupBy: the
-    * signature becomes a narrow per-row projection with NO shuffle,
-    * which at 100 TB removes the dominant shuffle of the near-dup
-    * pipeline (the shingle row count is corpus-length-proportional).
+    * Null elements are SKIPPED, mirroring the MIN-aggregate form this
+    * replaced (SQL MIN ignores nulls); an array that is empty or all-null
+    * yields null (no shingles -> no signature, the doc simply never
+    * reaches a band join). Replaces a corpus-sized explode + 16-way MIN
+    * groupBy: the signature becomes a narrow per-row projection with NO
+    * shuffle, which at 100 TB removes the dominant shuffle of the
+    * near-dup pipeline (the shingle row count is corpus-length-
+    * proportional).
     */
   def minhashSig(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return null
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val mins = new Array[Array[Char]](16)
+    val (md, dig, hex) = md5Scratch.get()
+    val mins = new Array[Array[Byte]](16)
+    var any = false
     var e = 0
     while (e < n) {
-      val sh = arr.getUTF8String(e).getBytes
-      var p = 0
-      while (p < 4) {
-        md.reset()
-        md.update((48 + p).toByte) // '0'+p
-        md.update(58.toByte)       // ':'
-        md.update(sh)
-        val dig = md.digest()      // 16 bytes -> 32 hex chars
-        val hex = new Array[Char](32)
-        var b = 0
-        while (b < 16) {
-          hex(2 * b) = hexDigits((dig(b) >> 4) & 0xf)
-          hex(2 * b + 1) = hexDigits(dig(b) & 0xf)
-          b += 1
-        }
-        var w = 0
-        while (w < 4) {
-          val i = p * 4 + w
-          val off = 8 * w
-          val cur = mins(i)
-          var replace = cur == null
-          if (!replace) {
-            var c = 0
-            var cmp = 0
-            while (c < 8 && cmp == 0) {
-              cmp = java.lang.Character.compare(hex(off + c), cur(c))
-              c += 1
+      if (!arr.isNullAt(e)) {
+        any = true
+        val sh = arr.getUTF8String(e).getBytes
+        var p = 0
+        while (p < 4) {
+          md.reset()
+          md.update((48 + p).toByte) // '0'+p
+          md.update(58.toByte)       // ':'
+          md.update(sh)
+          md.digest(dig, 0, 16)      // 16 bytes -> 32 hex bytes, no alloc
+          var b = 0
+          while (b < 16) {
+            hex(2 * b) = hexBytes((dig(b) >> 4) & 0xf)
+            hex(2 * b + 1) = hexBytes(dig(b) & 0xf)
+            b += 1
+          }
+          var w = 0
+          while (w < 4) {
+            val i = p * 4 + w
+            val off = 8 * w
+            val cur = mins(i)
+            var replace = cur == null
+            if (!replace) {
+              var c = 0
+              var cmp = 0
+              while (c < 8 && cmp == 0) {
+                // lowercase hex is ASCII: unsigned and signed byte order agree
+                cmp = java.lang.Byte.compare(hex(off + c), cur(c))
+                c += 1
+              }
+              replace = cmp < 0
             }
-            replace = cmp < 0
+            if (replace) {
+              val m = new Array[Byte](8)
+              System.arraycopy(hex, off, m, 0, 8)
+              mins(i) = m
+            }
+            w += 1
           }
-          if (replace) {
-            val m = new Array[Char](8)
-            System.arraycopy(hex, off, m, 0, 8)
-            mins(i) = m
-          }
-          w += 1
+          p += 1
         }
-        p += 1
       }
       e += 1
     }
+    if (!any) return null
     val out = new Array[AnyRef](16)
     var i = 0
     while (i < 16) {
-      out(i) = UTF8String.fromString(new String(mins(i)))
+      out(i) = UTF8String.fromBytes(mins(i))
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -433,6 +448,74 @@ case class BloomMightContain(left: Expression, right: Expression)
     val ref = ctx.addReferenceObj("bloomExpr", this,
       classOf[BloomMightContain].getName)
     nullSafeCodeGen(ctx, ev, (h, _) => s"${ev.value} = $ref.mightContain($h);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `stopword_cascade(string, array<string>) -> string`: the reference's
+  * ORDER-SENSITIVE per-word stopword cascade — for each word w in order:
+  * `\sw\s -> " "` then `"  +" -> " "` (replacements enable later matches,
+  * SURVEY §7.4 risk 6) — as a codegen'd expression instead of a Scala UDF.
+  *
+  * The word list must be a foldable array literal: patterns are compiled
+  * ONCE lazily per plan (the expression instance rides to executors inside
+  * the generated class's references, same pattern as [[BloomMightContain]]),
+  * so per row the work is the regex passes only — no UDF serialization
+  * boundary, no per-row closure dispatch.
+  */
+case class StopwordCascade(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${left.dataType.catalogString}")
+    else if (!right.dataType.isInstanceOf[ArrayType] ||
+      right.dataType.asInstanceOf[ArrayType].elementType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<string> word list, got ${right.dataType.catalogString}")
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a foldable (literal) word list")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "stopword_cascade"
+
+  @transient private lazy val wordPats: Array[java.util.regex.Pattern] = {
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    (0 until arr.numElements()).iterator
+      .filterNot(arr.isNullAt)
+      .map(i => java.util.regex.Pattern.compile(
+        "\\s" + java.util.regex.Pattern.quote(arr.getUTF8String(i).toString) + "\\s"))
+      .toArray
+  }
+  @transient private lazy val squeeze = java.util.regex.Pattern.compile("  +")
+
+  /** Codegen/interpreted shared fold; called via an `addReferenceObj`
+    * handle so the compiled patterns live in the generated class's
+    * references, not rebuilt per row.
+    */
+  def fold(s: UTF8String): UTF8String = {
+    var acc = s.toString
+    var i = 0
+    while (i < wordPats.length) {
+      acc = squeeze.matcher(wordPats(i).matcher(acc).replaceAll(" ")).replaceAll(" ")
+      i += 1
+    }
+    UTF8String.fromString(acc)
+  }
+
+  override def nullSafeEval(s: Any, _w: Any): Any =
+    fold(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopwordCascade", this,
+      classOf[StopwordCascade].getName)
+    nullSafeCodeGen(ctx, ev, (s, _) => s"${ev.value} = $ref.fold($s);")
   }
 
   override protected def withNewChildrenInternal(

@@ -40,7 +40,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => BloomMightContain(args(0), args(1))),
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
-      (args: Seq[Expression]) => MinhashSig(args.head)))
+      (args: Seq[Expression]) => MinhashSig(args.head)),
+    (FunctionIdentifier("stopword_cascade"),
+      new ExpressionInfo(classOf[StopwordCascade].getName, "stopword_cascade"),
+      (args: Seq[Expression]) => StopwordCascade(args(0), args(1))))
 
   /** Idempotent registration into an existing session: SQL functions into
     * the registry, [[VecDotRewrite]] into the experimental optimizer batch
@@ -89,6 +92,17 @@ object GraftFunctions {
   def minhashSig(shArr: Column): Column = {
     ensureRegistered()
     call_function("minhash_sig", shArr)
+  }
+
+  /** The reference's order-sensitive stopword cascade over a literal word
+    * list (see [[StopwordCascade]]); empty list is the identity.
+    */
+  def stopwordCascade(c: Column, words: Seq[String]): Column = {
+    if (words.isEmpty) return c
+    ensureRegistered()
+    call_function("stopword_cascade", c,
+      org.apache.spark.sql.functions.array(
+        words.map(org.apache.spark.sql.functions.lit): _*))
   }
 
   /** Probe a serialized sketch BloomFilter with a pre-hashed long column

@@ -250,6 +250,10 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("sa"), col("sb"))).cast("double").as("inter"),
         size(col("sa")).as("na"), size(col("sb")).as("nb"))
+      // inter > 0 mirrors the shared-shingle inner join this replaced (and
+      // the DuckDB oracle): a band collision with ZERO common shingles must
+      // not surface as a jac=0 pair when a caller passes minJac <= 0
+      .filter(col("inter") > 0)
       .select(col("doc_a"), col("doc_b"),
         (col("inter") / (col("na") + col("nb") - col("inter"))).as("jac"))
       .filter(col("jac") >= minJac)
@@ -258,8 +262,7 @@ object DedupOps {
 
   /** d02 core, parameterized for tests and plan assertions. */
   private[graft] def minhashLshPairs(
-      docs: DataFrame, minJac: Double = 0.3,
-      broadcastLimit: Long = broadcastRowLimit): DataFrame = {
+      docs: DataFrame, minJac: Double = 0.3): DataFrame = {
     val arr = shingleArrs(docs).cache()
     arr.count() // single cache fill (see d01)
     minhashLshPairsFromArrs(arr, minJac)
@@ -526,7 +529,9 @@ object DedupOps {
       .select(col("new_id"),
         size(array_intersect(col("sa"), col("sb"))).cast("double").as("inter"),
         size(col("sa")).as("na"), size(col("sb")).as("nb"))
-      .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= minJac)
+      // inter > 0: same minJac<=0 boundary guard as minhashLshPairsFromArrs
+      .filter(col("inter") > 0 &&
+        col("inter") / (col("na") + col("nb") - col("inter")) >= minJac)
       .select(col("new_id")).distinct()
     docs.filter(isNew).select(col("doc_id")).distinct()
       .join(matched, col("doc_id") === col("new_id"), "left_anti")

@@ -3,7 +3,6 @@ package graft.text
 import java.util.regex.Pattern
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 
 import graft.etl.Alerts
@@ -11,13 +10,15 @@ import graft.etl.Alerts
 /** Text-cleaning pipelines (SURVEY §2.11 N1/N3/N4, §2.7 F1-F7).
   *
   * Everything is a reusable `Column => Column` built from codegen'd
-  * built-ins except the two documented exceptions:
+  * built-ins or native graft expressions — zero UDFs:
   *  - `stopwordRemoveExact` (the reference's ORDER-SENSITIVE 732-word
   *    cascade, c35:26-37) — a 732-deep regexp_replace expression tree
-  *    would break codegen, so the exact-parity form is a UDF over
-  *    precompiled patterns; `stopwordRemoveFast` is the codegen-friendly
-  *    alternation applied to fixpoint (twice) for the scale path;
-  *  - `asciiFold` (unidecode, F7) — NFD normalize + strip marks.
+  *    would break codegen, so the exact-parity form is the codegen'd
+  *    [[graft.functions.StopwordCascade]] expression over precompiled
+  *    patterns; `stopwordRemoveFast` is the codegen-friendly alternation
+  *    applied to fixpoint (twice) for the scale path;
+  *  - `asciiFold` (unidecode, F7) — NFD normalize + strip marks, the
+  *    native [[graft.functions.AsciiFold]] expression.
   */
 object TextClean {
 
@@ -75,18 +76,13 @@ object TextClean {
 
   /** N4 exact-parity path: the reference's per-word cascade — for each
     * stopword: `\sWORD\s → " "` then `"  +" → " "` (order-sensitive since
-    * replacements enable later matches, SURVEY §7.4 risk 6).
+    * replacements enable later matches, SURVEY §7.4 risk 6). Backed by
+    * the codegen'd [[graft.functions.StopwordCascade]] expression: the
+    * patterns compile once per plan, the per-row work stays inside
+    * whole-stage codegen.
     */
-  def stopwordRemoveExact(words: Seq[String]): UserDefinedFunction = {
-    val pats = words.map(w =>
-      (Pattern.compile("\\s" + Pattern.quote(w) + "\\s"), Pattern.compile("  +")))
-    udf { (s: String) =>
-      if (s == null) null
-      else pats.foldLeft(s) { case (acc, (p, sq)) =>
-        sq.matcher(p.matcher(acc).replaceAll(" ")).replaceAll(" ")
-      }
-    }
-  }
+  def stopwordRemoveExact(c: Column, words: Seq[String]): Column =
+    graft.functions.GraftFunctions.stopwordCascade(c, words)
 
   /** c35 NER-label cleanup: parenthetical strip, company suffixes, open
     * paren/bracket tails, punctuation, trim.

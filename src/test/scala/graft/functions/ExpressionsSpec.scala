@@ -215,6 +215,24 @@ class ExpressionsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("minhash_sig: null elements skipped like SQL MIN; all-null and empty arrays -> null") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq[String]("alpha beta gamma", null, "beta gamma delta")),
+      (2L, Seq[String](null, null)),
+      (3L, Seq.empty[String]))
+    val got = rows.toDF("doc_id", "shArr")
+      .select(col("doc_id"), GraftFunctions.minhashSig(col("shArr")).as("mhs"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[String](1)))
+      .toMap
+    // doc 1's signature equals the signature of the non-null elements alone
+    val clean = Seq((1L, Seq("alpha beta gamma", "beta gamma delta"))).toDF("doc_id", "shArr")
+      .select(GraftFunctions.minhashSig(col("shArr")))
+      .collect()(0).getSeq[String](0)
+    assert(got(1L) == clean)
+    assert(got(2L) == null && got(3L) == null)
+  }
+
   test("codegen: expressions stay inside whole-stage codegen (no UDF node)") {
     // inputs derive from range's id so they are non-foldable — a pure
     // LocalRelation would be constant-folded into a LocalTableScan and

@@ -57,18 +57,19 @@ class DedupOpsSpec extends AnyFunSuite with graft.SparkTestSession {
 
   test("per-doc cnt broadcast is size-guarded: above the limit the plan shuffles, rows unchanged") {
     def pairs(limit: Long) = DedupOps.ngramJaccardPairs(docs, minJac = 0.0, broadcastLimit = limit)
-    def lsh(limit: Long) = DedupOps.minhashLshPairs(docs, minJac = 0.0, broadcastLimit = limit)
     // 6 docs < default limit -> cnt joins carry the broadcast hint;
     // limit 0 -> no hint anywhere (planner shuffles at scale)
     assert(pairs(DedupOps.broadcastRowLimit).queryExecution.optimizedPlan
       .toString.contains("strategy=broadcast"))
     assert(!pairs(0L).queryExecution.optimizedPlan.toString.contains("strategy=broadcast"))
-    assert(!lsh(0L).queryExecution.optimizedPlan.toString.contains("strategy=broadcast"))
+    // d02's array-verify form broadcasts nothing by hint (the verify joins
+    // key on the candidate pair ids; the planner is free to shuffle)
+    assert(!DedupOps.minhashLshPairs(docs, minJac = 0.0).queryExecution
+      .optimizedPlan.toString.contains("strategy=broadcast"))
     // results identical on both paths
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
     assert(rows(pairs(0L)) == rows(pairs(DedupOps.broadcastRowLimit)))
-    assert(rows(lsh(0L)) == rows(lsh(DedupOps.broadcastRowLimit)))
   }
 
   test("d07 bloom path computes exactly d05's relation; the prefilter is in the plan") {

@@ -33,9 +33,22 @@ class TextCleanSpec extends AnyFunSuite with graft.SparkTestSession {
     // " the of a " cascades: removing 'the' merges spaces enabling 'of'
     val in = "x the of a y"
     val fast = one(TextClean.stopwordRemoveFast(col("t"), words), in)
-    val exact = one(TextClean.stopwordRemoveExact(words)(col("t")), in)
+    val exact = one(TextClean.stopwordRemoveExact(col("t"), words), in)
     assert(exact == "x a y" || exact == "x y", exact)
     assert(fast.split(" ").length <= in.split(" ").length)
+  }
+
+  test("stopwordRemoveExact is a native expression: null-safe, no UDF in the plan") {
+    val words = Seq("the", "of")
+    val df = Seq[(String, java.lang.Integer)](("x the of y", 1), (null, 2)).toDF("t", "i")
+      .select(TextClean.stopwordRemoveExact(col("t"), words).as("out"))
+    assert(!df.queryExecution.executedPlan.toString.contains("UDF"),
+      df.queryExecution.executedPlan.toString)
+    val got = df.as[String].collect()
+    assert(got(0) == "x y" && got(1) == null, got.mkString("|"))
+    // empty word list is the identity column (no function call at all)
+    val id = one(TextClean.stopwordRemoveExact(col("t"), Nil), "a b")
+    assert(id == "a b")
   }
 
   test("cleanNerLabel: company suffixes, parens, punctuation") {
