@@ -251,18 +251,31 @@ object GraphAlgs {
     val spark = SparkSession.active
     import spark.implicits._
     val avgDeg = g.numEdges.toDouble / g.numVertices
-    // vertex attr = (rank, damping denominator); denominator is static
-    var rg: Graph[(Double, Double), Unit] = g.outerJoinVertices(g.outDegrees) {
-      (_, _, deg) => (1.0, deg.getOrElse(0).toDouble + avgDeg)
-    }.cache()
+    // STATIC damping denominator moves to the edge attribute (built once
+    // by mapTriplets, never touched again); the vertex attribute is the
+    // bare rank Double. Both then live in primitive Array[Double] columns
+    // inside GraphX's vertex/edge partitions, and the per-superstep
+    // replicated-vertex view ships 8-byte ranks instead of (rank, denom)
+    // tuple objects — at 10× gate scale the superstep cost was GC churn,
+    // not capacity, and the tuple boxes were most of it.
+    var rg: Graph[Double, Double] = g
+      .outerJoinVertices(g.outDegrees) {
+        (_, _, deg) => deg.getOrElse(0).toDouble + avgDeg
+      }
+      .mapTriplets(t => t.srcAttr, TripletFields.Src)
+      .mapVertices((_, _) => 1.0)
+      .cache()
     var i = 0
     while (i < iters) {
+      // same IEEE op as the tuple form and articleRankDF: one DIVISION
+      // rank/denom per edge (not multiply-by-reciprocal, which rounds
+      // differently), so the parity pins hold unchanged
       val msgs = rg.aggregateMessages[Double](
-        ctx => ctx.sendToDst(ctx.srcAttr._1 / ctx.srcAttr._2), _ + _,
+        ctx => ctx.sendToDst(ctx.srcAttr / ctx.attr), _ + _,
         TripletFields.Src) // dst attrs not read: halves the shipped bytes
       val prev = rg
-      rg = rg.outerJoinVertices(msgs) { (_, attr, m) =>
-        ((1.0 - damping) + damping * m.getOrElse(0.0), attr._2)
+      rg = rg.outerJoinVertices(msgs) { (_, _, m) =>
+        (1.0 - damping) + damping * m.getOrElse(0.0)
       }.cache()
       // materialize children before releasing the parent: edges first (the
       // expensive replicated-vertex view), then vertices
@@ -271,7 +284,233 @@ object GraphAlgs {
       prev.edges.unpersist(blocking = false)
       i += 1
     }
-    rg.vertices.map { case (id, (r, _)) => (id, r) }.toDF("node_id", "rank")
+    rg.vertices.map { case (id, r) => (id, r) }.toDF("node_id", "rank")
+  }
+
+  /** ArticleRank via BROADCAST-PULL supersteps — the fast path when the
+    * vertex set fits a driver vector (V <= [[broadcastVertexLimit]], the
+    * same guard the DF path's broadcast uses).
+    *
+    * The per-superstep shuffle is the scale bottleneck of both other
+    * formulations: [[articleRankDF]] shuffles E message rows per
+    * superstep, [[articleRankGraphX]] ships a replicated vertex view.
+    * Here the EDGES shuffle exactly ONCE — DataFrame `repartition(dst)` +
+    * `sortWithinPartitions(dst, src)`, which stays in Tungsten — into
+    * cached per-partition CSR-style int arrays. Every superstep is
+    * then ONE narrow job: broadcast the V-sized contribution vector
+    * (rank/denom, computed on the driver in O(V)), each partition scans
+    * its static edge arrays accumulating per-dst sums (dst-contiguous
+    * because sorted), and collects |its dsts| (dst, msg) pairs — vertex-
+    * proportional driver traffic, never edge-proportional. 20 supersteps
+    * = 20 shuffle-free jobs.
+    *
+    * Determinism: the sorted CSR fixes the per-dst summation order, and
+    * partitions own disjoint dst ranges so collect order is irrelevant —
+    * bit-identical across runs. The float ops per edge/vertex are the
+    * SAME division/multiply-add sequence as the other two paths, so the
+    * cross-engine 6-dp oracle argument (float summation order only,
+    * ~1e-13) carries over unchanged.
+    *
+    * Above the vertex guard the method falls back to
+    * [[articleRankGraphX]] — V-sized driver vectors are exactly what a
+    * 100 TB-scale billion-vertex graph forbids; the shuffle-superstep
+    * path remains the correct plan there.
+    */
+  def articleRankPull(edges: DataFrame, iters: Int = 20,
+                      damping: Double = 0.85, undirected: Boolean = false,
+                      vertexLimit: Long = broadcastVertexLimit,
+                      dedupeEdges: Boolean = true): DataFrame = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val srcCol = edges.columns(0)
+    val dstCol = edges.columns(1)
+    val e0 = edges.select(col(srcCol).cast("long").as("s"),
+      col(dstCol).cast("long").as("d"))
+    val sym =
+      if (undirected) e0.union(e0.select(col("d").as("s"), col("s").as("d")))
+      else e0
+    // ONE shuffle for the whole algorithm — the (usually expensive) edge
+    // build pipelines straight into it, uncached. repartition(dst) +
+    // sortWithinPartitions(dst, src) stay in Tungsten (radix sort on
+    // longs, no boxed tuple ordering); the pack step reads the sorted
+    // InternalRows directly into primitive long arrays, dropping
+    // consecutive duplicates — so `dedupeEdges = true` (the gds distinct-
+    // edge projection) costs ZERO extra shuffles even when the caller
+    // hands over a raw join output.
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = sym.repartition(parts, col("d"))
+      .sortWithinPartitions(col("d"), col("s"))
+    val rawCsr: RDD[(Array[Long], Array[Long])] = sorted
+      .queryExecution.toRdd
+      .mapPartitions { it =>
+        val dB = Array.newBuilder[Long]
+        val sB = Array.newBuilder[Long]
+        var lastD = 0L
+        var lastS = 0L
+        var first = true
+        it.foreach { r =>
+          val s = r.getLong(0)
+          val d = r.getLong(1)
+          if (first || !dedupeEdges || d != lastD || s != lastS) {
+            dB += d; sB += s
+            lastD = d; lastS = s; first = false
+          }
+        }
+        Iterator.single((dB.result(), sB.result()))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    rawCsr.foreachPartition(_ => ())
+
+    // vertex guard BEFORE any vertex-proportional collect: per-partition
+    // distinct-dst counts are exact and disjoint (dst-partitioned); the
+    // src side adds a per-partition distinct upper bound for directed
+    // graphs (undirected graphs are symmetric: src set == dst set)
+    val sizes = rawCsr.map { case (dArr, sArr) =>
+      var dDistinct = 0L
+      var j = 0
+      while (j < dArr.length) {
+        val d = dArr(j)
+        while (j < dArr.length && dArr(j) == d) j += 1
+        dDistinct += 1
+      }
+      val sDistinct = if (dArr.length == 0) 0L else {
+        val c = sArr.clone()
+        java.util.Arrays.sort(c)
+        var n = 1L
+        var i2 = 1
+        while (i2 < c.length) { if (c(i2) != c(i2 - 1)) n += 1; i2 += 1 }
+        n
+      }
+      (dDistinct, sDistinct, dArr.length.toLong)
+    }.collect()
+    val vBound =
+      if (undirected) sizes.map(_._1).sum
+      else sizes.map(_._1).sum + sizes.map(_._2).sum
+    if (vBound > vertexLimit) {
+      rawCsr.unpersist(blocking = false)
+      val g = buildGraph(edges, srcCol, dstCol, undirected)
+      return articleRankGraphX(g, iters, damping)
+    }
+    if (vBound == 0) {
+      rawCsr.unpersist(blocking = false)
+      return Seq.empty[(Long, Double)].toDF("node_id", "rank")
+    }
+    val nDirected = sizes.map(_._3).sum
+
+    // vertex ids: distinct dsts come free from the sorted runs; the src
+    // side (pure sources in directed graphs) from the local sort above —
+    // V-proportional driver traffic, bounded by the guard just passed
+    val ids: Array[Long] = {
+      val perPart = rawCsr.map { case (dArr, sArr) =>
+        val dB = Array.newBuilder[Long]
+        var j = 0
+        while (j < dArr.length) {
+          val d = dArr(j)
+          dB += d
+          while (j < dArr.length && dArr(j) == d) j += 1
+        }
+        val sOut = if (undirected || sArr.length == 0) Array.emptyLongArray else {
+          val c = sArr.clone()
+          java.util.Arrays.sort(c)
+          val sB = Array.newBuilder[Long]
+          var i2 = 0
+          while (i2 < c.length) {
+            if (i2 == 0 || c(i2) != c(i2 - 1)) sB += c(i2)
+            i2 += 1
+          }
+          sB.result()
+        }
+        (dB.result(), sOut)
+      }.collect()
+      val all = perPart.flatMap { case (d, s) => d ++ s }
+      java.util.Arrays.sort(all)
+      val out = Array.newBuilder[Long]
+      var i2 = 0
+      while (i2 < all.length) {
+        if (i2 == 0 || all(i2) != all(i2 - 1)) out += all(i2)
+        i2 += 1
+      }
+      out.result()
+    }
+    val nV = ids.length
+    val bIds = sc.broadcast(ids)
+
+    // translate once to int indices (binary search into the sorted id
+    // array); the raw long arrays are dropped after
+    val csr: RDD[(Array[Int], Array[Int])] = rawCsr.map { case (dArr, sArr) =>
+      val a = bIds.value
+      val dI = new Array[Int](dArr.length)
+      val sI = new Array[Int](sArr.length)
+      var j = 0
+      while (j < dArr.length) {
+        dI(j) = java.util.Arrays.binarySearch(a, dArr(j))
+        sI(j) = java.util.Arrays.binarySearch(a, sArr(j))
+        j += 1
+      }
+      (dI, sI)
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    csr.foreachPartition(_ => ())
+    rawCsr.unpersist(blocking = false)
+
+    // out-degree (and the static damping denominator) on the driver:
+    // per-partition dense int counts merged by exact integer addition,
+    // so RDD.reduce's arrival order cannot matter
+    val vCount = nV
+    val outDeg: Array[Int] = csr.map { case (_, sArr) =>
+      val c = new Array[Int](vCount)
+      var j = 0
+      while (j < sArr.length) { c(sArr(j)) += 1; j += 1 }
+      c
+    }.reduce { (x, y) =>
+      var j = 0
+      while (j < x.length) { x(j) += y(j); j += 1 }
+      x
+    }
+    val avgDeg = nDirected.toDouble / nV
+    val denom = new Array[Double](nV)
+    var k = 0
+    while (k < nV) { denom(k) = outDeg(k).toDouble + avgDeg; k += 1 }
+
+    var rank = Array.fill(nV)(1.0)
+    var i = 0
+    while (i < iters) {
+      val contrib = new Array[Double](nV)
+      var c = 0
+      while (c < nV) { contrib(c) = rank(c) / denom(c); c += 1 }
+      val bC = sc.broadcast(contrib)
+      // one narrow job: per-dst sums over the dst-contiguous sorted arrays;
+      // partitions own disjoint dsts, so collect order is irrelevant
+      val partials = csr.map { case (dArr, sArr) =>
+        val cv = bC.value
+        val outD = Array.newBuilder[Int]
+        val outM = Array.newBuilder[Double]
+        var j = 0
+        while (j < dArr.length) {
+          val d = dArr(j)
+          var s = 0.0
+          while (j < dArr.length && dArr(j) == d) { s += cv(sArr(j)); j += 1 }
+          outD += d
+          outM += s
+        }
+        (outD.result(), outM.result())
+      }.collect()
+      bC.destroy()
+      val next = new Array[Double](nV)
+      java.util.Arrays.fill(next, 1.0 - damping)
+      partials.foreach { case (dArr, mArr) =>
+        var j = 0
+        while (j < dArr.length) {
+          next(dArr(j)) = (1.0 - damping) + damping * mArr(j)
+          j += 1
+        }
+      }
+      rank = next
+      i += 1
+    }
+    csr.unpersist(blocking = false)
+    val out = rank
+    sc.parallelize(ids.indices.map(j => (ids(j), out(j))), math.max(1, parts))
+      .toDF("node_id", "rank")
   }
 
   /** Connected components (GraphX built-in: component id = min vertex id
@@ -290,13 +529,18 @@ object GraphAlgs {
       if (probe.length <= driverLimit) {
         // vertex seed: fromEdges-built graphs derive vertices from edge
         // endpoints (already in the probe), but a caller-constructed
-        // Graph may carry edgeless vertices — one small collect covers
-        // both (bounded: |V| <= 2|E| <= 2*driverLimit via fromEdges, and
-        // caller-vertex sets at this scale are component-sized)
-        val comp = unionFindMin(
-          g.vertices.map(_._1).collect().iterator,
-          probe.iterator.map(e => (e.srcId, e.dstId)))
-        return comp.toSeq.toDF("node_id", "component")
+        // Graph may carry edgeless vertices. The vertex side needs its
+        // own bound — few edges does NOT imply few vertices for a
+        // caller-constructed Graph — so probe it too (2*driverLimit+1
+        // covers the fromEdges case where |V| <= 2|E|) and fall through
+        // to the distributed path if it overflows.
+        val vProbe = g.vertices.map(_._1).take(2 * driverLimit + 2)
+        if (vProbe.length <= 2 * driverLimit + 1) {
+          val comp = unionFindMin(
+            vProbe.iterator,
+            probe.iterator.map(e => (e.srcId, e.dstId)))
+          return comp.toSeq.toDF("node_id", "component")
+        }
       }
     }
     val sym = Graph.fromEdges(

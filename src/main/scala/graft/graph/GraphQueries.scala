@@ -134,24 +134,28 @@ object GraphQueries {
   }
 
   /** GDS articleRank analog (Writeup.pdf §Queries Q1/Q3) — top 50 nodes.
-    * Runs on the GraphX path ([[GraphAlgs.articleRankGraphX]]): supersteps
-    * are executor-side RDD ops, not 20 DataFrame job dispatches (the r2
-    * bench spent 37 % of suite time on the DF loop's fixed overhead).
-    * Exact-math parity with [[GraphAlgs.articleRankDF]] is pinned in
-    * GraphAlgsSpec; the 6-dp-rounded result is oracled in DuckDB by an
-    * unrolled 20-step CTE chain.
+    * Runs on the broadcast-pull path ([[GraphAlgs.articleRankPull]]): the
+    * edge table shuffles ONCE into dst-partitioned CSR arrays, then every
+    * superstep is one shuffle-free narrow job against a broadcast
+    * V-sized contribution vector — the right plan whenever the vertex
+    * set fits the broadcast guard (it falls back to the GraphX
+    * shuffle-superstep path above 1M vertices). Cross-path float parity
+    * with [[GraphAlgs.articleRankDF]]/[[GraphAlgs.articleRankGraphX]] is
+    * pinned in GraphAlgsSpec; the 6-dp-rounded result is oracled in
+    * DuckDB by an unrolled 20-step CTE chain.
     */
   val g04 = QueryDef(
     "g04_articlerank",
     "ArticleRank top-50 on the undirected customer-supplier graph",
     (s, dir) => {
-      // buildGraph materializes the (expensive) orders><lineitem edge
-      // list ONCE at the RDD layer and symmetrizes in the same pass — a
-      // plain DataFrame union of two selects over the uncached join
-      // would scan the join twice (measured +30% on g04)
-      val g = GraphAlgs.buildGraph(edges(s, dir, filtered = false), "a", "b",
-        undirected = true)
-      GraphAlgs.articleRankGraphX(g, iters = 20)
+      // the RAW join output goes in — articleRankPull's sorted pack
+      // dedupes consecutive rows, so the distinct() shuffle the other
+      // graph gates pay is folded into the one CSR shuffle here
+      val o = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      val raw = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      GraphAlgs.articleRankPull(raw, iters = 20, undirected = true)
         .select(col("node_id"), round(col("rank"), 6).as("score"))
         .orderBy(col("score").desc, col("node_id"))
         .limit(50)

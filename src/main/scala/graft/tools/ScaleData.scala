@@ -36,7 +36,11 @@ import graft.Tables
   *    copies are fine for the rehearsal gates (ANN gates bound their
   *    candidate sets by construction regardless of vector multiplicity).
   *
-  * Usage: ScaleData <srcDir> <dstDir> <copies>   (idempotent overwrite)
+  * Usage: ScaleData <srcDir> <dstDir> <copies> [tables]
+  * `tables` (comma-separated, optional) restricts the copy to a subset —
+  * the guard-flip rehearsals only need the graph tables at 80×, and
+  * materializing 80× documents/lineitem siblings would waste the disk.
+  * (idempotent overwrite)
   */
 object ScaleData {
   /** Key columns to shift per table; first element of each pair is the
@@ -81,6 +85,8 @@ object ScaleData {
   def main(args: Array[String]): Unit = {
     val Array(srcDir, dstDir, copiesStr) = args.take(3)
     val copies = copiesStr.toInt
+    val tableSubset: Option[Set[String]] =
+      args.lift(3).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val spark = Tables.requiredConf.foldLeft(SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -94,7 +100,7 @@ object ScaleData {
       t -> (Tables.load(spark, srcDir, t).agg(max(col(k))).head().getLong(0) + 1L)
     }.toMap
 
-    Tables.names.foreach { name =>
+    Tables.names.filter(n => tableSubset.forall(_.contains(n))).foreach { name =>
       scaleTable(spark, srcDir, name, copies, strides)
         .write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
       println(s"scaled $name -> $dstDir/$name.parquet")

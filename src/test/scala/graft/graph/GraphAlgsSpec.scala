@@ -168,6 +168,40 @@ class GraphAlgsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(math.abs(cyc(1L) - 0.575) < 1e-12 && math.abs(cyc(2L) - 0.575) < 1e-12)
   }
 
+  test("articleRankPull == articleRankDF; over-limit vertex set falls back, same result") {
+    val graphs = Seq(
+      ("star", edgeDf(0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 4L), true),
+      ("chain+sink", edgeDf(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 4L), false),
+      ("mixed", edgeDf(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 1L, 4L -> 1L,
+        4L -> 2L, 5L -> 4L, 1L -> 5L), false))
+    graphs.foreach { case (name, e, und) =>
+      val viaPull = GraphAlgs.articleRankPull(e, iters = 20, undirected = und)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val viaDF = GraphAlgs.articleRank(
+        GraphAlgs.buildGraph(e, "src", "dst", undirected = und),
+        iters = 20).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(viaPull.keySet == viaDF.keySet, name)
+      viaDF.foreach { case (k, v) =>
+        assert(math.abs(viaPull(k) - v) < 1e-12, s"$name node $k: ${viaPull(k)} vs $v")
+      }
+      // vertexLimit below the vertex count forces the GraphX fallback;
+      // values must agree to the same noise bound
+      val fallback = GraphAlgs.articleRankPull(e, iters = 20, undirected = und,
+        vertexLimit = 2).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(fallback.keySet == viaDF.keySet, s"$name fallback")
+      viaDF.foreach { case (k, v) =>
+        assert(math.abs(fallback(k) - v) < 1e-12, s"$name fallback node $k")
+      }
+    }
+    // bit-determinism across runs (sorted CSR fixes summation order)
+    val e = edgeDf(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 1L, 4L -> 1L, 4L -> 2L)
+    val r1 = GraphAlgs.articleRankPull(e, iters = 20).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val r2 = GraphAlgs.articleRankPull(e, iters = 20).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r1 == r2, "must be bit-deterministic")
+  }
+
   test("labelPropagation: two triangles joined by a bridge split into two communities") {
     val g = GraphAlgs.buildGraph(
       edgeDf(1L -> 2L, 2L -> 3L, 3L -> 1L, // triangle A
