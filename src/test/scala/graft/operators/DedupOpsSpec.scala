@@ -91,6 +91,13 @@ class DedupOpsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(bloom.schema.fieldNames.toSeq == exact.schema.fieldNames.toSeq)
     assert(rows(bloom) == rows(exact))
     assert(rows(bloom).nonEmpty) // fixture actually exercises the match path
+    // the cached-array forms the d05/d07 gates run compute the identical
+    // relation (per-doc array_distinct == the row form's pair distinct)
+    val arr = DedupOps.shingleArrs(numDocs).cache()
+    arr.count()
+    assert(rows(DedupOps.contaminationPairsArr(arr, benchMod = 5L)) == rows(exact))
+    assert(rows(DedupOps.contaminationPairsBloomArr(arr, benchMod = 5L)) == rows(exact))
+    arr.unpersist()
     // the prefilter reaches the plan as a codegen'd filter on the corpus side
     val opt = bloom.queryExecution.optimizedPlan.toString
     assert(opt.contains("bloom_might_contain"), opt)
