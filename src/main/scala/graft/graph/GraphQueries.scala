@@ -449,6 +449,139 @@ object GraphQueries {
         CAST(n_nodes AS BIGINT) AS nodes_covered
       FROM stats"""))
 
+  /** WEIGHTED Louvain gate (the reference's Q7 graph carries integer
+    * `weight` edges — data_integration.ipynb c49:2-7; `louvainDF` has
+    * handled a weight column since r7 but no driver gate exercised it).
+    *
+    * Weight = (cust, supp) pair multiplicity in the filtered
+    * orders⋈lineitem rows BEFORE dedup — an INTEGER, which keeps the
+    * weighted-modularity arithmetic exact end to end:
+    * Q·m2² = within·m2 − Σc σc² with m2 = Σw (symmetrized),
+    * σc = Σ weighted degree — all int64, no float anywhere, so the gate
+    * hash-compares exactly like g05.
+    *
+    * Invariant encoding follows g06 (no literal-TRUE pins): each
+    * Louvain-specific invariant is a VALUE the oracle independently
+    * recomputes — the Spark side emits that value only when the
+    * invariant holds (−1 otherwise), so a broken weighted Louvain
+    * (lost nodes, cross-component merges, modularity collapse) flips a
+    * value and hash-fails the gate.
+    */
+  val g08 = QueryDef(
+    "g08_louvain_weighted",
+    "weighted Louvain invariants on the multiplicity-weighted graph (Q7 weight column)",
+    (s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      val wEdges = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_quantity") === 1 && month(col("l_shipdate")) === 1)
+        .groupBy((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .agg(count(lit(1)).cast("long").as("weight"))
+      val und = wEdges
+        .union(wEdges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+        .cache()
+      val m2 = und.agg(coalesce(sum(col("weight")), lit(0L))).head().getLong(0)
+      val deg = und.groupBy(col("src").as("node_id"))
+        .agg(sum(col("weight")).as("deg")).cache()
+      val nNodes = deg.count()
+      def small(df: DataFrame): DataFrame =
+        if (nNodes < 1000000L) broadcast(df) else df
+
+      // weighted Louvain: distributed-only by design (louvainDF gates the
+      // driver replay to unit weights); same level/sweep budgets as g05
+      val assign = GraphAlgs.louvainDF(wEdges, maxLevels = 2, maxSweeps = 4)
+        .localCheckpoint(true)
+      val cc = GraphAlgs.connectedComponentsUnd(
+        und.select(col("src"), col("dst"))).localCheckpoint(true)
+
+      val ext = assign.toDF("node_id", "lc")
+        .join(cc.toDF("node_id", "ccmp"), Seq("node_id"), "full")
+        .join(deg, Seq("node_id"), "full")
+        .cache()
+      val v = ext.agg(
+        count(lit(1)).as("rows"),
+        countDistinct(col("node_id")).as("nd"),
+        count(when(col("lc").isNull || col("ccmp").isNull || col("deg").isNull, 1))
+          .as("bad"),
+        countDistinct(col("lc")).as("ncomm"),
+        countDistinct(col("ccmp")).as("ncomp"),
+        countDistinct(col("lc"), col("ccmp")).as("npair")).head()
+      val (nComms, nComps) = (v.getLong(3), v.getLong(4))
+      val valid = v.getLong(0) == nNodes && v.getLong(1) == nNodes &&
+        v.getLong(2) == 0L
+      val refines = nComms == v.getLong(5)
+
+      // within-partition WEIGHT sums for both partitions in one edge join
+      val j = und
+        .join(small(ext.select(col("node_id").as("src"),
+          col("lc").as("lcs"), col("ccmp").as("ccs"))), Seq("src"))
+        .join(small(ext.select(col("node_id").as("dst"),
+          col("lc").as("lcd"), col("ccmp").as("ccd"))), Seq("dst"))
+        .agg(coalesce(sum(when(col("lcs") === col("lcd"), col("weight"))), lit(0L)).as("wl"),
+          coalesce(sum(when(col("ccs") === col("ccd"), col("weight"))), lit(0L)).as("wc"))
+        .head()
+      val (wl, wc) = (j.getLong(0), j.getLong(1))
+
+      // Σc (weighted degree mass)² per partition, one fused explode pass
+      val ps = ext.select(col("deg"), explode(array(
+          struct(lit("l").as("k"), col("lc").as("cid")),
+          struct(lit("c").as("k"), col("ccmp").as("cid")))).as("kc"))
+        .select(col("deg"), col("kc.k").as("k"), col("kc.cid").as("cid"))
+        .groupBy(col("k"), col("cid"))
+        .agg(coalesce(sum(col("deg")), lit(0L)).as("dmass"))
+        .groupBy(col("k"))
+        .agg(coalesce(sum(col("dmass") * col("dmass")), lit(0L)).as("degsq"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val ccModNum = wc * m2 - ps.getOrElse("c", 0L)
+      val lvModNum = wl * m2 - ps.getOrElse("l", 0L)
+      Seq(ext, deg, und).foreach(_.unpersist(blocking = false))
+
+      val inBounds = nComms >= nComps && nComms <= nNodes
+      Seq((ccModNum,
+        if (inBounds) nNodes else -1L,
+        if (lvModNum * 100L >= ccModNum * 95L) nNodes else -1L,
+        nComps, nNodes,
+        if (refines) m2 else -1L,
+        m2,
+        if (valid) nComps else -1L))
+        .toDF("cc_mod_num_w", "communities_in_bounds_nodes",
+          "louvain_floor_nodes", "n_components", "n_nodes", "refines_m2w",
+          "sym_weight", "valid_components")
+    },
+    Some("""WITH RECURSIVE
+      edges AS (SELECT o_custkey*2 AS a, l_suppkey*2+1 AS b,
+                       CAST(COUNT(*) AS BIGINT) AS w
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                WHERE l_quantity = 1 AND month(l_shipdate) = 1
+                GROUP BY 1, 2),
+      und AS (SELECT a AS src, b AS dst, w FROM edges
+              UNION ALL SELECT b AS src, a AS dst, w FROM edges),
+      deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS d FROM und GROUP BY src),
+      walk(node, lbl) AS (
+        SELECT src, src AS lbl FROM deg
+        UNION
+        SELECT u.dst AS node, w2.lbl FROM walk w2 JOIN und u ON u.src = w2.node
+        WHERE w2.lbl < u.dst),
+      comp AS (SELECT node, MIN(lbl) AS component FROM walk GROUP BY node),
+      degc AS (SELECT c.component, CAST(SUM(d.d) AS BIGINT) AS dc
+               FROM comp c JOIN deg d ON c.node = d.src GROUP BY 1),
+      stats AS (SELECT
+        (SELECT CAST(SUM(w) AS BIGINT) FROM und) AS m2,
+        (SELECT COUNT(*) FROM deg) AS n_nodes,
+        (SELECT COUNT(DISTINCT component) FROM comp) AS n_components,
+        (SELECT CAST(SUM(dc*dc) AS BIGINT) FROM degc) AS degsq)
+      SELECT
+        CAST(m2*m2 - degsq AS BIGINT) AS cc_mod_num_w,
+        CAST(n_nodes AS BIGINT) AS communities_in_bounds_nodes,
+        CAST(n_nodes AS BIGINT) AS louvain_floor_nodes,
+        n_components, n_nodes,
+        CAST(m2 AS BIGINT) AS refines_m2w,
+        CAST(m2 AS BIGINT) AS sym_weight,
+        CAST(n_components AS BIGINT) AS valid_components
+      FROM stats"""))
+
   /** Per-node triangle count + local clustering coefficient — the
     * remaining standard GDS-style metric next to degree (g01), CC (g03),
     * ArticleRank (g04) and Louvain (g05/g06). The bipartite base graph
@@ -533,5 +666,5 @@ object GraphQueries {
       FROM deg LEFT JOIN tc ON tc.n = deg.n
       ORDER BY node"""))
 
-  val all: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05, g06, g07)
+  val all: Seq[QueryDef] = Seq(g01, g02, g03, g04, g05, g06, g07, g08)
 }
