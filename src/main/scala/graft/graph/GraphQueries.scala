@@ -179,9 +179,12 @@ object GraphQueries {
     *     Spark computes `within` by actually joining the assignment (it
     *     equals m2 iff CC is right), the oracle derives degsq from its
     *     own CTE components;
-    *   - valid_partition / refines_components / louvain_q_floor /
-    *     communities_ge_components: Louvain-specific invariants the
-    *     oracle pins as literal TRUE — the assignment is a bijection over
+    *   - valid_partition_nodes / refines_components_n /
+    *     louvain_floor_edges / comms_ge_comps_nodes: Louvain-specific
+    *     invariants VALUE-ENCODED in the g06 style (r9 — no literal-TRUE
+    *     pins left): the Spark side emits an oracle-recomputable value
+    *     (n_nodes / n_components / m2) only when the invariant holds and
+    *     −1 otherwise. The invariants: the assignment is a bijection over
     *     the vertex set, every community lies inside ONE connected
     *     component (greedy moves must never cross an edgeless boundary),
     *     its modularity is ≥ 95 % of the CC partition's (compared in
@@ -190,7 +193,7 @@ object GraphQueries {
     *     slightly below the coarse CC partition on this sparse graph),
     *     and refining components can only increase the community count.
     *     A broken Louvain (lost nodes, cross-component merges,
-    *     degenerate singleton collapse) flips one of these and
+    *     degenerate singleton collapse) turns one value into −1 and
     *     hash-fails the gate.
     */
   /** Every scalar the g05 + g06 invariant gates read, from ONE Louvain +
@@ -336,12 +339,23 @@ object GraphQueries {
     (s, dir) => {
       import s.implicits._
       val st = louvainStats(s, dir, "g05")
-      Seq((st.ccModNum, st.nComms >= st.nComps,
-        st.lvModNum * 100L >= st.ccModNum * 95L,
-        st.nComps, st.nNodes, st.refines, st.m2, st.valid))
-        .toDF("cc_mod_num", "communities_ge_components", "louvain_q_floor",
-          "n_components", "n_nodes", "refines_components", "sym_edges",
-          "valid_partition")
+      // value-encoded invariants (r9: no literal-TRUE pins left) — each
+      // Louvain-specific invariant emits a value the oracle independently
+      // recomputes from the raw tables, or -1 when it fails:
+      //   comms_ge_comps_nodes  -> n_nodes  iff nComms >= nComps
+      //   louvain_floor_edges   -> m2       iff lvQ >= 95% of ccQ (exact ints)
+      //   refines_components_n  -> n_comps  iff every community in ONE component
+      //   valid_partition_nodes -> n_nodes  iff assignment is a vertex bijection
+      Seq((st.ccModNum,
+        if (st.nComms >= st.nComps) st.nNodes else -1L,
+        if (st.lvModNum * 100L >= st.ccModNum * 95L) st.m2 else -1L,
+        st.nComps, st.nNodes,
+        if (st.refines) st.nComps else -1L,
+        st.m2,
+        if (st.valid) st.nNodes else -1L))
+        .toDF("cc_mod_num", "comms_ge_comps_nodes", "louvain_floor_edges",
+          "n_components", "n_nodes", "refines_components_n", "sym_edges",
+          "valid_partition_nodes")
     },
     Some("""WITH RECURSIVE
       edges AS (SELECT DISTINCT o_custkey*2 AS a, l_suppkey*2+1 AS b
@@ -365,12 +379,12 @@ object GraphQueries {
         (SELECT SUM(dc*dc) FROM degc) AS degsq)
       SELECT
         CAST(m2*m2 - degsq AS BIGINT) AS cc_mod_num,
-        TRUE AS communities_ge_components,
-        TRUE AS louvain_q_floor,
+        CAST(n_nodes AS BIGINT) AS comms_ge_comps_nodes,
+        CAST(m2 AS BIGINT) AS louvain_floor_edges,
         n_components, n_nodes,
-        TRUE AS refines_components,
+        CAST(n_components AS BIGINT) AS refines_components_n,
         m2 AS sym_edges,
-        TRUE AS valid_partition
+        CAST(n_nodes AS BIGINT) AS valid_partition_nodes
       FROM stats"""))
 
   /** The user-facing Q7 result shape — Louvain community sizes (what
