@@ -77,6 +77,45 @@ object EntityResolution {
     selfJoin(toks).union(selfJoin(gramsCapped)).distinct()
   }
 
+  /** Feature column names shared by the threshold scorer and the learned
+    * (spark.ml) scorer — see [[withFeatures]].
+    */
+  val featureCols: Array[String] =
+    Array("f_word_jac", "f_lev_sim", "f_plural_eq", "f_gram_jac", "f_is_char")
+
+  /** Pairwise similarity FEATURES on lowercase labels (the shared basis of
+    * both scorers):
+    *  - f_word_jac: token-set Jaccard;
+    *  - f_lev_sim: 1 − levenshtein/maxlen;
+    *  - f_plural_eq: 1.0 when the stripS-folded labels are equal;
+    *  - f_gram_jac: character 3-gram Jaccard;
+    *  - f_is_char: 1.0 for [[charTypes]] (lets a learned model weight the
+    *    gram channel per type family, mirroring the threshold scorer's
+    *    type dispatch).
+    * Input pairs: (id_a, id_b, type); output adds label_a/label_b + the
+    * feature columns.
+    */
+  def withFeatures(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    val l = labels.select(col("id"), lower(col("label")).as("label"))
+    val withLabels = pairs
+      .join(l.withColumnRenamed("id", "id_a").withColumnRenamed("label", "label_a"), Seq("id_a"))
+      .join(l.withColumnRenamed("id", "id_b").withColumnRenamed("label", "label_b"), Seq("id_b"))
+    withLabels
+      .withColumn("f_word_jac", SimilarityJoin.jaccard(
+        array_distinct(SimilarityJoin.whitespaceTokens(col("label_a"))),
+        array_distinct(SimilarityJoin.whitespaceTokens(col("label_b")))))
+      .withColumn("f_lev_sim",
+        lit(1.0) - levenshtein(col("label_a"), col("label_b")).cast("double") /
+          greatest(length(col("label_a")), length(col("label_b"))).cast("double"))
+      .withColumn("f_plural_eq",
+        when(stripS(col("label_a")) === stripS(col("label_b")), 1.0).otherwise(0.0))
+      .withColumn("f_gram_jac", SimilarityJoin.jaccard(
+        array_distinct(SimilarityJoin.qgrams(col("label_a"))),
+        array_distinct(SimilarityJoin.qgrams(col("label_b")))))
+      .withColumn("f_is_char",
+        when(col("type").isin(charTypes.toSeq: _*), 1.0).otherwise(0.0))
+  }
+
   /** Similarity features + combined score for candidate pairs, all on
     * lowercase:
     *  - word score: 0.5·token-Jaccard + 0.5·(1 − levenshtein/maxlen);
@@ -85,33 +124,79 @@ object EntityResolution {
     * Final score = greatest of the applicable features.
     */
   def scorePairs(pairs: DataFrame, labels: DataFrame): DataFrame = {
-    val l = labels.select(col("id"), lower(col("label")).as("label"))
-    val withLabels = pairs
-      .join(l.withColumnRenamed("id", "id_a").withColumnRenamed("label", "label_a"), Seq("id_a"))
-      .join(l.withColumnRenamed("id", "id_b").withColumnRenamed("label", "label_b"), Seq("id_b"))
-    val jac = SimilarityJoin.jaccard(
-      array_distinct(SimilarityJoin.whitespaceTokens(col("label_a"))),
-      array_distinct(SimilarityJoin.whitespaceTokens(col("label_b"))))
-    val lev = lit(1.0) - levenshtein(col("label_a"), col("label_b")).cast("double") /
-      greatest(length(col("label_a")), length(col("label_b"))).cast("double")
-    val wordScore = jac * 0.5 + lev * 0.5
-    val pluralFold = when(stripS(col("label_a")) === stripS(col("label_b")), 1.0)
-      .otherwise(0.0)
-    val gramJac = SimilarityJoin.jaccard(
-      array_distinct(SimilarityJoin.qgrams(col("label_a"))),
-      array_distinct(SimilarityJoin.qgrams(col("label_b"))))
-    val charScore = when(col("type").isin(charTypes.toSeq: _*),
-      gramJac * 0.5 + lev * 0.5).otherwise(0.0)
-    withLabels.withColumn("score", greatest(wordScore, pluralFold, charScore))
+    val f = withFeatures(pairs, labels)
+    val wordScore = col("f_word_jac") * 0.5 + col("f_lev_sim") * 0.5
+    val charScore = when(col("f_is_char") === 1.0,
+      col("f_gram_jac") * 0.5 + col("f_lev_sim") * 0.5).otherwise(0.0)
+    f.withColumn("score", greatest(wordScore, col("f_plural_eq"), charScore))
+      .drop(featureCols: _*)
+  }
+
+  /** The reference's LEARNED scoring option (data_integration.ipynb c41:4
+    * trains a dedupe model over labeled pairs; SURVEY J7 maps it to
+    * "threshold or logistic model (spark.ml)"): a spark.ml
+    * LogisticRegression over the SAME pair features as the threshold
+    * scorer, trained on (label_a, label_b, type, is_match) rows — e.g.
+    * the reference's ner_training_{TYPE}.json labeling sessions.
+    *
+    * The model is tiny (5 coefficients); training cost is a handful of
+    * L-BFGS passes over the labeled pair set, which is human-labeled and
+    * therefore always driver-scale. Scoring stays fully distributed: the
+    * feature projection is the same codegen'd column expressions, and the
+    * model applies as one dot product per candidate pair.
+    */
+  def trainPairScorer(labeledPairs: DataFrame):
+      org.apache.spark.ml.classification.LogisticRegressionModel = {
+    val ids = labeledPairs
+      .withColumn("mid", monotonically_increasing_id())
+      .withColumn("id_a", col("mid") * 2)
+      .withColumn("id_b", col("mid") * 2 + 1)
+    val labels = ids.select(col("id_a").as("id"), col("label_a").as("label"), col("type"))
+      .union(ids.select(col("id_b"), col("label_b"), col("type")))
+    val feats = withFeatures(
+      ids.select(col("id_a"), col("id_b"), col("type"), col("is_match")),
+      labels)
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(featureCols).setOutputCol("features")
+      .transform(feats)
+    new org.apache.spark.ml.classification.LogisticRegression()
+      .setMaxIter(100).setRegParam(1e-3)
+      .setLabelCol("is_match").setFeaturesCol("features")
+      .fit(assembled)
+  }
+
+  /** Score candidate pairs with a trained [[trainPairScorer]] model:
+    * `score` = P(match) from the fitted sigmoid, on the same [0,1] scale
+    * the threshold path uses (cluster with `defaultThreshold = 0.5` for
+    * the model's natural decision boundary, or sweep it like c42).
+    */
+  def scorePairsLearned(pairs: DataFrame, labels: DataFrame,
+      model: org.apache.spark.ml.classification.LogisticRegressionModel): DataFrame = {
+    val feats = withFeatures(pairs, labels)
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(featureCols).setOutputCol("features")
+      .transform(feats)
+    model.transform(assembled)
+      .withColumn("score",
+        org.apache.spark.ml.functions.vector_to_array(col("probability"))(1))
+      .drop("features", "rawPrediction", "probability", "prediction")
+      .drop(featureCols: _*)
   }
 
   /** Cluster ids from thresholded pair edges via connected components;
     * singletons keep their own id as cluster. Per-type thresholds like the
-    * reference's c44 map.
+    * reference's c44 map. `scorer` defaults to the deterministic
+    * threshold features; pass a trained logistic model to score with
+    * P(match) instead (the learned J7 variant).
     */
   def cluster(labels: DataFrame, thresholds: Map[String, Double],
-              defaultThreshold: Double = 0.6): DataFrame = {
-    val pairs = scorePairs(blockPairs(labels), labels)
+              defaultThreshold: Double = 0.6,
+              scorer: Option[org.apache.spark.ml.classification.LogisticRegressionModel] = None): DataFrame = {
+    val blocked = blockPairs(labels)
+    val pairs = scorer match {
+      case Some(m) => scorePairsLearned(blocked, labels, m)
+      case None => scorePairs(blocked, labels)
+    }
     val thr = thresholds.foldLeft(lit(defaultThreshold)) {
       case (acc, (t, v)) => when(col("type") === t, v).otherwise(acc)
     }
@@ -283,11 +368,17 @@ object EntityResolution {
       .orderBy(col("type"), col("threshold"))
   }
 
-  /** Full pipeline: labels + alert links -> (clusters, best, weights). */
+  /** Full pipeline: labels + alert links -> (clusters, best, weights).
+    * `scorer = Some(model)` switches pair scoring to the learned
+    * LogisticRegression variant ([[trainPairScorer]]); the default stays
+    * the deterministic threshold path.
+    */
   def resolve(ner: DataFrame, thresholds: Map[String, Double] = Map(),
-              defaultThreshold: Double = 0.6): (DataFrame, DataFrame, DataFrame) = {
+              defaultThreshold: Double = 0.6,
+              scorer: Option[org.apache.spark.ml.classification.LogisticRegressionModel] = None)
+      : (DataFrame, DataFrame, DataFrame) = {
     val labels = ner.select(col("id"), col("label"), col("type")).distinct()
-    val clustered = cluster(labels, thresholds, defaultThreshold).cache()
+    val clustered = cluster(labels, thresholds, defaultThreshold, scorer).cache()
     val best = bestLabels(clustered)
     val weights = labelWeights(ner.select(col("alert_id"), col("id")), clustered, best)
     (clustered, best, weights)
