@@ -794,9 +794,11 @@ object GraphAlgs {
       .repartition(col("src"))
       .cache()
     // the local replay's label-identity argument needs integer-valued
-    // accumulations: gate it to unweighted inputs (unit weights sum to
-    // integers at every level); weighted graphs always run distributed
-    try louvainRep(rep0, maxLevels, maxSweeps, if (hasW) 0 else driverLimit)
+    // accumulations; louvainRep's probe verifies that property on the
+    // collected rows themselves (unit weights always qualify; integer
+    // weight columns — the reference's Q7 co-occurrence counts — do too;
+    // fractional weights fall through to the distributed loop)
+    try louvainRep(rep0, maxLevels, maxSweeps, driverLimit)
     finally rep0.unpersist(blocking = false)
   }
 
@@ -843,10 +845,17 @@ object GraphAlgs {
                          driverLimit: Int = DefaultDriverGraphLimit): DataFrame = {
     val spark = SparkSession.active
     if (driverLimit > 0) {
-      // limit-probe both fetches the representation and decides the path
+      // limit-probe both fetches the representation and decides the path.
+      // The replay additionally requires INTEGER-VALUED weights (the
+      // label-identity argument: every accumulated quantity — k, σ, w→C,
+      // m2 — must be an exactly-represented integer so neither path's
+      // summation order can round); fractional weights stay distributed.
       val probe = rep0.select(col("src"), col("dst"), col("w"))
         .limit(driverLimit + 1).collect()
-      if (probe.length <= driverLimit) {
+      val intWeights = probe.forall { r =>
+        val w = r.getDouble(2); w == math.rint(w)
+      }
+      if (probe.length <= driverLimit && intWeights) {
         import spark.implicits._
         return louvainLocal(
           probe.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))),

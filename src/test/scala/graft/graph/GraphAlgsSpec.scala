@@ -260,6 +260,33 @@ class GraphAlgsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(got(1L) == got(2L) && got(3L) == got(4L) && got(1L) != got(3L), got.toString)
   }
 
+  test("louvain: integer-weighted driver replay is label-identical to the distributed loop") {
+    import spark.implicits._
+    // integer weights qualify for the driver-local replay (every
+    // accumulated sum stays an exactly-represented integer); forcing
+    // driverLimit=0 runs the distributed loop — labels must agree exactly
+    val rnd = new scala.util.Random(99)
+    (1 to 3).foreach { round =>
+      val n = 8 + rnd.nextInt(6)
+      val pairs = (0 until 2 * n).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, (rnd.nextInt(9) + 1).toDouble)
+      }.distinct
+      val e = pairs.toDF("src", "dst", "weight")
+      val local = GraphAlgs.louvainDF(e).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = GraphAlgs.louvainDF(e, driverLimit = 0).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == dist, s"round $round: n=$n pairs=$pairs")
+    }
+    // fractional weights must NOT take the replay (no exactness argument):
+    // the result still computes, via the distributed loop
+    val frac = Seq((1L, 2L, 2.5), (2L, 3L, 0.5), (3L, 4L, 2.5))
+      .toDF("src", "dst", "weight")
+    val got = GraphAlgs.louvainDF(frac).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == got(2L) && got(3L) == got(4L) && got(1L) != got(3L), got.toString)
+  }
+
   test("triangleStats: hand-counted triangles and clustering coefficients") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles, every node in 3) + pendant 5 on node 4
