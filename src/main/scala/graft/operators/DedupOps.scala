@@ -776,5 +776,82 @@ object DedupOps {
             (len(lt) + len(rt) - len(list_intersect(lt, rt))) >= 0.5
       ORDER BY l_id, r_id"""))
 
-  val all: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10)
+  /** SemDeDup-style semantic deduplication: coarse-cluster the embedding
+    * space, then drop within-cluster cosine near-duplicates (keep the
+    * smallest vec_id of each qualifying pair). The clustering bounds the
+    * pairwise work to Σ|cluster|² instead of N² — the published recipe for
+    * embedding dedup at corpus scale, and a different scale shape from
+    * [[d04]]'s hyperplane-LSH banding (centroid cells vs random-projection
+    * buckets).
+    *
+    * Gate convention: the 16 seeded centroids of a03 (`vec_id < 16`) and
+    * the corpus's 0.35 cosine near-dup threshold (d04). In production k
+    * grows ~√N (spark.ml KMeans — see [[graft.operators.AnnOps
+    * .ivfKnnTrained]] for the trained-quantizer path), keeping expected
+    * cluster sizes bounded, and the centroid side stays broadcast by
+    * definition (k ≪ corpus). Assignment is a broadcast crossJoin + one
+    * per-vec argmax window; the pairwise stage shuffles on `c_id` only.
+    * Cosine values are bit-identical across engines (sequential-fold
+    * `vec_dot` ≡ DuckDB `list_dot_product`, the d04 argument), so the
+    * ≥-threshold boundary is exact, and the output carries no floats.
+    */
+  def semanticDedup(emb: DataFrame, kSeeds: Int = 16,
+                    tau: Double = 0.35): DataFrame = {
+    val e = emb
+      .withColumn("norm", sqrt(vecDot(col("emb"), col("emb"))))
+      .cache()
+    e.count() // single fill: seeds + assignment both read it
+    val seeds = e.filter(col("vec_id") < kSeeds)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
+        col("norm").as("c_norm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("c_id"))
+    val assign = e.crossJoin(broadcast(seeds))
+      .withColumn("sim",
+        vecDot(col("emb"), col("c_emb")) / (col("norm") * col("c_norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id"), col("emb"), col("norm"))
+      .cache() // consumed 3x: both self-join sides + the kept/dropped list
+    val drops = assign.as("a")
+      .join(assign.as("b"),
+        col("a.c_id") === col("b.c_id") && col("a.vec_id") < col("b.vec_id"))
+      .filter(vecDot(col("a.emb"), col("b.emb"))
+        / (col("a.norm") * col("b.norm")) >= tau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assign.select(col("vec_id"), col("c_id"))
+      .join(drops.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c_id"),
+        coalesce(col("hit"), lit(false)).as("dropped"))
+      .orderBy(col("vec_id"))
+  }
+
+  val d11 = QueryDef(
+    "d11_semantic_dedup",
+    "SemDeDup: 16-centroid cluster assign + within-cluster cosine drop",
+    (s, dir) => semanticDedup(Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("emb"))),
+    Some("""WITH e AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings),
+      n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS norm FROM e),
+      seeds AS (SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm
+                FROM n WHERE vec_id < 16),
+      assign AS (SELECT vec_id, c_id, emb, norm FROM (
+          SELECT v.vec_id, s.c_id, v.emb, v.norm,
+                 row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY list_dot_product(v.emb, s.c_emb) / (v.norm * s.c_norm) DESC,
+                            s.c_id) AS rn
+          FROM n v CROSS JOIN seeds s) t WHERE rn = 1),
+      drops AS (SELECT DISTINCT b.vec_id
+                FROM assign a JOIN assign b
+                  ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+                WHERE list_dot_product(a.emb, b.emb) / (a.norm * b.norm) >= 0.35)
+      SELECT a.vec_id, a.c_id,
+             (a.vec_id IN (SELECT vec_id FROM drops)) AS dropped
+      FROM assign a ORDER BY a.vec_id"""))
+
+  val all: Seq[QueryDef] =
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11)
 }

@@ -605,6 +605,106 @@ object TextOps {
              array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text
       FROM starts ORDER BY doc_id, chunk_idx"""))
 
+  /** Bigram language-model quality score — the KenLM-style perplexity
+    * filter of a training-data pipeline, reduced to its aggregation
+    * skeleton: build add-one-smoothed bigram probabilities from the corpus
+    * itself and score every document by its mean log-probability (low =
+    * unnatural token sequences → filter candidate).
+    *
+    * Scale shape: the bigram stream is collapsed to per-(doc, bigram)
+    * counts FIRST (map-side combinable groupBy), so the model tables
+    * (`cb`, `cctx`) and the probe join all run over the reduced relation,
+    * never the raw token stream; the `docBig` subplan feeding both the
+    * model build and the probe is identical, so Catalyst reuses one
+    * shuffle exchange. Vocabulary size is the only driver scalar. Hot
+    * bigrams ("of the") skew the (w1, w2) join key — that is AQE
+    * skew-join territory, not a window-over-partition buffer, which is
+    * why this is joins over aggregates rather than two count windows.
+    * Mean log-prob is ROUND(…, 6) under the t18/g04 cross-engine float
+    * convention (summation-order drift ~1e-13 ≪ 5e-7).
+    */
+  def bigramLmScores(docsDf: DataFrame): DataFrame = {
+    val toks = docsDf
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .cache() // single fill: vocab scalar + the bigram stream
+    val vocab = toks.select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w"))).head.getLong(0)
+    val docBig = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(expr(
+          "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
+            "(a, b) -> named_struct('w1', a, 'w2', b))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+    val cb = docBig.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("n")).as("cb"))
+    val cctx = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cctx"))
+    docBig.join(cb, Seq("w1", "w2")).join(cctx, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("bigint").as("n_bigrams"),
+        round(sum(col("n") * log((col("cb") + lit(1)).cast("double")
+          / (col("cctx") + lit(vocab)).cast("double")))
+          / sum(col("n")), 6).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t19 = QueryDef(
+    "t19_ngram_lm",
+    "bigram-LM quality score: add-one-smoothed mean log-prob per doc",
+    (s, dir) => bigramLmScores(docs(s, dir)),
+    Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents WHERE length(trim(text)) > 0),
+      v AS (SELECT COUNT(DISTINCT w) AS vv
+            FROM (SELECT unnest(t) AS w FROM toks) u),
+      big AS (SELECT doc_id,
+                   t[CAST(i AS INT) + 1] AS w1, t[CAST(i AS INT) + 2] AS w2
+              FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i
+                    FROM toks WHERE len(t) >= 2) x),
+      db AS (SELECT doc_id, w1, w2, COUNT(*) AS n FROM big GROUP BY 1, 2, 3),
+      cb AS (SELECT w1, w2, SUM(n) AS cb FROM db GROUP BY 1, 2),
+      cctx AS (SELECT w1, SUM(cb) AS cctx FROM cb GROUP BY 1)
+      SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+             ROUND(SUM(n * ln((cb + 1.0) / (cctx + vv))) / SUM(n), 6) AS lm_score
+      FROM db JOIN cb USING (w1, w2) JOIN cctx USING (w1) CROSS JOIN v
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Deterministic global training-order shuffle: every epoch pipeline
+    * needs a reproducible corpus permutation; the scalable form is a
+    * seeded-hash range sort (Spark's `orderBy` = range-partitioned
+    * TeraSort shape, no single-reducer window) followed by
+    * `zipWithIndex`, which assigns contiguous global positions with two
+    * narrow passes (per-partition counts, then offset add) — the standard
+    * global-index idiom that never funnels rows through one partition.
+    * Output is position-dense (0..N-1), so a downstream trainer can range
+    * on it directly.
+    */
+  def corpusShuffle(docsDf: DataFrame, seed: String = "graft42"): DataFrame = {
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    val sorted = docsDf
+      .select(col("doc_id"),
+        md5(concat_ws(":", col("doc_id"), lit(seed))).as("k"))
+      .orderBy(col("k"), col("doc_id"))
+      .select(col("doc_id"))
+    sorted.rdd.zipWithIndex
+      .map { case (r, i) => (r.getLong(0), i) }
+      .toDF("doc_id", "pos")
+      .orderBy(col("pos"))
+  }
+
+  val t20 = QueryDef(
+    "t20_corpus_shuffle",
+    "deterministic corpus shuffle: seeded md5 order + dense global position",
+    (s, dir) => corpusShuffle(docs(s, dir)),
+    Some("""SELECT doc_id,
+             CAST(row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':graft42'), doc_id) - 1
+               AS BIGINT) AS pos
+      FROM documents ORDER BY pos"""))
+
   val all: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t13, t14, t15, t17, t18)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t13, t14, t15,
+      t17, t18, t19, t20)
 }

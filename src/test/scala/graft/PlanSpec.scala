@@ -65,11 +65,12 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("no batch query plans an unbounded product join (global sweep)") {
-    // a01/a03 intentionally crossJoin a broadcast query set (their
-    // documented baseline shape — planned as BroadcastNestedLoopJoin);
-    // graph algorithms execute iterative jobs on build and streaming
-    // queries run a sink, so both are covered by their own suites
-    val skip = Set("a01_knn_cosine", "a03_ivf_knn")
+    // a01/a03/d11 intentionally crossJoin a broadcast query/centroid set
+    // (their documented baseline shape — planned as
+    // BroadcastNestedLoopJoin; the data side never shuffles); graph
+    // algorithms execute iterative jobs on build and streaming queries
+    // run a sink, so both are covered by their own suites
+    val skip = Set("a01_knn_cosine", "a03_ivf_knn", "d11_semantic_dedup")
     val sweep = graft.SparkEntry.registry.filter(q =>
       !skip(q.name) && !q.name.startsWith("g0") && !q.name.startsWith("st"))
     assert(sweep.size >= 40, s"sweep unexpectedly small: ${sweep.size}")

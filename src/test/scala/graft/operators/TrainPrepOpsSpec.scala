@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the round-9 training-prep additions: bigram-LM scoring
+  * (t19), the deterministic corpus shuffle (t20), and SemDeDup-style
+  * semantic dedup (d11) — each pinned on a hand-computed fixture.
+  */
+class TrainPrepOpsSpec extends AnyFunSuite with graft.SparkTestSession {
+
+  test("t19: add-one bigram LM matches hand-computed smoothed log-probs") {
+    import spark.implicits._
+    // vocab {a,b,c} (V=3; "c" contributes to V from a bigram-less doc),
+    // cb(a,b)=3 cb(b,a)=1, cctx(a)=3 cctx(b)=1:
+    //   p(b|a) = (3+1)/(3+3) = 2/3,  p(a|b) = (1+1)/(1+3) = 1/2
+    val docsDf = Seq(
+      (1L, "a b a b"),
+      (2L, "a b"),
+      (3L, "c"),
+      (4L, "   ")
+    ).toDF("doc_id", "text")
+    val out = TextOps.bigramLmScores(docsDf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(1L, 2L)) // no-bigram docs are not scored
+    assert(out(1L)._1 == 3L && out(2L)._1 == 1L)
+    val p_ab = math.log(2.0 / 3.0)
+    val p_ba = math.log(0.5)
+    assert(math.abs(out(1L)._2 - BigDecimal((2 * p_ab + p_ba) / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    assert(math.abs(out(2L)._2 - BigDecimal(p_ab)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+  }
+
+  test("t20: dense deterministic permutation, invariant to input partitioning") {
+    import spark.implicits._
+    val ids = (0L until 37L)
+    val docsDf = ids.map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = ids.sortBy(i => (md5hex(s"$i:graft42"), i)).zipWithIndex
+      .map { case (id, pos) => (id, pos.toLong) }
+    val got = TextOps.corpusShuffle(docsDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+    assert(got.toSeq == expected)
+    // dense 0..N-1 and stable under a different physical layout
+    assert(got.map(_._2).toSeq == (0L until 37L))
+    val rep = TextOps.corpusShuffle(docsDf.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+    assert(rep.toSeq == expected)
+  }
+
+  test("d11: cluster-bounded cosine drops keep the smallest vec_id") {
+    import spark.implicits._
+    // seeds (kSeeds=2): v0=(1,0) v1=(0,1); v2 joins cluster 0 at cos
+    // ~0.99995, v3 joins cluster 1 at cos ~0.995
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0)),
+      (1L, Seq(0.0, 1.0)),
+      (2L, Seq(1.0, 0.01)),
+      (3L, Seq(0.1, 1.0))
+    ).toDF("vec_id", "emb")
+    val out = DedupOps.semanticDedup(emb, kSeeds = 2, tau = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == Set(
+      (0L, 0L, false), (1L, 1L, false), (2L, 0L, true), (3L, 1L, true)))
+    // raising tau above both pair similarities keeps everything
+    val strict = DedupOps.semanticDedup(emb, kSeeds = 2, tau = 0.99999)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    assert(strict == Set((0L, false), (1L, false), (2L, false), (3L, false)))
+    // cross-cluster near-dups are NOT dropped (the SemDeDup approximation):
+    // v1 vs v3 land in one cluster here, but v0 vs a hypothetical cluster-1
+    // member would never pair — asserted structurally: every dropped vec
+    // shares its cluster with a smaller kept vec
+    val rows = DedupOps.semanticDedup(emb, kSeeds = 2, tau = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    rows.filter(_._3).foreach { case (v, c, _) =>
+      assert(rows.exists { case (v2, c2, d2) => c2 == c && v2 < v && !d2 })
+    }
+  }
+}
