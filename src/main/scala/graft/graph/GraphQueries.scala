@@ -503,8 +503,9 @@ object GraphQueries {
       def small(df: DataFrame): DataFrame =
         if (nNodes < 1000000L) broadcast(df) else df
 
-      // weighted Louvain: distributed-only by design (louvainDF gates the
-      // driver replay to unit weights); same level/sweep budgets as g05
+      // weighted Louvain: integer co-occurrence weights qualify for the
+      // driver replay (louvainRep probes weight integrality — exact
+      // accumulations survive contraction); same level/sweep budgets as g05
       val assign = GraphAlgs.louvainDF(wEdges, maxLevels = 2, maxSweeps = 4)
         .localCheckpoint(true)
       val cc = GraphAlgs.connectedComponentsUnd(
