@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Seeded-random parity pins for the round-9 training-prep ops: each
+  * distributed implementation is replayed by an independent plain-Scala
+  * reference on randomized inputs (the repo's Louvain/similarity-join
+  * evidence convention) so the gates' fixed fixtures aren't the only
+  * thing standing between a refactor and silent divergence.
+  */
+class TrainPrepRandomSpec extends AnyFunSuite with graft.SparkTestSession {
+
+  private val rnd = new scala.util.Random(0xC0FFEE)
+
+  test("t19 parity: bigram LM scores match a plain-Scala reference on random corpora") {
+    import spark.implicits._
+    for (trial <- 1 to 3) {
+      val vocabPool = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+      val docsLocal = (1L to 40L).map { id =>
+        val n = 1 + rnd.nextInt(12)
+        (id, Seq.fill(n)(vocabPool(rnd.nextInt(vocabPool.size))).mkString(" "))
+      }
+      val got = TextOps.bigramLmScores(docsLocal.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+
+      // reference: same add-one model in plain Scala
+      val toks = docsLocal.map { case (id, t) => id -> t.split("\\s+").toSeq }
+      val vocab = toks.flatMap(_._2).distinct.size
+      val bigrams = toks.flatMap { case (id, ws) =>
+        ws.zip(ws.drop(1)).map(p => (id, p)) }
+      val cb = bigrams.groupBy(_._2).map { case (p, xs) => p -> xs.size.toLong }
+      val cctx = bigrams.groupBy(_._2._1).map { case (w, xs) => w -> xs.size.toLong }
+      val expected = bigrams.groupBy(_._1).map { case (id, xs) =>
+        val lp = xs.map { case (_, p) =>
+          math.log((cb(p) + 1.0) / (cctx(p._1) + vocab)) }
+        id -> ((xs.size.toLong,
+          BigDecimal(lp.sum / xs.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+      assert(got.keySet == expected.keySet, s"trial $trial key sets differ")
+      expected.foreach { case (id, (n, s)) =>
+        assert(got(id)._1 == n, s"trial $trial doc $id n_bigrams")
+        assert(math.abs(got(id)._2 - s) < 1e-9, s"trial $trial doc $id score")
+      }
+    }
+  }
+
+  test("d11 parity: semantic dedup matches a plain-Scala brute force on random embeddings") {
+    import spark.implicits._
+    for (trial <- 1 to 3) {
+      val dim = 6
+      val vecs = (0L until 50L).map { id =>
+        (id, Seq.fill(dim)(rnd.nextDouble() * 2 - 1)) }
+      val kSeeds = 4
+      val tau = 0.8
+      val got = DedupOps
+        .semanticDedup(vecs.toDF("vec_id", "emb"), kSeeds = kSeeds, tau = tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+
+      def dot(a: Seq[Double], b: Seq[Double]) =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      def cos(a: Seq[Double], b: Seq[Double]) =
+        dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      val seeds = vecs.filter(_._1 < kSeeds)
+      val assign = vecs.map { case (id, v) =>
+        // argmax cosine, ties to smallest c_id (same convention)
+        val c = seeds.map { case (cid, cv) => (cid, cos(v, cv)) }
+          .minBy { case (cid, s) => (-s, cid) }._1
+        id -> c
+      }.toMap
+      val dropped = (for {
+        (a, va) <- vecs; (b, vb) <- vecs
+        if a < b && assign(a) == assign(b) && cos(va, vb) >= tau
+      } yield b).toSet
+      val expected = vecs.map { case (id, _) =>
+        (id, assign(id), dropped.contains(id)) }.toSet
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
+  test("BPE parity: local and distributed merge loops agree on random corpora") {
+    import spark.implicits._
+    for (trial <- 1 to 3) {
+      val words = Vector("ab", "abc", "bc", "aab", "ca", "cab", "abab")
+      val text = Seq.fill(30)(words(rnd.nextInt(words.size))).mkString(" ")
+      val docs = Seq((1L, text)).toDF("doc_id", "text")
+      val local = graft.text.BpeTrainer.train(docs, nMerges = 6)
+      val dist = graft.text.BpeTrainer.train(docs, nMerges = 6, driverLimit = 0)
+      assert(local == dist, s"trial $trial: $local vs $dist")
+    }
+  }
+
+  test("t20 parity: positions replay the seeded md5 order on random id sets") {
+    import spark.implicits._
+    for (trial <- 1 to 3) {
+      val ids = scala.util.Random.shuffle((0L until 500L).toList)
+        .take(100 + rnd.nextInt(200))
+      val docsDf = ids.map(i => (i, s"d$i")).toDF("doc_id", "text")
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val expected = ids.sortBy(i => (md5hex(s"$i:graft42"), i)).zipWithIndex
+        .map { case (id, p) => (id, p.toLong) }
+      val got = TextOps.corpusShuffle(docsDf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2).toList
+      assert(got == expected, s"trial $trial")
+    }
+  }
+}
