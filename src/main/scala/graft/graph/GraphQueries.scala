@@ -488,11 +488,14 @@ object GraphQueries {
       import s.implicits._
       val o = Tables.load(s, dir, "orders")
       val li = Tables.load(s, dir, "lineitem")
+      // cache the o⋈li aggregate once: louvainDF's representation build,
+      // BOTH und directions, and the invariant jobs all start from it
       val wEdges = o.join(li, col("o_orderkey") === col("l_orderkey"))
         .filter(col("l_quantity") === 1 && month(col("l_shipdate")) === 1)
         .groupBy((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
         .agg(count(lit(1)).cast("long").as("weight"))
+        .cache()
       val und = wEdges
         .union(wEdges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
         .cache()
@@ -551,7 +554,7 @@ object GraphQueries {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val ccModNum = wc * m2 - ps.getOrElse("c", 0L)
       val lvModNum = wl * m2 - ps.getOrElse("l", 0L)
-      Seq(ext, deg, und).foreach(_.unpersist(blocking = false))
+      Seq(ext, deg, und, wEdges).foreach(_.unpersist(blocking = false))
 
       val inBounds = nComms >= nComps && nComms <= nNodes
       Seq((ccModNum,

@@ -704,7 +704,58 @@ object TextOps {
                AS BIGINT) AS pos
       FROM documents ORDER BY pos"""))
 
+  /** Corpus datasheet — the per-(source, lang) report every curated
+    * training set ships with: document/token/char totals, the exact-dup
+    * rate (distinct md5 texts vs rows), and exact nearest-rank length
+    * quartiles (the e06 integer-rank convention — window sort within the
+    * group; at extreme group sizes the approx_percentile sketch is the
+    * substitute, as e07 is for countDistinct). One narrow feature pass,
+    * one window sort, one group aggregate.
+    */
+  val t21 = QueryDef(
+    "t21_corpus_profile",
+    "per-(source,lang) datasheet: docs, tokens, chars, unique texts, length quartiles",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"), col("lang"))
+      val base = docs(s, dir).filter(length(trim(col("text"))) > 0)
+        .select(col("source"), col("lang"), col("doc_id"),
+          length(col("text")).cast("bigint").as("nc"),
+          size(split(trim(col("text")), "\\s+")).cast("bigint").as("nw"),
+          md5(col("text").cast("binary")).as("h"))
+      val ranked = base
+        .withColumn("rk", row_number().over(w.orderBy(col("nc"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(w))
+      def pick(p: Int) =
+        max(when(col("rk") === expr(s"(n * $p + 99) DIV 100"), col("nc")))
+      ranked.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw")).cast("bigint").as("n_tokens"),
+          sum(col("nc")).cast("bigint").as("n_chars"),
+          countDistinct(col("h")).as("n_unique_texts"),
+          pick(25).as("len_p25"), pick(50).as("len_p50"),
+          pick(75).as("len_p75"))
+        .orderBy(col("source"), col("lang"))
+    },
+    Some("""WITH b AS (SELECT source, lang, doc_id,
+              CAST(length(text) AS BIGINT) AS nc,
+              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nw,
+              md5(text) AS h
+            FROM documents WHERE length(trim(text)) > 0),
+      r AS (SELECT *,
+              row_number() OVER (PARTITION BY source, lang ORDER BY nc, doc_id) AS rk,
+              COUNT(*) OVER (PARTITION BY source, lang) AS n
+            FROM b)
+      SELECT source, lang, COUNT(*) AS n_docs,
+             CAST(SUM(nw) AS BIGINT) AS n_tokens,
+             CAST(SUM(nc) AS BIGINT) AS n_chars,
+             COUNT(DISTINCT h) AS n_unique_texts,
+             MAX(CASE WHEN rk = (n * 25 + 99) // 100 THEN nc END) AS len_p25,
+             MAX(CASE WHEN rk = (n * 50 + 99) // 100 THEN nc END) AS len_p50,
+             MAX(CASE WHEN rk = (n * 75 + 99) // 100 THEN nc END) AS len_p75
+      FROM r GROUP BY source, lang ORDER BY source, lang"""))
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t13, t14, t15,
-      t17, t18, t19, t20)
+      t17, t18, t19, t20, t21)
 }
