@@ -755,7 +755,44 @@ object TextOps {
              MAX(CASE WHEN rk = (n * 75 + 99) // 100 THEN nc END) AS len_p75
       FROM r GROUP BY source, lang ORDER BY source, lang"""))
 
+  /** Token-budget mixture sampling — the complement of t17's rate-based
+    * mixing: each source contributes documents in seeded-md5 order until
+    * a per-source TOKEN budget fills (how real mixtures are specified:
+    * "N tokens of source X", not "p% of rows"). The running-total window
+    * is one sort per source partition; the md5 order makes the kept set
+    * independent of physical layout, and the inclusive cumulative-sum
+    * cutoff admits the document that exactly reaches the budget but not
+    * the one that overflows it.
+    */
+  val t22 = QueryDef(
+    "t22_token_budget_sample",
+    "per-source token-budget sample: seeded-md5 doc order, cumulative cutoff",
+    (s, dir) => {
+      val budget = 1000L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("k"), col("doc_id"))
+      docs(s, dir).filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens"),
+          md5(concat_ws(":", col("doc_id"), lit("budget42"))).as("k"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= budget)
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("source"), col("cum_tokens"))
+    },
+    Some("""WITH b AS (SELECT doc_id, source,
+              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+              md5(CAST(doc_id AS VARCHAR) || ':budget42') AS k
+            FROM documents WHERE length(trim(text)) > 0),
+      c AS (SELECT source, doc_id, n_tokens,
+              CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id)
+                AS BIGINT) AS cum_tokens
+            FROM b)
+      SELECT source, doc_id, n_tokens, cum_tokens
+      FROM c WHERE cum_tokens <= 1000
+      ORDER BY source, cum_tokens"""))
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t13, t14, t15,
-      t17, t18, t19, t20, t21)
+      t17, t18, t19, t20, t21, t22)
 }
