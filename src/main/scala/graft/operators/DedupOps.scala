@@ -795,18 +795,16 @@ object DedupOps {
     * `vec_dot` ≡ DuckDB `list_dot_product`, the d04 argument), so the
     * ≥-threshold boundary is exact, and the output carries no floats.
     */
-  def semanticDedup(emb: DataFrame, kSeeds: Int = 16,
-                    tau: Double = 0.35): DataFrame = {
-    val e = emb
-      .withColumn("norm", sqrt(vecDot(col("emb"), col("emb"))))
-      .cache()
-    e.count() // single fill: seeds + assignment both read it
-    val seeds = e.filter(col("vec_id") < kSeeds)
-      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
-        col("norm").as("c_norm"))
+  /** Shared SemDeDup core: assign every vector to its nearest centroid in
+    * `cents` (`c_id, c_emb, c_norm` — broadcast, k ≪ corpus by
+    * definition), then drop the larger vec_id of every within-cluster
+    * pair at or above `tau` cosine.
+    */
+  private def semanticDedupCore(e: DataFrame, cents: DataFrame,
+                                tau: Double): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("c_id"))
-    val assign = e.crossJoin(broadcast(seeds))
+    val assign = e.crossJoin(broadcast(cents))
       .withColumn("sim",
         vecDot(col("emb"), col("c_emb")) / (col("norm") * col("c_norm")))
       .withColumn("rn", row_number().over(w))
@@ -824,6 +822,36 @@ object DedupOps {
       .select(col("vec_id"), col("c_id"),
         coalesce(col("hit"), lit(false)).as("dropped"))
       .orderBy(col("vec_id"))
+  }
+
+  def semanticDedup(emb: DataFrame, kSeeds: Int = 16,
+                    tau: Double = 0.35): DataFrame = {
+    val e = emb
+      .withColumn("norm", sqrt(vecDot(col("emb"), col("emb"))))
+      .cache()
+    e.count() // single fill: seeds + assignment both read it
+    val seeds = e.filter(col("vec_id") < kSeeds)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
+        col("norm").as("c_norm"))
+    semanticDedupCore(e, seeds, tau)
+  }
+
+  /** The production quantizer path: Lloyd-trained centroids
+    * ([[AnnOps.kmeansCentroids]], the ivfKnnTrained convention) replace
+    * the seed convention — in a real corpus k grows ~√N and training
+    * places cells where the density is, keeping within-cluster pair
+    * counts bounded. Same core, same output contract; centroids
+    * materialize once (k rows) so the Lloyd lineage never replays.
+    */
+  def semanticDedupTrained(emb: DataFrame, k: Int = 16, iters: Int = 2,
+                           tau: Double = 0.35): DataFrame = {
+    val e = emb
+      .withColumn("norm", sqrt(vecDot(col("emb"), col("emb"))))
+      .cache()
+    e.count()
+    val cents = AnnOps.kmeansCentroids(e, k, iters).cache()
+    cents.count()
+    semanticDedupCore(e, cents, tau)
   }
 
   val d11 = QueryDef(

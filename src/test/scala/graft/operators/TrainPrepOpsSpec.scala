@@ -78,4 +78,26 @@ class TrainPrepOpsSpec extends AnyFunSuite with graft.SparkTestSession {
       assert(rows.exists { case (v2, c2, d2) => c2 == c && v2 < v && !d2 })
     }
   }
+
+  test("d11 trained path: Lloyd centroids preserve the drop set on separated clusters") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0)),
+      (1L, Seq(0.0, 1.0)),
+      (2L, Seq(1.0, 0.01)),
+      (3L, Seq(0.1, 1.0))
+    ).toDF("vec_id", "emb")
+    // two well-separated groups: training moves the 2 centroids to the
+    // group means, assignments and therefore drops match the seeded path
+    val trained = DedupOps.semanticDedupTrained(emb, k = 2, iters = 2, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    assert(trained == Set((0L, false), (1L, false), (2L, true), (3L, true)))
+    // structural contract holds regardless of where centroids land:
+    // every dropped vec shares a cluster with a smaller kept vec
+    val rows = DedupOps.semanticDedupTrained(emb, k = 2, iters = 1, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    rows.filter(_._3).foreach { case (v, c, _) =>
+      assert(rows.exists { case (v2, c2, d2) => c2 == c && v2 < v && !d2 })
+    }
+  }
 }
