@@ -547,3 +547,109 @@ case class AsciiFold(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** `bpe_encode(word, merges) -> array<string>`: canonical BPE encode of
+  * one pre-tokenized word against a LITERAL merge table (elements
+  * `"a b"`, rank = array position; `"</w>"` is appended as the
+  * end-of-word symbol, matching `graft.text.BpeTrainer.Eow`).
+  *
+  * This replaces the k-deep chained-`regexp_replace` application form:
+  * ONE codegen'd call per word whose cost is O(word · merges-applied),
+  * independent of table size — the shape that still works at a real
+  * ~30k-merge vocabulary, where a 30k-deep expression tree would break
+  * codegen outright and pay 30k regex passes per word.
+  *
+  * Algorithm: repeatedly merge the lowest-RANKED adjacent pair (all its
+  * leftmost-non-overlapping occurrences per round) until no adjacent
+  * pair is ranked — the published apply order. For tables produced by
+  * `BpeTrainer.train` this is identical to sequentially applying each
+  * merge once in rank order (a training table only ranks pairs whose
+  * component symbols exist before it), which BpeTrainerSpec pins
+  * differentially against the regexp fold. Codepoint-safe segmentation
+  * (a surrogate pair is one base symbol, the t18 convention).
+  */
+case class BpeEncode(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string word, got ${left.dataType.catalogString}")
+    else if (!right.dataType.isInstanceOf[ArrayType] ||
+      right.dataType.asInstanceOf[ArrayType].elementType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<string> merge table, got ${right.dataType.catalogString}")
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a foldable (literal) merge table")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    val m = new java.util.HashMap[String, Integer](arr.numElements() * 2)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) m.putIfAbsent(arr.getUTF8String(i).toString, i)
+      i += 1
+    }
+    m
+  }
+
+  /** Codegen/interpreted shared encode; referenced via `addReferenceObj`
+    * so the rank map lives in the generated class, built once.
+    */
+  def encode(w: UTF8String): ArrayData = {
+    val s = w.toString
+    var syms = new java.util.ArrayList[String](s.length + 1)
+    var i = 0
+    while (i < s.length) {
+      val n = Character.charCount(s.codePointAt(i))
+      syms.add(s.substring(i, i + n))
+      i += n
+    }
+    syms.add("</w>")
+    var done = false
+    while (!done && syms.size > 1) {
+      var best = -1
+      var bestRank = Integer.MAX_VALUE
+      var j = 0
+      while (j < syms.size - 1) {
+        val r = ranks.get(syms.get(j) + " " + syms.get(j + 1))
+        if (r != null && r < bestRank) { bestRank = r; best = j }
+        j += 1
+      }
+      if (best < 0) done = true
+      else {
+        val a = syms.get(best)
+        val b = syms.get(best + 1)
+        val out = new java.util.ArrayList[String](syms.size)
+        var k = 0
+        while (k < syms.size) {
+          if (k < syms.size - 1 && syms.get(k) == a && syms.get(k + 1) == b) {
+            out.add(a + b); k += 2 // leftmost, non-overlapping
+          } else { out.add(syms.get(k)); k += 1 }
+        }
+        syms = out
+      }
+    }
+    val res = new Array[Any](syms.size)
+    var t = 0
+    while (t < syms.size) { res(t) = UTF8String.fromString(syms.get(t)); t += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(res)
+  }
+
+  override def nullSafeEval(w: Any, _m: Any): Any =
+    encode(w.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncode", this, classOf[BpeEncode].getName)
+    nullSafeCodeGen(ctx, ev, (w, _) => s"${ev.value} = $ref.encode($w);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

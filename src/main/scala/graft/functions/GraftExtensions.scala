@@ -43,7 +43,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => MinhashSig(args.head)),
     (FunctionIdentifier("stopword_cascade"),
       new ExpressionInfo(classOf[StopwordCascade].getName, "stopword_cascade"),
-      (args: Seq[Expression]) => StopwordCascade(args(0), args(1))))
+      (args: Seq[Expression]) => StopwordCascade(args(0), args(1))),
+    (FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+      (args: Seq[Expression]) => BpeEncode(args(0), args(1))))
 
   /** Idempotent registration into an existing session: SQL functions into
     * the registry, [[VecDotRewrite]] into the experimental optimizer batch
@@ -103,6 +106,20 @@ object GraftFunctions {
     call_function("stopword_cascade", c,
       org.apache.spark.sql.functions.array(
         words.map(org.apache.spark.sql.functions.lit): _*))
+  }
+
+  /** Canonical BPE encode of a word column against a literal merge table
+    * (see [[BpeEncode]]); an empty table yields chars + the EOW symbol.
+    */
+  def bpeEncode(word: Column, merges: Seq[(String, String)]): Column = {
+    ensureRegistered()
+    val tbl =
+      if (merges.isEmpty)
+        org.apache.spark.sql.functions.typedlit(Seq.empty[String])
+      else org.apache.spark.sql.functions.array(
+        merges.map { case (a, b) =>
+          org.apache.spark.sql.functions.lit(a + " " + b) }: _*)
+    call_function("bpe_encode", word, tbl)
   }
 
   /** Probe a serialized sketch BloomFilter with a pre-hashed long column

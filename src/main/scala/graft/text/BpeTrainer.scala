@@ -153,10 +153,24 @@ object BpeTrainer {
     "(?<=^|\\s)" + Pattern.quote(a) + " " + Pattern.quote(b) + "(?=\\s|$)"
 
   /** Apply a learned merge table to a column of words: `(w, toks)`.
-    * Pure projection — `merges.length` chained regexp_replace literals,
-    * no shuffle; at corpus scale this streams at scan speed.
+    * Pure projection, no shuffle — ONE codegen'd [[graft.functions
+    * .BpeEncode]] call per word (canonical lowest-rank apply order,
+    * O(word · merges-applied) regardless of table size), so a real
+    * ~30k-merge table costs the same plan as a 5-merge one. The chained
+    * regexp form it replaced ([[encodeWordsFold]]) is kept for the
+    * differential spec: on tables produced by [[train]] the two orders
+    * are provably identical.
     */
-  def encodeWords(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+  def encodeWords(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    words.withColumn("toks",
+      graft.functions.GraftFunctions.bpeEncode(col("w"), merges))
+
+  /** The sequential-application form: `merges.length` chained
+    * regexp_replace literals — fine for small tables, pedagogically the
+    * training order, and the differential pin for [[encodeWords]].
+    */
+  private[text] def encodeWordsFold(words: DataFrame,
+                                    merges: Seq[(String, String)]): DataFrame = {
     val base = concat(array_join(split(col("w"), ""), " "), lit(" " + Eow))
     val mergedSyms = merges.foldLeft(base) { case (c, (a, b)) =>
       regexp_replace(c, lit(mergePattern(a, b)),

@@ -61,4 +61,40 @@ class BpeTrainerSpec extends AnyFunSuite with graft.SparkTestSession {
     val merges = BpeTrainer.train(docs, nMerges = 10)
     assert(merges == Seq(("a", "</w>")))
   }
+
+  test("bpe_encode expression matches the sequential regexp fold on trained tables") {
+    import spark.implicits._
+    // for tables produced by train(), canonical lowest-rank apply order
+    // == sequential rank-order application — pin it differentially on
+    // randomized words over the trained alphabet
+    // words come from the pre-tokenizer, so they never contain whitespace
+    val rnd = new scala.util.Random(0xBEEF)
+    val words = (Seq("low", "lowest", "newest", "widest", "wider", "es") ++
+      (1 to 40).map(_ => (1 to (1 + rnd.nextInt(9)))
+        .map(_ => "lownestwidr".charAt(rnd.nextInt(11))).mkString)
+      ).distinct
+    val df = words.toDF("w")
+    val fast = BpeTrainer.encodeWords(df, expected).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val fold = BpeTrainer.encodeWordsFold(df, expected).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(fast == fold)
+  }
+
+  test("bpe_encode with an empty table yields chars + EOW; stays in codegen") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import spark.implicits._
+    val out = BpeTrainer.encodeWords(Seq("ab").toDF("w"), Nil).collect()
+    assert(out(0).getSeq[String](1) == Seq("a", "b", "</w>"))
+    // non-foldable input (range, not a local relation) so the projection
+    // can't constant-fold away — the expression must stay in codegen
+    val df = spark.range(2)
+      .select(graft.functions.GraftFunctions
+        .bpeEncode(concat(lit("lowest"), col("id").cast("string")), expected)
+        .as("toks"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      plan.take(1500))
+  }
 }
