@@ -169,8 +169,8 @@ object BpeTrainer {
     * regexp_replace literals — fine for small tables, pedagogically the
     * training order, and the differential pin for [[encodeWords]].
     */
-  private[text] def encodeWordsFold(words: DataFrame,
-                                    merges: Seq[(String, String)]): DataFrame = {
+  private[graft] def encodeWordsFold(words: DataFrame,
+                                     merges: Seq[(String, String)]): DataFrame = {
     val base = concat(array_join(split(col("w"), ""), " "), lit(" " + Eow))
     val mergedSyms = merges.foldLeft(base) { case (c, (a, b)) =>
       regexp_replace(c, lit(mergePattern(a, b)),
