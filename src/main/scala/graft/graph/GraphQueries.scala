@@ -499,10 +499,14 @@ object GraphQueries {
       val und = wEdges
         .union(wEdges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
         .cache()
-      val m2 = und.agg(coalesce(sum(col("weight")), lit(0L))).head().getLong(0)
       val deg = und.groupBy(col("src").as("node_id"))
         .agg(sum(col("weight")).as("deg")).cache()
-      val nNodes = deg.count()
+      // one fused scalar job: node count + 2m (= Σ deg, since every und
+      // edge contributes its weight to exactly one src degree)
+      val dstat = deg.agg(count(lit(1)),
+        coalesce(sum(col("deg")), lit(0L))).head()
+      val nNodes = dstat.getLong(0)
+      val m2 = dstat.getLong(1)
       def small(df: DataFrame): DataFrame =
         if (nNodes < 1000000L) broadcast(df) else df
 
