@@ -755,6 +755,61 @@ object TextOps {
              MAX(CASE WHEN rk = (n * 75 + 99) // 100 THEN nc END) AS len_p75
       FROM r GROUP BY source, lang ORDER BY source, lang"""))
 
+  /** Scalable twin of t22's window form: at 100 TB a handful of sources
+    * means a handful of ENORMOUS window partitions — a per-source
+    * single-reducer sort. This form range-partitions on (source, k) so
+    * each source's seeded order spans MANY partitions, then computes the
+    * running token sum in two passes (per-(partition, source) subtotals →
+    * driver prefix over the partition order → per-partition offset add) —
+    * the zipWithIndex global-index idiom generalized to prefix SUMS.
+    * Driver traffic is bounded by partitions × sources, never rows.
+    * Row-identical to the window form (TrainPrepOpsSpec parity pin);
+    * the gate keeps the declarative window shape the oracle mirrors.
+    */
+  def tokenBudgetSample(docsDf: DataFrame, budget: Long,
+                        seed: String = "budget42"): DataFrame = {
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = docsDf.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        md5(concat_ws(":", col("doc_id"), lit(seed))).as("k"))
+      .as[(Long, String, Long, String)]
+      .repartitionByRange(parts, col("source"), col("k"), col("doc_id"))
+      .sortWithinPartitions(col("source"), col("k"), col("doc_id"))
+      .cache() // two passes: subtotals, then the offset-adjusted scan
+    val partSums = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val sums = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { case (_, src, nt, _) =>
+        sums.update(src, sums.getOrElse(src, 0L) + nt)
+      }
+      Iterator.single((pid, sums.toSeq))
+    }.collect().sortBy(_._1)
+    val offsets: Map[(Int, String), Long] = {
+      val running = scala.collection.mutable.HashMap.empty[String, Long]
+      val b = Map.newBuilder[(Int, String), Long]
+      partSums.foreach { case (pid, sums) =>
+        sums.foreach { case (src, s) =>
+          b += ((pid, src) -> running.getOrElse(src, 0L))
+          running.update(src, running.getOrElse(src, 0L) + s)
+        }
+      }
+      b.result()
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val run = scala.collection.mutable.HashMap.empty[String, Long]
+      it.flatMap { case (id, src, nt, _) =>
+        val cur = run.getOrElse(src,
+          bc.value.getOrElse((pid, src), 0L)) + nt
+        run.update(src, cur)
+        if (cur <= budget) Some((src, id, nt, cur)) else None
+      }
+    }.toDF("source", "doc_id", "n_tokens", "cum_tokens")
+    out.orderBy(col("source"), col("cum_tokens"))
+  }
+
   /** Token-budget mixture sampling — the complement of t17's rate-based
     * mixing: each source contributes documents in seeded-md5 order until
     * a per-source TOKEN budget fills (how real mixtures are specified:
@@ -762,7 +817,9 @@ object TextOps {
     * is one sort per source partition; the md5 order makes the kept set
     * independent of physical layout, and the inclusive cumulative-sum
     * cutoff admits the document that exactly reaches the budget but not
-    * the one that overflows it.
+    * the one that overflows it. At corpus scale the per-source window
+    * partition becomes the bottleneck — [[tokenBudgetSample]] is the
+    * row-identical two-pass range-partitioned form.
     */
   val t22 = QueryDef(
     "t22_token_budget_sample",

@@ -92,6 +92,40 @@ class TrainPrepRandomSpec extends AnyFunSuite with graft.SparkTestSession {
     }
   }
 
+  test("t22 parity: the two-pass range-partitioned form matches the window form") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    for (trial <- 1 to 3) {
+      val docsLocal = (0L until 120L).map { id =>
+        val src = s"s${id % 5}"
+        (id, src, Seq.fill(1 + rnd.nextInt(20))("w").mkString(" "))
+      }
+      // scramble physical layout: the scalable form must not depend on it
+      val docsDf = scala.util.Random.shuffle(docsLocal)
+        .toDF("doc_id", "source", "text").repartition(7)
+      val budget = 40L + rnd.nextInt(60)
+      val viaWindow = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("k"), col("doc_id"))
+        docsDf.filter(org.apache.spark.sql.functions.length(trim(col("text"))) > 0)
+          .select(col("doc_id"), col("source"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+            md5(concat_ws(":", col("doc_id"), lit("budget42"))).as("k"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .filter(col("cum_tokens") <= budget)
+          .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+      }
+      val viaTwoPass = TextOps.tokenBudgetSample(docsDf, budget).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(viaTwoPass == viaWindow, s"trial $trial (budget $budget)")
+      assert(viaTwoPass.nonEmpty)
+    }
+  }
+
   test("t20 parity: positions replay the seeded md5 order on random id sets") {
     import spark.implicits._
     for (trial <- 1 to 3) {
