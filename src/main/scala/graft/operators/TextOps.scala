@@ -712,6 +712,32 @@ object TextOps {
     * substitute, as e07 is for countDistinct). One narrow feature pass,
     * one window sort, one group aggregate.
     */
+  /** Scale path for the t21 datasheet: ONE shuffle-scalable groupBy pass —
+    * `approx_percentile` (GK sketch, mergeable map-side state) replaces
+    * the exact nearest-rank window and `approx_count_distinct` (HLL++)
+    * replaces the exact distinct-hash count, exactly as e07 stands beside
+    * e06. No per-group window sort anywhere, so a source×lang group with
+    * billions of rows costs the same plan as a small one. At gate-sized
+    * groups the sketches recover the exact answers (pinned in
+    * TrainPrepOpsSpec against the window form).
+    */
+  def corpusProfileApprox(docsDf: DataFrame,
+                          accuracy: Int = 10000): DataFrame =
+    docsDf.filter(length(trim(col("text"))) > 0)
+      .select(col("source"), col("lang"),
+        length(col("text")).cast("bigint").as("nc"),
+        size(split(trim(col("text")), "\\s+")).cast("bigint").as("nw"),
+        md5(col("text").cast("binary")).as("h"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).cast("bigint").as("n_tokens"),
+        sum(col("nc")).cast("bigint").as("n_chars"),
+        approx_count_distinct(col("h")).as("n_unique_texts"),
+        expr(s"approx_percentile(nc, 0.25, $accuracy)").as("len_p25"),
+        expr(s"approx_percentile(nc, 0.50, $accuracy)").as("len_p50"),
+        expr(s"approx_percentile(nc, 0.75, $accuracy)").as("len_p75"))
+      .orderBy(col("source"), col("lang"))
+
   val t21 = QueryDef(
     "t21_corpus_profile",
     "per-(source,lang) datasheet: docs, tokens, chars, unique texts, length quartiles",

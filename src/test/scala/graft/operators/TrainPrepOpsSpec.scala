@@ -79,6 +79,52 @@ class TrainPrepOpsSpec extends AnyFunSuite with graft.SparkTestSession {
     }
   }
 
+  test("t21 approx twin: totals exact, sketch quartiles honest at gate-sized groups") {
+    import org.apache.spark.sql.functions.{col, length => slen}
+    import spark.implicits._
+    // 2 sources x 2 langs, odd group sizes so the median rank is unambiguous
+    val docsDf = (0 until 84).map { i =>
+      (i.toLong, s"s${i % 2}", s"l${i % 2}${i % 4 / 2}",
+        ("tok " * (1 + i % 21)).trim)
+    }.toDF("doc_id", "source", "lang", "text")
+    val approx = TextOps.corpusProfileApprox(docsDf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // window-form equivalent on the in-memory fixture (same expressions
+    // as the t21 gate, which reads from parquet)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("lang"))
+    import org.apache.spark.sql.functions._
+    val exactRows = docsDf.filter(slen(trim(col("text"))) > 0)
+      .select(col("source"), col("lang"), col("doc_id"),
+        slen(col("text")).cast("bigint").as("nc"),
+        size(split(trim(col("text")), "\\s+")).cast("bigint").as("nw"),
+        md5(col("text").cast("binary")).as("h"))
+      .withColumn("rk", row_number().over(w.orderBy(col("nc"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).cast("bigint").as("n_tokens"),
+        sum(col("nc")).cast("bigint").as("n_chars"),
+        countDistinct(col("h")).as("n_unique_texts"),
+        max(when(col("rk") === expr("(n * 50 + 99) DIV 100"), col("nc"))).as("len_p50"),
+        min(col("nc")).as("lo"), max(col("nc")).as("hi"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(approx.keySet == exactRows.keySet)
+    exactRows.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(a.getLong(2) == e.getLong(2) && a.getLong(3) == e.getLong(3) &&
+        a.getLong(4) == e.getLong(4), s"$k totals differ") // docs/tokens/chars exact
+      // HLL within the e07 5% bar
+      assert(math.abs(a.getLong(5) - e.getLong(5)).toDouble <=
+        0.05 * e.getLong(5) + 1, s"$k n_unique")
+      // sketch quartiles: inside the group's range, monotone, median
+      // within one 'tok ' step of the exact nearest-rank median
+      val (p25, p50, p75) = (a.getLong(6), a.getLong(7), a.getLong(8))
+      assert(p25 >= e.getLong(7) && p75 <= e.getLong(8) && p25 <= p50 && p50 <= p75, s"$k order")
+      assert(math.abs(p50 - e.getLong(6)) <= 4, s"$k median $p50 vs ${e.getLong(6)}")
+    }
+  }
+
   test("d11 trained path: Lloyd centroids preserve the drop set on separated clusters") {
     import spark.implicits._
     val emb = Seq(
