@@ -442,5 +442,82 @@ object AnnOps {
         FROM e ORDER BY vec_id"""
     })
 
-  val all: Seq[QueryDef] = Seq(a01, a02, a03, a04, a05)
+  /** Product quantization + asymmetric distance (ADC) top-k — the
+    * billion-scale MEMORY path the IVF/LSH gates don't cover: each
+    * 64-dim vector compresses to eight 4-bit codes (one argmin per 8-dim
+    * subspace against a 16-entry codebook), and queries score candidates
+    * WITHOUT decompressing — the score is a sum of 8 codebook dot
+    * products selected by code. This is how an embedding store shrinks
+    * ~64× to fit hot memory at corpus scale; production pairs it with
+    * the a03 IVF cells (IVF-PQ) so ADC only runs inside probed cells.
+    *
+    * Gate conventions: codebook = subvectors of the a03 seeds
+    * (`vec_id < 16`), encode ties to the smallest code, queries are
+    * `vec_id < 5` scored against the `≥ 5` corpus. Every distance/dot is
+    * a bit-exact `vec_dot` fold; the 8-term ADC sum is aggregation-
+    * ordered so it lands under ROUND(…, 6) (the t18/g04 float
+    * convention) before the rank window, whose tie-break is vec_id.
+    */
+  val a06 = QueryDef(
+    "a06_pq_adc",
+    "product-quantization ADC top-k (8x8-dim subspaces, 16 seeded codes)",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x AS double))").as("emb"))
+      val subs = e
+        .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("s"),
+          col("emb"))
+        .select(col("vec_id"), col("s"),
+          expr("slice(emb, s * 8 + 1, 8)").as("xs"))
+      val cb = subs.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("j"), col("s"), col("xs").as("cs"))
+      val enc = subs.filter(col("vec_id") >= 5)
+        .join(broadcast(cb), Seq("s"))
+        .withColumn("d2",
+          vecDot(col("xs"), col("xs")) - lit(2) * vecDot(col("xs"), col("cs"))
+            + vecDot(col("cs"), col("cs")))
+        .withColumn("rn", row_number().over(Window
+          .partitionBy(col("vec_id"), col("s")).orderBy(col("d2"), col("j"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("s"), col("cs"))
+      val q = subs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("s"), col("xs").as("qs"))
+      val scored = enc.join(broadcast(q), Seq("s"))
+        .withColumn("term", vecDot(col("qs"), col("cs")))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(round(sum(col("term")), 6).as("adc"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("vec_id"), col("rank"), col("adc"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""WITH e AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings),
+      g AS (SELECT CAST(unnest(range(8)) AS INT) AS s),
+      subs AS (SELECT vec_id, s, emb[s*8+1 : s*8+8] AS xs FROM e CROSS JOIN g),
+      cb AS (SELECT vec_id AS j, s, xs AS cs FROM subs WHERE vec_id < 16),
+      enc AS (SELECT vec_id, s, cs FROM (
+          SELECT sub.vec_id, sub.s, c.cs,
+                 row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                   ORDER BY list_dot_product(sub.xs, sub.xs)
+                            - 2 * list_dot_product(sub.xs, c.cs)
+                            + list_dot_product(c.cs, c.cs), c.j) AS rn
+          FROM subs sub JOIN cb c ON sub.s = c.s
+          WHERE sub.vec_id >= 5) t WHERE rn = 1),
+      q AS (SELECT vec_id AS q_id, s, xs AS qs FROM subs WHERE vec_id < 5),
+      sc AS (SELECT q.q_id, enc.vec_id,
+               ROUND(SUM(list_dot_product(q.qs, enc.cs)), 6) AS adc
+             FROM enc JOIN q ON enc.s = q.s
+             GROUP BY q.q_id, enc.vec_id)
+      SELECT q_id, vec_id, rank, adc FROM (
+        SELECT q_id, vec_id, adc,
+               row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, vec_id) AS rank
+        FROM sc) t
+      WHERE rank <= 10 ORDER BY q_id, rank"""))
+
+  val all: Seq[QueryDef] = Seq(a01, a02, a03, a04, a05, a06)
 }
