@@ -519,5 +519,83 @@ object AnnOps {
         FROM sc) t
       WHERE rank <= 10 ORDER BY q_id, rank"""))
 
+  /** Per-subspace L2 Lloyd refinement of the PQ codebooks — the trained
+    * counterpart to a06's seed convention, exactly as [[kmeansCentroids]]
+    * stands beside a03 (but under PQ's metric: codebooks minimize
+    * EUCLIDEAN subspace distortion, so assignment is argmin d², update is
+    * the per-(code, dim) mean). `subs` carries `(vec_id, s, xs)`; returns
+    * `(s, j, cs)`. Deterministic structure: seeded start, fixed iteration
+    * count, smallest-code tie-break; empty cells keep their previous
+    * centroid (same migration argument as the cosine trainer).
+    */
+  def pqCodebooks(subs: DataFrame, k: Int = 16, iters: Int = 2): DataFrame = {
+    var cb = subs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("j"), col("s"), col("xs").as("cs"))
+    var i = 0
+    while (i < iters) {
+      val assign = subs.join(broadcast(cb), Seq("s"))
+        .withColumn("d2",
+          vecDot(col("xs"), col("xs")) - lit(2) * vecDot(col("xs"), col("cs"))
+            + vecDot(col("cs"), col("cs")))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(max_by(struct(col("j"), col("xs")),
+          struct(-col("d2"), -col("j"))).as("a"))
+        .select(col("s"), col("a.j").as("j"), col("a.xs").as("xs"))
+      val trained = assign
+        .select(col("s"), col("j"), posexplode(col("xs")).as(Seq("pos", "v")))
+        .groupBy(col("s"), col("j"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("s"), col("j"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("s"), col("j"), expr("transform(pm, x -> x.m)").as("cs"))
+      // empty cells (no vectors assigned) keep their previous centroid
+      cb = cb.select(col("s"), col("j"), col("cs").as("prev"))
+        .join(trained, Seq("s", "j"), "left")
+        .select(col("s"), col("j"), coalesce(col("cs"), col("prev")).as("cs"))
+      i += 1
+    }
+    cb.select(col("j"), col("s"), col("cs"))
+  }
+
+  /** a06's search with trained codebooks: [[pqCodebooks]] replaces the
+    * seeded table, everything downstream identical. Recall lift pinned
+    * in AnnRecallSpec.
+    */
+  def pqAdcTrained(s: SparkSession, dir: String, k: Int = 16,
+                   iters: Int = 2, topK: Int = 10): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("emb"))
+    val subs = e
+      .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("s"),
+        col("emb"))
+      .select(col("vec_id"), col("s"),
+        expr("slice(emb, s * 8 + 1, 8)").as("xs"))
+      .cache()
+    subs.count() // single fill: codebook training + encode + queries
+    val cb = pqCodebooks(subs, k).cache()
+    cb.count() // materialize: ADC references it twice per downstream use
+    val enc = subs.filter(col("vec_id") >= 5)
+      .join(broadcast(cb), Seq("s"))
+      .withColumn("d2",
+        vecDot(col("xs"), col("xs")) - lit(2) * vecDot(col("xs"), col("cs"))
+          + vecDot(col("cs"), col("cs")))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("vec_id"), col("s")).orderBy(col("d2"), col("j"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("cs"))
+    val q = subs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("s"), col("xs").as("qs"))
+    val scored = enc.join(broadcast(q), Seq("s"))
+      .withColumn("term", vecDot(col("qs"), col("cs")))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(round(sum(col("term")), 6).as("adc"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("adc"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(a01, a02, a03, a04, a05, a06)
 }

@@ -79,6 +79,39 @@ class AnnRecallSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(mn >= 0.05, s"PQ-ADC min per-query recall@10 = $mn")
   }
 
+  test("pqCodebooks: L2 Lloyd cuts subspace distortion and holds the recall floor") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.vecDot
+    // on this synthetic corpus training buys DISTORTION (measured 0.094
+    // -> 0.072, -24%, every entry moves), not recall (0.36 at every iter
+    // count — the residual quantization error is isotropic w.r.t. the
+    // cosine ranking) — the same parity-not-lift shape ivfKnnTrained
+    // pins for the IVF quantizer. The floors pin both facts.
+    val e = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("emb"))
+    val subs = e.select(col("vec_id"),
+        explode(sequence(lit(0), lit(7))).as("s"), col("emb"))
+      .select(col("vec_id"), col("s"),
+        expr("slice(emb, s * 8 + 1, 8)").as("xs")).cache()
+    subs.count()
+    val seeded = subs.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("j"), col("s"), col("xs").as("cs"))
+    val trained = AnnOps.pqCodebooks(subs, 16, 2)
+    def distortion(cb: org.apache.spark.sql.DataFrame): Double =
+      subs.join(broadcast(cb), Seq("s"))
+        .withColumn("d2", vecDot(col("xs"), col("xs"))
+          - lit(2) * vecDot(col("xs"), col("cs"))
+          + vecDot(col("cs"), col("cs")))
+        .groupBy(col("vec_id"), col("s")).agg(min(col("d2")).as("m"))
+        .agg(avg(col("m"))).head.getDouble(0)
+    val (ds, dt) = (distortion(seeded), distortion(trained))
+    assert(dt < ds * 0.9, f"trained distortion $dt%.4f not <10%% under seeded $ds%.4f")
+    val (mean, _) = recallStats(topK(
+      AnnOps.pqAdcTrained(spark, dir).collect()))
+    assert(mean >= 0.15, s"trained PQ-ADC mean recall@10 = $mean")
+  }
+
   test("kmeansCentroids: biased seeds migrate to the true clusters") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
