@@ -597,5 +597,72 @@ object AnnOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** IVF-PQ — the production pairing the a03/a06 docs point at: the
+    * coarse quantizer prunes candidates to the probed cells (a03's
+    * assignment + probe front half) and PQ codes score those candidates
+    * by ADC (a06's back half), so FULL-PRECISION corpus vectors never
+    * enter the search path — cells bound the work, codes bound the
+    * memory, which is exactly how billion-vector serving fits a RAM
+    * budget. Same conventions throughout: seeded cells and codebooks,
+    * smallest-id ties, queries `vec_id < 5` vs the `≥ 5` corpus.
+    */
+  def ivfPqKnn(s: SparkSession, dir: String, kCells: Int = 16,
+               nProbes: Int = 2, topK: Int = 10): DataFrame = {
+    val e = embTable(s, dir)
+    val cents = e.filter(col("vec_id") < kCells)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
+        col("norm").as("c_norm"))
+    val assign = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("c_id"),
+        (vecDot(col("emb"), col("c_emb")) / (col("norm") * col("c_norm")))
+          .as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_id"), struct(col("csim"), -col("c_id"))).as("c_id"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("psim").desc, col("c_id"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("norm").as("q_norm"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("c_id"),
+        (vecDot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+          .as("psim"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nProbes)
+      .select(col("q_id"), col("c_id"))
+    val cand = broadcast(probes).join(assign, Seq("c_id"))
+      .filter(col("vec_id") >= 5)
+      .select(col("q_id"), col("vec_id"))
+    val subs = e
+      .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("s"),
+        col("emb"))
+      .select(col("vec_id"), col("s"),
+        expr("slice(emb, s * 8 + 1, 8)").as("xs"))
+    val cb = subs.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("j"), col("s"), col("xs").as("cs"))
+    val enc = subs.filter(col("vec_id") >= 5)
+      .join(broadcast(cb), Seq("s"))
+      .withColumn("d2",
+        vecDot(col("xs"), col("xs")) - lit(2) * vecDot(col("xs"), col("cs"))
+          + vecDot(col("cs"), col("cs")))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("vec_id"), col("s")).orderBy(col("d2"), col("j"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("cs"))
+    val qsubs = subs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("s"), col("xs").as("qs"))
+    val scored = cand.join(enc, Seq("vec_id"))
+      .join(broadcast(qsubs), Seq("q_id", "s"))
+      .withColumn("term", vecDot(col("qs"), col("cs")))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(round(sum(col("term")), 6).as("adc"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("adc"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(a01, a02, a03, a04, a05, a06)
 }
