@@ -875,7 +875,83 @@ object TextOps {
       FROM c WHERE cum_tokens <= 1000
       ORDER BY source, cum_tokens"""))
 
+  /** Learned-signal curation chain — the t12 pattern over the round-9
+    * family: score every document with the corpus's own bigram LM (t19),
+    * drop the bottom decile (exact nearest-rank cutoff on the 6-dp score,
+    * doc_id tie-break), then semantic-dedup the survivors' embeddings
+    * (d11's centroid assign + cosine drops, seeds re-derived FROM the
+    * survivors). One oracle replays the whole chain. The global rank
+    * window is corpus-wide by definition — at 100 TB the cutoff VALUE
+    * comes from `approx_percentile` (the t21-twin convention) or the
+    * [[corpusShuffle]]-style two-pass rank; the chain's joins and the
+    * dedup stage are the usual broadcast/cluster-bounded shapes.
+    */
+  val t23 = QueryDef(
+    "t23_curate_learned",
+    "learned curation: bigram-LM decile filter -> semantic dedup of survivors",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("lm_score"), col("doc_id"))
+      val ranked = bigramLmScores(docs(s, dir))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      val surv = ranked.filter(col("rk") > expr("(n * 10 + 99) DIV 100"))
+        .select(col("doc_id"), col("lm_score"))
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x AS double))").as("emb"))
+        .join(surv.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+          "left_semi")
+      val kept = DedupOps.semanticDedup(emb)
+        .filter(!col("dropped"))
+        .select(col("vec_id").as("doc_id"), col("c_id"))
+      surv.join(kept, Seq("doc_id"))
+        .select(col("doc_id"), col("c_id"), col("lm_score"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents WHERE length(trim(text)) > 0),
+      v AS (SELECT COUNT(DISTINCT w) AS vv
+            FROM (SELECT unnest(t) AS w FROM toks) u),
+      big AS (SELECT doc_id,
+                   t[CAST(i AS INT) + 1] AS w1, t[CAST(i AS INT) + 2] AS w2
+              FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i
+                    FROM toks WHERE len(t) >= 2) x),
+      db AS (SELECT doc_id, w1, w2, COUNT(*) AS n FROM big GROUP BY 1, 2, 3),
+      cb AS (SELECT w1, w2, SUM(n) AS cb FROM db GROUP BY 1, 2),
+      cctx AS (SELECT w1, SUM(cb) AS cctx FROM cb GROUP BY 1),
+      lm AS (SELECT doc_id,
+               ROUND(SUM(n * ln((cb + 1.0) / (cctx + vv))) / SUM(n), 6) AS lm_score
+             FROM db JOIN cb USING (w1, w2) JOIN cctx USING (w1) CROSS JOIN v
+             GROUP BY doc_id),
+      ranked AS (SELECT doc_id, lm_score,
+               row_number() OVER (ORDER BY lm_score, doc_id) AS rk,
+               COUNT(*) OVER () AS nn
+             FROM lm),
+      surv AS (SELECT doc_id, lm_score FROM ranked
+               WHERE rk > (nn * 10 + 99) // 100),
+      e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings WHERE vec_id IN (SELECT doc_id FROM surv)),
+      nrm AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS norm FROM e),
+      seeds AS (SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm
+                FROM nrm WHERE vec_id < 16),
+      assign AS (SELECT vec_id, c_id, emb, norm FROM (
+          SELECT x.vec_id, sd.c_id, x.emb, x.norm,
+                 row_number() OVER (PARTITION BY x.vec_id
+                   ORDER BY list_dot_product(x.emb, sd.c_emb) / (x.norm * sd.c_norm) DESC,
+                            sd.c_id) AS rn
+          FROM nrm x CROSS JOIN seeds sd) t WHERE rn = 1),
+      drops AS (SELECT DISTINCT b.vec_id
+                FROM assign a JOIN assign b
+                  ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+                WHERE list_dot_product(a.emb, b.emb) / (a.norm * b.norm) >= 0.35)
+      SELECT a.vec_id AS doc_id, a.c_id, s2.lm_score
+      FROM assign a JOIN surv s2 ON s2.doc_id = a.vec_id
+      WHERE a.vec_id NOT IN (SELECT vec_id FROM drops)
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t13, t14, t15,
-      t17, t18, t19, t20, t21, t22)
+      t17, t18, t19, t20, t21, t22, t23)
 }
