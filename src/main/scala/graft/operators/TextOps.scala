@@ -898,6 +898,8 @@ object TextOps {
           org.apache.spark.sql.expressions.Window.partitionBy()))
       val surv = ranked.filter(col("rk") > expr("(n * 10 + 99) DIV 100"))
         .select(col("doc_id"), col("lm_score"))
+        .cache() // consumed twice: the embedding semi-join + the final join
+                 // (each would otherwise replay the whole LM chain)
       val emb = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"),
           expr("transform(embedding, x -> cast(x AS double))").as("emb"))
