@@ -344,7 +344,9 @@ object AnnOps {
     // full Lloyd lineage (iters corpus-wide assignments) per use
     val cents = kmeansCentroids(e, k, iters).cache()
     cents.count()
-    ivfSearch(e, cents, nProbes, topK)
+    val out = ivfSearch(e, cents, nProbes, topK).localCheckpoint(true)
+    cents.unpersist(blocking = false)
+    out
   }
 
   /** IVF-Flat shape (the other standard ANN scale path next to a02's
@@ -591,10 +593,15 @@ object AnnOps {
       .agg(round(sum(col("term")), 6).as("adc"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+    // materialize the (queries × topK)-row result, then release the cached
+    // sub-vector table and codebook (r9 ADVICE session-cache hygiene)
+    val out = scored.withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= topK)
       .select(col("q_id"), col("vec_id"), col("rank"), col("adc"))
       .orderBy(col("q_id"), col("rank"))
+      .localCheckpoint(true)
+    Seq(subs, cb).foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** IVF-PQ — the production pairing the a03/a06 docs point at: the
@@ -608,7 +615,22 @@ object AnnOps {
     */
   def ivfPqKnn(s: SparkSession, dir: String, kCells: Int = 16,
                nProbes: Int = 2, topK: Int = 10): DataFrame = {
-    val e = embTable(s, dir)
+    val scored = ivfPqAdcScored(embTable(s, dir), kCells, nProbes)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("adc"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The IVF-PQ candidate scoring shared by [[ivfPqKnn]] and
+    * [[ivfPqKnnRefined]]: probe cells, PQ-encode the corpus side, ADC
+    * every in-cell candidate. Returns `(q_id, vec_id, adc)` — rounded
+    * 6-dp before any rank window, the a06 float convention.
+    */
+  private def ivfPqAdcScored(e: DataFrame, kCells: Int,
+                             nProbes: Int): DataFrame = {
     val cents = e.filter(col("vec_id") < kCells)
       .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
         col("norm").as("c_norm"))
@@ -651,18 +673,120 @@ object AnnOps {
       .select(col("vec_id"), col("s"), col("cs"))
     val qsubs = subs.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("s"), col("xs").as("qs"))
-    val scored = cand.join(enc, Seq("vec_id"))
+    cand.join(enc, Seq("vec_id"))
       .join(broadcast(qsubs), Seq("q_id", "s"))
       .withColumn("term", vecDot(col("qs"), col("cs")))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(round(sum(col("term")), 6).as("adc"))
-    val w = Window.partitionBy(col("q_id"))
+  }
+
+  /** IVF-PQ with the standard REFINE step — the production retrieval
+    * quality path (r9 VERDICT item 4): ADC ranks the probed candidates,
+    * the top `refineFactor × topK` per query form a shortlist, and ONLY
+    * those rows fetch their full-precision vectors (a vec_id equi-join —
+    * `shortlist ≤ queries × refineFactor × topK` rows, never the corpus)
+    * for an exact-cosine re-rank. This recovers the neighbours ADC's
+    * 64×-compressed codes mis-rank while keeping the memory story: the
+    * search path touches codes only; full vectors are point-fetched for
+    * a bounded shortlist, exactly how a billion-vector store serves from
+    * a PQ-resident index with refine-from-disk. Recall floor ≥ 0.7
+    * mean / ≥ 0.5 min (the a03/a04 convention) pinned in AnnRecallSpec —
+    * measured 0.88/0.80 at sf0.001 vs unrefined IVF-PQ's 0.46/0.30,
+    * ABOVE full-precision 2-probe IVF's 0.82 (the bigger shortlist
+    * reaches past cell-boundary mistakes the 2-probe search can't).
+    * Tuning note from the sweep: shortlist size buys more than probe
+    * count here (4 probes × 8·topK = 0.88; 8 probes × 8·topK = 0.84 —
+    * extra cells add ADC distractors that crowd the shortlist).
+    *
+    * Deterministic end-to-end (seeded cells + codebooks, 6-dp rounds
+    * before every rank window, vec_id tie-breaks), so the whole
+    * composition is oracle-replayable — gate a07.
+    */
+  def ivfPqKnnRefined(s: SparkSession, dir: String, kCells: Int = 16,
+                      nProbes: Int = 4, topK: Int = 10,
+                      refineFactor: Int = 8): DataFrame = {
+    val e = embTable(s, dir)
+    val scored = ivfPqAdcScored(e, kCells, nProbes)
+    val wAdc = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+    val shortlist = scored.withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= topK * refineFactor)
+      .select(col("q_id"), col("vec_id"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("norm").as("q_norm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    shortlist.join(e, Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cos", round(
+        vecDot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm")), 6))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= topK)
-      .select(col("q_id"), col("vec_id"), col("rank"), col("adc"))
+      .select(col("q_id"), col("vec_id"), col("rank"), col("cos"))
       .orderBy(col("q_id"), col("rank"))
   }
 
-  val all: Seq[QueryDef] = Seq(a01, a02, a03, a04, a05, a06)
+  val a07 = QueryDef(
+    "a07_ivfpq_refine",
+    "IVF-PQ + exact re-rank of the ADC shortlist (4 probes, 8x refine)",
+    (s, dir) => ivfPqKnnRefined(s, dir),
+    Some("""WITH e AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings),
+      n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS norm FROM e),
+      cents AS (SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm
+                FROM n WHERE vec_id < 16),
+      assign AS (SELECT vec_id, c_id FROM (
+          SELECT v.vec_id, c.c_id,
+                 row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY list_dot_product(v.emb, c.c_emb)
+                            / (v.norm * c.c_norm) DESC, c.c_id) AS rn
+          FROM n v CROSS JOIN cents c) t WHERE rn = 1),
+      probes AS (SELECT q_id, c_id FROM (
+          SELECT v.vec_id AS q_id, c.c_id,
+                 row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY list_dot_product(v.emb, c.c_emb)
+                            / (v.norm * c.c_norm) DESC, c.c_id) AS rn
+          FROM n v CROSS JOIN cents c WHERE v.vec_id < 5) t
+        WHERE rn <= 4),
+      cand AS (SELECT p.q_id, a.vec_id
+               FROM probes p JOIN assign a ON p.c_id = a.c_id
+               WHERE a.vec_id >= 5),
+      g AS (SELECT CAST(unnest(range(8)) AS INT) AS s),
+      subs AS (SELECT vec_id, s, emb[s*8+1 : s*8+8] AS xs FROM e CROSS JOIN g),
+      cb AS (SELECT vec_id AS j, s, xs AS cs FROM subs WHERE vec_id < 16),
+      enc AS (SELECT vec_id, s, cs FROM (
+          SELECT sub.vec_id, sub.s, c.cs,
+                 row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                   ORDER BY list_dot_product(sub.xs, sub.xs)
+                            - 2 * list_dot_product(sub.xs, c.cs)
+                            + list_dot_product(c.cs, c.cs), c.j) AS rn
+          FROM subs sub JOIN cb c ON sub.s = c.s
+          WHERE sub.vec_id >= 5) t WHERE rn = 1),
+      qsubs AS (SELECT vec_id AS q_id, s, xs AS qs FROM subs WHERE vec_id < 5),
+      sc AS (SELECT cand.q_id, cand.vec_id,
+               ROUND(SUM(list_dot_product(qsubs.qs, enc.cs)), 6) AS adc
+             FROM cand JOIN enc ON cand.vec_id = enc.vec_id
+                       JOIN qsubs ON qsubs.q_id = cand.q_id AND qsubs.s = enc.s
+             GROUP BY cand.q_id, cand.vec_id),
+      shortlist AS (SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY adc DESC, vec_id) AS rn
+          FROM sc) t WHERE rn <= 80),
+      re AS (SELECT s2.q_id, s2.vec_id,
+               ROUND(list_dot_product(v.emb, qv.emb) / (v.norm * qv.norm), 6)
+                 AS cos
+             FROM shortlist s2
+             JOIN n v ON v.vec_id = s2.vec_id
+             JOIN n qv ON qv.vec_id = s2.q_id)
+      SELECT q_id, vec_id, rank, cos FROM (
+        SELECT q_id, vec_id, cos,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+        FROM re) t
+      WHERE rank <= 10 ORDER BY q_id, rank"""))
+
+  val all: Seq[QueryDef] = Seq(a01, a02, a03, a04, a05, a06, a07)
 }

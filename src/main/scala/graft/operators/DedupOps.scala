@@ -801,7 +801,8 @@ object DedupOps {
     * pair at or above `tau` cosine.
     */
   private def semanticDedupCore(e: DataFrame, cents: DataFrame,
-                                tau: Double): DataFrame = {
+                                tau: Double,
+                                release: Seq[DataFrame] = Nil): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("c_id"))
     val assign = e.crossJoin(broadcast(cents))
@@ -817,11 +818,18 @@ object DedupOps {
       .filter(vecDot(col("a.emb"), col("b.emb"))
         / (col("a.norm") * col("b.norm")) >= tau)
       .select(col("b.vec_id").as("vec_id")).distinct()
-    assign.select(col("vec_id"), col("c_id"))
+    // Materialize the (small) verdict frame, then free every cached
+    // intermediate — the session-lifetime cache-accumulation fix (r9
+    // ADVICE): callers in a long-lived session no longer hold assign /
+    // the norm'd corpus / trained centroids in the cache manager.
+    val out = assign.select(col("vec_id"), col("c_id"))
       .join(drops.withColumn("hit", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("c_id"),
         coalesce(col("hit"), lit(false)).as("dropped"))
       .orderBy(col("vec_id"))
+      .localCheckpoint(true)
+    (assign +: release).foreach(_.unpersist(blocking = false))
+    out
   }
 
   def semanticDedup(emb: DataFrame, kSeeds: Int = 16,
@@ -833,7 +841,7 @@ object DedupOps {
     val seeds = e.filter(col("vec_id") < kSeeds)
       .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
         col("norm").as("c_norm"))
-    semanticDedupCore(e, seeds, tau)
+    semanticDedupCore(e, seeds, tau, release = Seq(e))
   }
 
   /** The production quantizer path: Lloyd-trained centroids
@@ -851,7 +859,7 @@ object DedupOps {
     e.count()
     val cents = AnnOps.kmeansCentroids(e, k, iters).cache()
     cents.count()
-    semanticDedupCore(e, cents, tau)
+    semanticDedupCore(e, cents, tau, release = Seq(e, cents))
   }
 
   val d11 = QueryDef(

@@ -641,13 +641,19 @@ object TextOps {
     val cb = docBig.groupBy(col("w1"), col("w2"))
       .agg(sum(col("n")).as("cb"))
     val cctx = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cctx"))
-    docBig.join(cb, Seq("w1", "w2")).join(cctx, Seq("w1"))
+    // materialize the per-doc score frame, then release the cached token
+    // arrays (r9 ADVICE session-cache hygiene) — also saves t23's chain
+    // from replaying the LM build per downstream consumer
+    val out = docBig.join(cb, Seq("w1", "w2")).join(cctx, Seq("w1"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).cast("bigint").as("n_bigrams"),
         round(sum(col("n") * log((col("cb") + lit(1)).cast("double")
           / (col("cctx") + lit(vocab)).cast("double")))
           / sum(col("n")), 6).as("lm_score"))
       .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    toks.unpersist(blocking = false)
+    out
   }
 
   val t19 = QueryDef(
@@ -833,7 +839,12 @@ object TextOps {
         if (cur <= budget) Some((src, id, nt, cur)) else None
       }
     }.toDF("source", "doc_id", "n_tokens", "cum_tokens")
-    out.orderBy(col("source"), col("cum_tokens"))
+    // materialize the kept rows (bounded by the budget), then release the
+    // cached range-sorted scan (r9 ADVICE session-cache hygiene)
+    val kept = out.orderBy(col("source"), col("cum_tokens"))
+      .localCheckpoint(true)
+    sorted.unpersist(blocking = false)
+    kept
   }
 
   /** Token-budget mixture sampling — the complement of t17's rate-based
@@ -875,16 +886,68 @@ object TextOps {
       FROM c WHERE cum_tokens <= 1000
       ORDER BY source, cum_tokens"""))
 
+  /** 100 TB twin of the t23 chain — the two corpus-global constructs the
+    * gate form keeps for oracle parity are replaced by their scale
+    * shapes, the t21/t22-twin convention:
+    *
+    *  - the DECILE CUTOFF is a VALUE from `approx_percentile` (GK
+    *    sketch, mergeable map-side state — rank error ≤ N/accuracy, so
+    *    at gate scale it recovers the exact boundary), not a corpus-wide
+    *    unpartitioned `row_number` window. Value semantics at the
+    *    boundary: score ties share a fate (all boundary-tied docs drop
+    *    together), where the rank form splits ties by doc_id — identical
+    *    whenever the 6-dp boundary score is unique, which the parity pin
+    *    asserts at gate scale.
+    *  - the SEMANTIC-DEDUP stage runs [[DedupOps.semanticDedupTrained]]
+    *    with k auto-sized to ≈√N(survivors) (`k = 0` sentinel), the
+    *    published SemDeDup sizing: expected cluster size √N keeps the
+    *    within-cluster pairwise bound Σ|cluster|² ≈ N^1.5 instead of the
+    *    fixed-k N²/k, and Lloyd places cells where the density is.
+    *
+    * Everything else is the gate chain unchanged: LM scores come from
+    * [[bigramLmScores]] (materialized once), the embedding side is
+    * semi-joined down to survivors BEFORE dedup, and the survivor set is
+    * bounded-small relative to the corpus. Spec: TrainPrepOpsSpec pins
+    * survivor-set parity vs the gate's rank form and the structural
+    * dedup contract (every dropped vec shares a cluster with a smaller
+    * kept vec) at gate scale; the 10× rehearsal carries the flat-growth
+    * reading.
+    */
+  def curateLearnedScalable(docsDf: DataFrame, embDf: DataFrame,
+                            dropFrac: Double = 0.10, tau: Double = 0.35,
+                            k: Int = 0, iters: Int = 2,
+                            accuracy: Int = 10000): DataFrame = {
+    val lm = bigramLmScores(docsDf) // localCheckpointed — filters below
+                                    // re-read blocks, never the LM chain
+    val cutoff = lm
+      .agg(expr(s"approx_percentile(lm_score, $dropFrac, $accuracy)"))
+      .head.getDouble(0)
+    val surv = lm.filter(col("lm_score") > cutoff)
+    val kAuto =
+      if (k > 0) k
+      else math.max(16, math.ceil(math.sqrt(surv.count().toDouble)).toInt)
+    val emb = embDf
+      .join(surv.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+        "left_semi")
+    val kept = DedupOps.semanticDedupTrained(emb, kAuto, iters, tau)
+      .filter(!col("dropped"))
+      .select(col("vec_id").as("doc_id"), col("c_id"))
+    surv.join(kept, Seq("doc_id"))
+      .select(col("doc_id"), col("c_id"), col("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Learned-signal curation chain — the t12 pattern over the round-9
     * family: score every document with the corpus's own bigram LM (t19),
     * drop the bottom decile (exact nearest-rank cutoff on the 6-dp score,
     * doc_id tie-break), then semantic-dedup the survivors' embeddings
     * (d11's centroid assign + cosine drops, seeds re-derived FROM the
     * survivors). One oracle replays the whole chain. The global rank
-    * window is corpus-wide by definition — at 100 TB the cutoff VALUE
-    * comes from `approx_percentile` (the t21-twin convention) or the
-    * [[corpusShuffle]]-style two-pass rank; the chain's joins and the
-    * dedup stage are the usual broadcast/cluster-bounded shapes.
+    * window is corpus-wide by definition — at 100 TB
+    * [[curateLearnedScalable]] is the implemented twin: the cutoff VALUE
+    * from `approx_percentile` (the t21-twin convention) and trained
+    * centroids auto-sized ≈√N; the chain's joins and the dedup stage are
+    * the usual broadcast/cluster-bounded shapes.
     */
   val t23 = QueryDef(
     "t23_curate_learned",
@@ -908,9 +971,12 @@ object TextOps {
       val kept = DedupOps.semanticDedup(emb)
         .filter(!col("dropped"))
         .select(col("vec_id").as("doc_id"), col("c_id"))
-      surv.join(kept, Seq("doc_id"))
+      val out = surv.join(kept, Seq("doc_id"))
         .select(col("doc_id"), col("c_id"), col("lm_score"))
         .orderBy(col("doc_id"))
+        .localCheckpoint(true) // materialize, then free the survivor cache
+      surv.unpersist(blocking = false)
+      out
     },
     Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
               FROM documents WHERE length(trim(text)) > 0),

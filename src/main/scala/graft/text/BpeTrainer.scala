@@ -47,9 +47,18 @@ object BpeTrainer {
         .as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(
-        concat(array_join(split(col("w"), ""), " "), lit(" " + Eow))
+        concat(array_join(codepointSyms(col("w")), " "), lit(" " + Eow))
           .as("syms"),
         col("freq"))
+
+  /** Codepoint segmentation (the t18 convention, TextOps.scala t18 doc):
+    * `split(w, "")` would cut at UTF-16 code units, producing surrogate-half
+    * symbols for non-BMP words that [[graft.functions.BpeEncode]] (which
+    * walks code points) could never re-merge. Java-regex `(?s).` matches a
+    * full code point, keeping train and apply on the same alphabet.
+    */
+  private def codepointSyms(w: org.apache.spark.sql.Column) =
+    regexp_extract_all(w, lit("(?s)."), lit(0))
 
   /** Learn `nMerges` merge rules from the corpus. */
   def train(docs: DataFrame, nMerges: Int,
@@ -171,7 +180,7 @@ object BpeTrainer {
     */
   private[graft] def encodeWordsFold(words: DataFrame,
                                      merges: Seq[(String, String)]): DataFrame = {
-    val base = concat(array_join(split(col("w"), ""), " "), lit(" " + Eow))
+    val base = concat(array_join(codepointSyms(col("w")), " "), lit(" " + Eow))
     val mergedSyms = merges.foldLeft(base) { case (c, (a, b)) =>
       regexp_replace(c, lit(mergePattern(a, b)),
         lit(Matcher.quoteReplacement(a + b)))

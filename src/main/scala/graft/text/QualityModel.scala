@@ -74,9 +74,23 @@ object QualityModel {
       .select(col("doc_id"),
         vector_to_array(col("probability"))(1).as("quality_prob"))
 
-  /** The filter form: keep documents scoring at or above `minProb`. */
+  /** The filter form: keep documents scoring at or above `minProb`.
+    *
+    * Blank/whitespace-only documents are UNSCOREABLE — [[features]] cannot
+    * form ratios over zero characters, so they get no `quality_prob` row.
+    * By default (`keepUnscoreable = false`) they are dropped, the right
+    * call for a quality gate: an empty document is never training-worthy.
+    * Pass `keepUnscoreable = true` to let them through unscored instead
+    * (the choice the caller owns when the filter feeds an audit rather
+    * than a corpus).
+    */
   def keep(docs: DataFrame, model: LogisticRegressionModel,
-           minProb: Double): DataFrame =
-    docs.join(score(docs, model).filter(col("quality_prob") >= minProb)
-      .select("doc_id"), Seq("doc_id"), "left_semi")
+           minProb: Double, keepUnscoreable: Boolean = false): DataFrame = {
+    val kept = docs.join(
+      score(docs, model).filter(col("quality_prob") >= minProb)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+    if (keepUnscoreable)
+      kept.unionByName(docs.filter(length(trim(col("text"))) === 0))
+    else kept
+  }
 }

@@ -125,6 +125,49 @@ class TrainPrepOpsSpec extends AnyFunSuite with graft.SparkTestSession {
     }
   }
 
+  test("t23 scale twin: approx-percentile cutoff matches the rank form; k auto-sizes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 40 docs with distinctive bigram mixes -> distinct 6-dp lm scores
+    // (asserted below as the precondition for value==rank parity)
+    val docsDf = (0 until 40).map { i =>
+      val toks = (0 until (3 + i % 5)).map(j => s"t${(i * 7 + j * j) % 23}")
+      (i.toLong, "s0", "en", (toks ++ toks.take(2)).mkString(" "))
+    }.toDF("doc_id", "source", "lang", "text")
+    val lm = TextOps.bigramLmScores(docsDf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(lm.map(_._2).distinct.length == lm.length, "fixture: scores must be distinct")
+    // gate's rank form: drop rk <= ceil(n/10) on (lm_score, doc_id)
+    val n = lm.length
+    val rankSurvivors = lm.sortBy { case (id, s) => (s, id) }
+      .drop((n * 10 + 99) / 100).map(_._1).toSet
+    // unit embeddings at distinct angles; tau > 1 => dedup drops nothing,
+    // so the twin's output doc_ids ARE its survivor set
+    // pairs (i, i+20) share an angle -> exact near-dups for the tau=0.9999
+    // run; distinct angles are 0.3 rad apart (cos ~0.955, below tau)
+    val embDf = (0 until 40).map { i =>
+      val a = (i % 20) * 0.3
+      (i.toLong, Seq(math.cos(a), math.sin(a)))
+    }.toDF("vec_id", "emb")
+    val twin = TextOps.curateLearnedScalable(docsDf, embDf, tau = 2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(twin.map(_._1).toSet == rankSurvivors,
+      s"value-cutoff survivors ${twin.map(_._1).sorted.toSeq} vs rank ${rankSurvivors.toSeq.sorted}")
+    // lm_score passthrough intact
+    val lmMap = lm.toMap
+    twin.foreach { case (id, _, s) => assert(s == lmMap(id)) }
+    // k auto-sizing: centroid ids are survivor vec_ids < kAuto (seeded
+    // Lloyd init), kAuto = max(16, ceil(sqrt(nSurv)))
+    val kAuto = math.max(16, math.ceil(math.sqrt(rankSurvivors.size.toDouble)).toInt)
+    assert(twin.map(_._2).forall(c => c < kAuto))
+    // structural dedup contract at a real tau: output is a subset of the
+    // survivors and every surviving cluster keeps its smallest member
+    val deduped = TextOps.curateLearnedScalable(docsDf, embDf, tau = 0.9999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(deduped.map(_._1).toSet.subsetOf(rankSurvivors))
+    assert(deduped.length < twin.length, "near-identical angles must dedup")
+  }
+
   test("d11 trained path: Lloyd centroids preserve the drop set on separated clusters") {
     import spark.implicits._
     val emb = Seq(

@@ -81,6 +81,29 @@ class BpeTrainerSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(fast == fold)
   }
 
+  test("non-BMP words train and encode on codepoints, not UTF-16 halves") {
+    import spark.implicits._
+    // U+1F600 is one codepoint, two UTF-16 code units. preTokRe admits it
+    // as a single-codepoint word, so the only learnable merge is
+    // (😀, </w>) — code-unit segmentation would instead learn the
+    // surrogate-half pair (\ud83d, \ude00), which bpe_encode (a codepoint
+    // walker) could never apply.
+    val emoji = "😀"
+    val docs = Seq((1L, s"$emoji $emoji $emoji")).toDF("doc_id", "text")
+    val merges = BpeTrainer.train(docs, nMerges = 3)
+    assert(merges == Seq((emoji, "</w>")))
+    val distributed = BpeTrainer.train(docs, nMerges = 3, driverLimit = 0)
+    assert(distributed == merges)
+    // differential pin on a non-BMP word: expression == sequential fold
+    val df = Seq(emoji, "low", emoji).distinct.toDF("w")
+    val fast = BpeTrainer.encodeWords(df, merges).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val fold = BpeTrainer.encodeWordsFold(df, merges).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(fast == fold)
+    assert(fast(emoji) == Seq(emoji + "</w>"))
+  }
+
   test("bpe_encode with an empty table yields chars + EOW; stays in codegen") {
     import org.apache.spark.sql.functions.{col, concat, lit}
     import spark.implicits._

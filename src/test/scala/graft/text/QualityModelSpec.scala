@@ -55,6 +55,20 @@ class QualityModelSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(kept == scored.filter(_._2 >= cut).keySet)
   }
 
+  test("keep() drops unscoreable blanks by default; passes them through on request") {
+    import spark.implicits._
+    val model = QualityModel.train(trainDf)
+    val withBlanks = testDf.select("doc_id", "text", "is_quality")
+      .unionByName(Seq((900L, "", 0.0), (901L, "     ", 0.0))
+        .toDF("doc_id", "text", "is_quality"))
+    val dropped = QualityModel.keep(withBlanks, model, 0.5).collect()
+      .map(_.getLong(0)).toSet
+    assert(!dropped.contains(900L) && !dropped.contains(901L))
+    val passed = QualityModel.keep(withBlanks, model, 0.5,
+      keepUnscoreable = true).collect().map(_.getLong(0)).toSet
+    assert(passed == dropped + 900L + 901L)
+  }
+
   test("corpus-side scoring plans no shuffle (narrow projection)") {
     val model = QualityModel.train(trainDf)
     val plan = QualityModel.score(testDf, model)
