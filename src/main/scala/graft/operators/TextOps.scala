@@ -738,7 +738,7 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("nw")).cast("bigint").as("n_tokens"),
         sum(col("nc")).cast("bigint").as("n_chars"),
-        approx_count_distinct(col("h")).as("n_unique_texts"),
+        approx_count_distinct(col("h"), 0.01).as("n_unique_texts"),
         expr(s"approx_percentile(nc, 0.25, $accuracy)").as("len_p25"),
         expr(s"approx_percentile(nc, 0.50, $accuracy)").as("len_p50"),
         expr(s"approx_percentile(nc, 0.75, $accuracy)").as("len_p75"))
@@ -786,6 +786,78 @@ object TextOps {
              MAX(CASE WHEN rk = (n * 50 + 99) // 100 THEN nc END) AS len_p50,
              MAX(CASE WHEN rk = (n * 75 + 99) // 100 THEN nc END) AS len_p75
       FROM r GROUP BY source, lang ORDER BY source, lang"""))
+
+  /** Oracle gate for the t21 sketch twin (the e07-beside-e06 pattern,
+    * r9 VERDICT item 3): run [[corpusProfileApprox]] — the 100 TB path —
+    * and hash-pin its EXACT columns (docs/tokens/chars totals are plain
+    * sums in both forms) while the sketch columns land as PROVEN-BOUND
+    * booleans the oracle pins literally TRUE:
+    *
+    *  - `uniq_within_5pct`: HLL++ estimate within e07's 5% bar (+1 for
+    *    tiny groups) of the exact distinct-hash count;
+    *  - `pXX_in_bound`: each GK quantile is the `nc` of a row whose rank
+    *    sits within the sketch's guaranteed ±⌊n/accuracy⌋ rank error
+    *    (+2 slack for the ceil-vs-floor target-rank convention gap) of
+    *    the t21 nearest-rank target — checked against the true ranked
+    *    values, so a sketch that drifted out of its guarantee fails the
+    *    hash, not a soft tolerance;
+    *  - `quartiles_ordered`: monotone p25 ≤ p50 ≤ p75.
+    *
+    * The exact side reuses t21's window form — affordable at gate scale,
+    * and exactly the honesty cross-check a user runs once per corpus
+    * before trusting the sketch path on the full 100 TB.
+    */
+  val t24 = QueryDef(
+    "t24_profile_sketch",
+    "sketch-datasheet gate: exact totals hash-pinned, GK/HLL inside proven bounds",
+    (s, dir) => {
+      val accuracy = 10000
+      val ap = corpusProfileApprox(docs(s, dir), accuracy)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"), col("lang"))
+      val ranked = docs(s, dir).filter(length(trim(col("text"))) > 0)
+        .select(col("source"), col("lang"), col("doc_id"),
+          length(col("text")).cast("bigint").as("nc"),
+          md5(col("text").cast("binary")).as("h"))
+        .withColumn("rk", row_number().over(w.orderBy(col("nc"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(w))
+      def boundVal(p: Int, lo: Boolean) = {
+        val target = expr(s"(n * $p + 99) DIV 100")
+        val err = expr(s"n DIV $accuracy") + lit(2)
+        val rank = if (lo) greatest(lit(1), target - err)
+                   else least(col("n"), target + err)
+        max(when(col("rk") === rank, col("nc")))
+      }
+      val exact = ranked.groupBy(col("source"), col("lang"))
+        .agg(countDistinct(col("h")).as("exact_uniq"),
+          boundVal(25, lo = true).as("lo25"), boundVal(25, lo = false).as("hi25"),
+          boundVal(50, lo = true).as("lo50"), boundVal(50, lo = false).as("hi50"),
+          boundVal(75, lo = true).as("lo75"), boundVal(75, lo = false).as("hi75"))
+      ap.join(exact, Seq("source", "lang"))
+        .select(col("source"), col("lang"),
+          col("n_docs"), col("n_tokens"), col("n_chars"),
+          (abs(col("n_unique_texts") - col("exact_uniq")).cast("double") <=
+            col("exact_uniq").cast("double") * 0.05 + 1).as("uniq_within_5pct"),
+          (col("len_p25") >= col("lo25") && col("len_p25") <= col("hi25"))
+            .as("p25_in_bound"),
+          (col("len_p50") >= col("lo50") && col("len_p50") <= col("hi50"))
+            .as("p50_in_bound"),
+          (col("len_p75") >= col("lo75") && col("len_p75") <= col("hi75"))
+            .as("p75_in_bound"),
+          (col("len_p25") <= col("len_p50") && col("len_p50") <= col("len_p75"))
+            .as("quartiles_ordered"))
+        .orderBy(col("source"), col("lang"))
+    },
+    Some("""SELECT source, lang,
+             COUNT(*) AS n_docs,
+             CAST(SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT))
+               AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS n_chars,
+             TRUE AS uniq_within_5pct,
+             TRUE AS p25_in_bound, TRUE AS p50_in_bound, TRUE AS p75_in_bound,
+             TRUE AS quartiles_ordered
+      FROM documents WHERE length(trim(text)) > 0
+      GROUP BY source, lang ORDER BY source, lang"""))
 
   /** Scalable twin of t22's window form: at 100 TB a handful of sources
     * means a handful of ENORMOUS window partitions — a per-source
@@ -885,6 +957,20 @@ object TextOps {
       SELECT source, doc_id, n_tokens, cum_tokens
       FROM c WHERE cum_tokens <= 1000
       ORDER BY source, cum_tokens"""))
+
+  /** Oracle gate for the t22 scale twin (r9 VERDICT item 3): the
+    * two-pass range-partitioned [[tokenBudgetSample]] is ROW-IDENTICAL
+    * to the per-source window form by construction, so it earns the
+    * strongest oracle available — t22's own SQL, hash-compared. The
+    * TrainPrepRandomSpec parity pin checks the two Spark forms against
+    * each other; this gate checks the scale form against an independent
+    * engine.
+    */
+  val t25 = QueryDef(
+    "t25_budget_sample_scalable",
+    "two-pass range-partitioned token-budget sample (t22's scale twin, same oracle)",
+    (s, dir) => tokenBudgetSample(docs(s, dir), budget = 1000L),
+    t22.oracle)
 
   /** 100 TB twin of the t23 chain — the two corpus-global constructs the
     * gate form keeps for oracle parity are replaced by their scale
@@ -1021,5 +1107,5 @@ object TextOps {
 
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t13, t14, t15,
-      t17, t18, t19, t20, t21, t22, t23)
+      t17, t18, t19, t20, t21, t22, t23, t24, t25)
 }
