@@ -24,9 +24,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q03.run(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. ListMap keeps
+    * registry order: Verify/Bench iterate deterministically, so suite
+    * runs execute g05 before g06/g08 and the three-gate Louvain memo
+    * always has g05 as its producer (GraphQueries.statsMemo).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    registry.map(q => q.name -> q.run).toMap
+    scala.collection.immutable.ListMap(
+      registry.map(q => q.name -> q.run): _*)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -205,31 +205,83 @@ object GraphQueries {
       nComms: Long, minSize: Long, maxSize: Long, sumSizes: Long,
       ccModNum: Long, lvModNum: Long, valid: Boolean, refines: Boolean)
 
-  /** Consume-once handoff between g05 and g06 (plain scalars, keyed by
-    * dir + producing gate): whichever gate runs first computes and
-    * stores; the OTHER gate consumes the entry instead of re-running
-    * Louvain. A gate never consumes its own entry, so repeated runs of
-    * the SAME gate (bench reps) each pay the full cost — the memo only
-    * encodes "a g05+g06 sequence is one Louvain run", which is exactly
-    * the sharing a user reading both invariant views would get. Scalars,
-    * not DataFrames: the bench harness unpersists all RDDs between
-    * queries, which would orphan a memoized localCheckpoint.
+  /** Every scalar the g08 weighted-invariant gate reads. Same shape as
+    * [[LouvainStats]] but under integer edge WEIGHTS (m2 = Σ symmetrized
+    * weight, degree = weighted degree, modularity numerators weighted).
     */
+  private[graph] final case class WeightedStats(
+      m2: Long, nNodes: Long, nComps: Long, nComms: Long,
+      ccModNum: Long, lvModNum: Long, valid: Boolean, refines: Boolean)
+
+  /** Consume-once handoff among the THREE Louvain gates (plain scalars,
+    * keyed by dir + producing gate): when g05 or g06 runs first it
+    * computes the FUSED stats — one orders⋈lineitem scan, one symmetrized
+    * build, ONE connected-components run (weights don't change topology,
+    * so CC is shared verbatim), both Louvains — and stores them; each of
+    * the other two gates consumes its half instead of re-running
+    * anything (r9 VERDICT item 7, generalizing the r6 g05/g06 pair
+    * memo). A gate never consumes its own entry, so repeated runs of the
+    * SAME gate (bench reps) each pay the full cost. g08 running FRESH
+    * computes only its weighted side (no unweighted Louvain — its
+    * isolated floor must not pay for data it doesn't emit) and stores
+    * nothing. Scalars, not DataFrames: the bench harness unpersists all
+    * RDDs between queries, which would orphan a memoized
+    * localCheckpoint.
+    */
+  private final case class MemoEntry(producer: String, dir: String,
+      un: LouvainStats, w: WeightedStats, consumed: Set[String])
+
+  private val louvainGates = Set("g05", "g06", "g08")
+
   private val statsMemo =
-    new java.util.concurrent.atomic.AtomicReference[Option[(String, String, LouvainStats)]](None)
+    new java.util.concurrent.atomic.AtomicReference[Option[MemoEntry]](None)
+
+  private def consumeFrom(e: MemoEntry, gate: String): Unit = {
+    val c = e.consumed + gate
+    statsMemo.set(if ((louvainGates - e.producer).subsetOf(c)) None
+                  else Some(e.copy(consumed = c)))
+  }
 
   private def louvainStats(s: SparkSession, dir: String, gate: String): LouvainStats =
     statsMemo.synchronized {
       statsMemo.get() match {
-        case Some((producer, d, st)) if d == dir && producer != gate =>
-          statsMemo.set(None) // consumed
-          st
+        case Some(e) if e.dir == dir && e.producer != gate && !e.consumed(gate) =>
+          consumeFrom(e, gate)
+          e.un
         case _ =>
-          val st = computeLouvainStats(s, dir)
-          statsMemo.set(Some((gate, dir, st)))
+          val (un, w) = computeFusedStats(s, dir)
+          statsMemo.set(Some(MemoEntry(gate, dir, un, w, Set.empty)))
+          un
+      }
+    }
+
+  private def weightedStats(s: SparkSession, dir: String): WeightedStats =
+    statsMemo.synchronized {
+      statsMemo.get() match {
+        case Some(e) if e.dir == dir && e.producer != "g08" && !e.consumed("g08") =>
+          consumeFrom(e, "g08")
+          e.w
+        case _ =>
+          val wEdges = weightedEdges(s, dir).cache()
+          val st = computeWeightedStats(s, wEdges, sharedCc = None)
+          wEdges.unpersist(blocking = false)
           st
       }
     }
+
+  /** Multiplicity-weighted (cust, supp) edges — `edges(filtered = true)`
+    * with the pre-dedup pair count as integer weight; its key set IS the
+    * unweighted distinct edge set (the groupBy replaces the distinct).
+    */
+  private def weightedEdges(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val li = Tables.load(s, dir, "lineitem")
+    o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_quantity") === 1 && month(col("l_shipdate")) === 1)
+      .groupBy((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .agg(count(lit(1)).cast("long").as("weight"))
+  }
 
   /** One edge build, one Louvain, one CC, THREE scalar jobs (VERDICT r6
     * item 5 — the per-invariant actions used to be ~6 separate jobs):
@@ -240,23 +292,40 @@ object GraphQueries {
     *      the exact-integer modularity piece Σc (Σdeg)² AND the
     *      community-size histogram stats (count/min/max/sum).
     */
-  private def computeLouvainStats(s: SparkSession, dir: String): LouvainStats = {
-    val e = edges(s, dir, filtered = true)
-      .select(col("a").as("src"), col("b").as("dst"))
+  private def computeFusedStats(s: SparkSession,
+                                dir: String): (LouvainStats, WeightedStats) = {
+    // ONE orders⋈lineitem scan feeds both sides: the weighted groupBy is
+    // the same shuffle the unweighted path paid for distinct(), and its
+    // key set IS the distinct edge set. Everything downstream is DEEPLY
+    // fused (r9 VERDICT item 7): one symmetrized build carrying the
+    // weight column, one degree pass emitting BOTH unweighted and
+    // weighted degrees, ONE connected-components run (weights don't
+    // change topology), one ext table holding both assignments, and one
+    // validity/edge-join/explode job each computing both partitions'
+    // invariants — only the two Louvain runs themselves are separate
+    // work, because they are genuinely different algorithms' inputs.
+    val wEdges = weightedEdges(s, dir).cache()
     // shared representation with the oracles: symmetrized distinct edges.
-    // BOTH algorithms consume this one cached build — e is distinct and
-    // loop-free by construction (customer ids even, supplier ids odd), so
-    // und IS louvain's internal representation with unit weights and CC's
-    // pre-symmetrized input. No distinct() on the union: e is already
-    // distinct and every forward row is (even, odd) while every swapped
-    // row is (odd, even), so the two halves cannot collide — the dedup
-    // would be a full extra shuffle of the edge table for nothing.
-    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // wEdges is distinct and loop-free by construction (customer ids
+    // even, supplier ids odd), so the union halves cannot collide — no
+    // distinct() needed — and the unweighted und the oracles replay is
+    // exactly wUnd minus its weight column.
+    val wUnd = wEdges
+      .union(wEdges.select(col("dst").as("src"), col("src").as("dst"),
+        col("weight")))
       .cache()
-    val m2 = und.count() // = 2m
-    val deg = und.groupBy(col("src").as("node_id"))
-      .agg(count(lit(1)).as("deg")).cache()
-    val nNodes = deg.count()
+    val und = wUnd.select(col("src"), col("dst"))
+    val deg = wUnd.groupBy(col("src").as("node_id"))
+      .agg(count(lit(1)).as("deg"), sum(col("weight")).as("degw"))
+      .cache()
+    // one fused scalar job: node count + unweighted 2m (= Σ deg, every
+    // und edge lands in exactly one src degree) + weighted 2m (= Σ degw)
+    val dstat = deg.agg(count(lit(1)),
+      coalesce(sum(col("deg")), lit(0L)),
+      coalesce(sum(col("degw")), lit(0L))).head()
+    val nNodes = dstat.getLong(0)
+    val m2 = dstat.getLong(1)
+    val m2w = dstat.getLong(2)
     // vertex-sized sides: broadcast only below the same limit the
     // iterative algorithms use (at 100 TB these fall back to shuffles)
     def small(df: DataFrame): DataFrame =
@@ -266,13 +335,130 @@ object GraphQueries {
     // each extra sweep is pure fixed overhead at gate SF.
     val assign = GraphAlgs.louvainUnd(und, maxLevels = 2, maxSweeps = 4)
       .localCheckpoint(true)
+    val wAssign = GraphAlgs.louvainDF(wEdges, maxLevels = 2, maxSweeps = 4)
+      .localCheckpoint(true)
     val cc = GraphAlgs.connectedComponentsUnd(und)
       .localCheckpoint(true)
 
-    // full-outer (node -> community, component, degree) table: a missing
-    // side anywhere (lost/extra/duplicated assignment rows) surfaces as a
-    // null flag in the single validity aggregate below — replacing the
-    // old separate assign.count + anti-join + counts + refines jobs
+    // full-outer (node -> communityU, communityW, component, degrees)
+    // table: a missing side anywhere (lost/extra/duplicated assignment
+    // rows) surfaces as a null flag in the single validity aggregate
+    val ext = assign.toDF("node_id", "lc")
+      .join(wAssign.toDF("node_id", "lw"), Seq("node_id"), "full")
+      .join(cc.toDF("node_id", "ccmp"), Seq("node_id"), "full")
+      .join(deg, Seq("node_id"), "full")
+      .cache()
+    val v = ext.agg(
+      count(lit(1)).as("rows"),
+      countDistinct(col("node_id")).as("nd"),
+      count(when(col("lc").isNull || col("ccmp").isNull || col("deg").isNull, 1))
+        .as("bad"),
+      count(when(col("lw").isNull || col("ccmp").isNull || col("degw").isNull, 1))
+        .as("badw"),
+      countDistinct(col("lc")).as("ncomm"),
+      countDistinct(col("lw")).as("ncommw"),
+      countDistinct(col("ccmp")).as("ncomp"),
+      // refines ⟺ every community meets exactly one component ⟺
+      // #distinct (community, ccmp) pairs == #distinct community
+      countDistinct(col("lc"), col("ccmp")).as("npair"),
+      countDistinct(col("lw"), col("ccmp")).as("npairw")).head()
+    val (nComms, nCommsW, nComps) = (v.getLong(4), v.getLong(5), v.getLong(6))
+    val valid = v.getLong(0) == nNodes && v.getLong(1) == nNodes &&
+      v.getLong(2) == 0L
+    val validW = v.getLong(0) == nNodes && v.getLong(1) == nNodes &&
+      v.getLong(3) == 0L
+    val refines = nComms == v.getLong(7)
+    val refinesW = nCommsW == v.getLong(8)
+
+    // exact integer modularity pieces Q·m2² = within·m2 − Σc degc², for
+    // BOTH algorithms and BOTH metrics in ONE edge join: unweighted
+    // within-counts for (lc, ccmp) and weighted within-sums for (lw, ccmp)
+    val j = wUnd
+      .join(small(ext.select(col("node_id").as("src"), col("lc").as("lcs"),
+        col("lw").as("lws"), col("ccmp").as("ccs"))), Seq("src"))
+      .join(small(ext.select(col("node_id").as("dst"), col("lc").as("lcd"),
+        col("lw").as("lwd"), col("ccmp").as("ccd"))), Seq("dst"))
+      .agg(count(when(col("lcs") === col("lcd"), 1)).as("wl"),
+        count(when(col("ccs") === col("ccd"), 1)).as("wc"),
+        coalesce(sum(when(col("lws") === col("lwd"), col("weight"))), lit(0L))
+          .as("wlw"),
+        coalesce(sum(when(col("ccs") === col("ccd"), col("weight"))), lit(0L))
+          .as("wcw")).head()
+    val (wl, wc, wlw, wcw) =
+      (j.getLong(0), j.getLong(1), j.getLong(2), j.getLong(3))
+
+    // fused per-partition pass: explode each node into its (partition,
+    // community-id, relevant-degree) memberships — unweighted Louvain and
+    // CC carry deg, weighted Louvain and CC carry degw — aggregate once
+    // per community, then once per partition: degree-mass squares for all
+    // four modularity numerators AND the unweighted size histogram in a
+    // single job
+    val ps = ext.select(explode(array(
+        struct(lit("l").as("k"), col("lc").as("cid"), col("deg").as("d")),
+        struct(lit("c").as("k"), col("ccmp").as("cid"), col("deg").as("d")),
+        struct(lit("x").as("k"), col("lw").as("cid"), col("degw").as("d")),
+        struct(lit("y").as("k"), col("ccmp").as("cid"), col("degw").as("d"))))
+        .as("kc"))
+      .select(col("kc.k").as("k"), col("kc.cid").as("cid"), col("kc.d").as("d"))
+      .groupBy(col("k"), col("cid"))
+      .agg(coalesce(sum(col("d")), lit(0L)).as("dmass"),
+        count(lit(1)).as("sz"))
+      .groupBy(col("k"))
+      .agg(coalesce(sum(col("dmass") * col("dmass")), lit(0L)).as("degsq"),
+        coalesce(min(col("sz")), lit(0L)).as("mn"),
+        coalesce(max(col("sz")), lit(0L)).as("mx"),
+        coalesce(sum(col("sz")), lit(0L)).as("ssum"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (dl, minSz, maxSz, sumSz) = ps.getOrElse("l", (0L, 0L, 0L, 0L))
+    val (dc, _, maxCsz, _) = ps.getOrElse("c", (0L, 0L, 0L, 0L))
+    val dlw = ps.getOrElse("x", (0L, 0L, 0L, 0L))._1
+    val dcw = ps.getOrElse("y", (0L, 0L, 0L, 0L))._1
+
+    // every invariant is computed — release the caches so nothing squats
+    // on executor storage into the next query
+    Seq(ext, deg, wUnd, wEdges).foreach(_.unpersist(blocking = false))
+    val un = LouvainStats(m2 = m2, nNodes = nNodes, nComps = nComps,
+      maxCsz = maxCsz,
+      nComms = nComms, minSize = minSz, maxSize = maxSz, sumSizes = sumSz,
+      ccModNum = wc * m2 - dc, lvModNum = wl * m2 - dl,
+      valid = valid, refines = refines)
+    val w = WeightedStats(m2 = m2w, nNodes = nNodes, nComps = nComps,
+      nComms = nCommsW,
+      ccModNum = wcw * m2w - dcw, lvModNum = wlw * m2w - dlw,
+      valid = validW, refines = refinesW)
+    (un, w)
+  }
+
+  /** The g08 invariant computation over a cached `wEdges` (src, dst,
+    * weight) table. `sharedCc` carries the fused path's already-computed
+    * components (identical topology); a fresh g08 computes its own.
+    */
+  private def computeWeightedStats(s: SparkSession, wEdges: DataFrame,
+                                   sharedCc: Option[DataFrame]): WeightedStats = {
+    val und = wEdges
+      .union(wEdges.select(col("dst").as("src"), col("src").as("dst"),
+        col("weight")))
+      .cache()
+    val deg = und.groupBy(col("src").as("node_id"))
+      .agg(sum(col("weight")).as("deg")).cache()
+    // one fused scalar job: node count + 2m (= Σ deg, since every und
+    // edge contributes its weight to exactly one src degree)
+    val dstat = deg.agg(count(lit(1)),
+      coalesce(sum(col("deg")), lit(0L))).head()
+    val nNodes = dstat.getLong(0)
+    val m2 = dstat.getLong(1)
+    def small(df: DataFrame): DataFrame =
+      if (nNodes < 1000000L) broadcast(df) else df
+
+    // weighted Louvain: integer co-occurrence weights qualify for the
+    // driver replay (louvainRep probes weight integrality — exact
+    // accumulations survive contraction); same level/sweep budgets as g05
+    val assign = GraphAlgs.louvainDF(wEdges, maxLevels = 2, maxSweeps = 4)
+      .localCheckpoint(true)
+    val cc = sharedCc.getOrElse(GraphAlgs.connectedComponentsUnd(
+      und.select(col("src"), col("dst"))).localCheckpoint(true))
+
     val ext = assign.toDF("node_id", "lc")
       .join(cc.toDF("node_id", "ccmp"), Seq("node_id"), "full")
       .join(deg, Seq("node_id"), "full")
@@ -284,52 +470,37 @@ object GraphQueries {
         .as("bad"),
       countDistinct(col("lc")).as("ncomm"),
       countDistinct(col("ccmp")).as("ncomp"),
-      // refines ⟺ every community meets exactly one component ⟺
-      // #distinct (lc, ccmp) pairs == #distinct lc
       countDistinct(col("lc"), col("ccmp")).as("npair")).head()
     val (nComms, nComps) = (v.getLong(3), v.getLong(4))
     val valid = v.getLong(0) == nNodes && v.getLong(1) == nNodes &&
       v.getLong(2) == 0L
     val refines = nComms == v.getLong(5)
 
-    // exact integer modularity pieces Q·m2² = within·m2 − Σc degc²:
-    // both partitions' within-edge counts in ONE edge join
+    // within-partition WEIGHT sums for both partitions in one edge join
     val j = und
       .join(small(ext.select(col("node_id").as("src"),
         col("lc").as("lcs"), col("ccmp").as("ccs"))), Seq("src"))
       .join(small(ext.select(col("node_id").as("dst"),
         col("lc").as("lcd"), col("ccmp").as("ccd"))), Seq("dst"))
-      .agg(count(when(col("lcs") === col("lcd"), 1)).as("wl"),
-        count(when(col("ccs") === col("ccd"), 1)).as("wc")).head()
+      .agg(coalesce(sum(when(col("lcs") === col("lcd"), col("weight"))), lit(0L)).as("wl"),
+        coalesce(sum(when(col("ccs") === col("ccd"), col("weight"))), lit(0L)).as("wc"))
+      .head()
     val (wl, wc) = (j.getLong(0), j.getLong(1))
 
-    // fused per-partition pass: explode each node into its (partition,
-    // community-id) memberships, aggregate once per community, then once
-    // per partition — degree-mass squares for the modularity numerators
-    // AND the size histogram (count/min/max/sum) in a single job
+    // Σc (weighted degree mass)² per partition, one fused explode pass
     val ps = ext.select(col("deg"), explode(array(
         struct(lit("l").as("k"), col("lc").as("cid")),
         struct(lit("c").as("k"), col("ccmp").as("cid")))).as("kc"))
       .select(col("deg"), col("kc.k").as("k"), col("kc.cid").as("cid"))
       .groupBy(col("k"), col("cid"))
-      .agg(coalesce(sum(col("deg")), lit(0L)).as("dmass"),
-        count(lit(1)).as("sz"))
+      .agg(coalesce(sum(col("deg")), lit(0L)).as("dmass"))
       .groupBy(col("k"))
-      .agg(coalesce(sum(col("dmass") * col("dmass")), lit(0L)).as("degsq"),
-        coalesce(min(col("sz")), lit(0L)).as("mn"),
-        coalesce(max(col("sz")), lit(0L)).as("mx"),
-        coalesce(sum(col("sz")), lit(0L)).as("ssum"))
-      .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
-    val (dl, minSz, maxSz, sumSz) = ps.getOrElse("l", (0L, 0L, 0L, 0L))
-    val (dc, _, maxCsz, _) = ps.getOrElse("c", (0L, 0L, 0L, 0L))
-
-    // every invariant is computed — release the caches so nothing squats
-    // on executor storage into the next query
+      .agg(coalesce(sum(col("dmass") * col("dmass")), lit(0L)).as("degsq"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     Seq(ext, deg, und).foreach(_.unpersist(blocking = false))
-    LouvainStats(m2 = m2, nNodes = nNodes, nComps = nComps, maxCsz = maxCsz,
-      nComms = nComms, minSize = minSz, maxSize = maxSz, sumSizes = sumSz,
-      ccModNum = wc * m2 - dc, lvModNum = wl * m2 - dl,
+    WeightedStats(m2 = m2, nNodes = nNodes, nComps = nComps, nComms = nComms,
+      ccModNum = wc * m2 - ps.getOrElse("c", 0L),
+      lvModNum = wl * m2 - ps.getOrElse("l", 0L),
       valid = valid, refines = refines)
   }
 
@@ -486,88 +657,18 @@ object GraphQueries {
     "weighted Louvain invariants on the multiplicity-weighted graph (Q7 weight column)",
     (s, dir) => {
       import s.implicits._
-      val o = Tables.load(s, dir, "orders")
-      val li = Tables.load(s, dir, "lineitem")
-      // cache the o⋈li aggregate once: louvainDF's representation build,
-      // BOTH und directions, and the invariant jobs all start from it
-      val wEdges = o.join(li, col("o_orderkey") === col("l_orderkey"))
-        .filter(col("l_quantity") === 1 && month(col("l_shipdate")) === 1)
-        .groupBy((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .agg(count(lit(1)).cast("long").as("weight"))
-        .cache()
-      val und = wEdges
-        .union(wEdges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
-        .cache()
-      val deg = und.groupBy(col("src").as("node_id"))
-        .agg(sum(col("weight")).as("deg")).cache()
-      // one fused scalar job: node count + 2m (= Σ deg, since every und
-      // edge contributes its weight to exactly one src degree)
-      val dstat = deg.agg(count(lit(1)),
-        coalesce(sum(col("deg")), lit(0L))).head()
-      val nNodes = dstat.getLong(0)
-      val m2 = dstat.getLong(1)
-      def small(df: DataFrame): DataFrame =
-        if (nNodes < 1000000L) broadcast(df) else df
-
-      // weighted Louvain: integer co-occurrence weights qualify for the
-      // driver replay (louvainRep probes weight integrality — exact
-      // accumulations survive contraction); same level/sweep budgets as g05
-      val assign = GraphAlgs.louvainDF(wEdges, maxLevels = 2, maxSweeps = 4)
-        .localCheckpoint(true)
-      val cc = GraphAlgs.connectedComponentsUnd(
-        und.select(col("src"), col("dst"))).localCheckpoint(true)
-
-      val ext = assign.toDF("node_id", "lc")
-        .join(cc.toDF("node_id", "ccmp"), Seq("node_id"), "full")
-        .join(deg, Seq("node_id"), "full")
-        .cache()
-      val v = ext.agg(
-        count(lit(1)).as("rows"),
-        countDistinct(col("node_id")).as("nd"),
-        count(when(col("lc").isNull || col("ccmp").isNull || col("deg").isNull, 1))
-          .as("bad"),
-        countDistinct(col("lc")).as("ncomm"),
-        countDistinct(col("ccmp")).as("ncomp"),
-        countDistinct(col("lc"), col("ccmp")).as("npair")).head()
-      val (nComms, nComps) = (v.getLong(3), v.getLong(4))
-      val valid = v.getLong(0) == nNodes && v.getLong(1) == nNodes &&
-        v.getLong(2) == 0L
-      val refines = nComms == v.getLong(5)
-
-      // within-partition WEIGHT sums for both partitions in one edge join
-      val j = und
-        .join(small(ext.select(col("node_id").as("src"),
-          col("lc").as("lcs"), col("ccmp").as("ccs"))), Seq("src"))
-        .join(small(ext.select(col("node_id").as("dst"),
-          col("lc").as("lcd"), col("ccmp").as("ccd"))), Seq("dst"))
-        .agg(coalesce(sum(when(col("lcs") === col("lcd"), col("weight"))), lit(0L)).as("wl"),
-          coalesce(sum(when(col("ccs") === col("ccd"), col("weight"))), lit(0L)).as("wc"))
-        .head()
-      val (wl, wc) = (j.getLong(0), j.getLong(1))
-
-      // Σc (weighted degree mass)² per partition, one fused explode pass
-      val ps = ext.select(col("deg"), explode(array(
-          struct(lit("l").as("k"), col("lc").as("cid")),
-          struct(lit("c").as("k"), col("ccmp").as("cid")))).as("kc"))
-        .select(col("deg"), col("kc.k").as("k"), col("kc.cid").as("cid"))
-        .groupBy(col("k"), col("cid"))
-        .agg(coalesce(sum(col("deg")), lit(0L)).as("dmass"))
-        .groupBy(col("k"))
-        .agg(coalesce(sum(col("dmass") * col("dmass")), lit(0L)).as("degsq"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val ccModNum = wc * m2 - ps.getOrElse("c", 0L)
-      val lvModNum = wl * m2 - ps.getOrElse("l", 0L)
-      Seq(ext, deg, und, wEdges).foreach(_.unpersist(blocking = false))
-
-      val inBounds = nComms >= nComps && nComms <= nNodes
-      Seq((ccModNum,
-        if (inBounds) nNodes else -1L,
-        if (lvModNum * 100L >= ccModNum * 95L) nNodes else -1L,
-        nComps, nNodes,
-        if (refines) m2 else -1L,
-        m2,
-        if (valid) nComps else -1L))
+      // memo-aware: a preceding g05/g06 fused run already computed the
+      // weighted invariants from the shared scan + CC; fresh runs pay
+      // only the weighted side (computeWeightedStats)
+      val st = weightedStats(s, dir)
+      val inBounds = st.nComms >= st.nComps && st.nComms <= st.nNodes
+      Seq((st.ccModNum,
+        if (inBounds) st.nNodes else -1L,
+        if (st.lvModNum * 100L >= st.ccModNum * 95L) st.nNodes else -1L,
+        st.nComps, st.nNodes,
+        if (st.refines) st.m2 else -1L,
+        st.m2,
+        if (st.valid) st.nComps else -1L))
         .toDF("cc_mod_num_w", "communities_in_bounds_nodes",
           "louvain_floor_nodes", "n_components", "n_nodes", "refines_m2w",
           "sym_weight", "valid_components")
