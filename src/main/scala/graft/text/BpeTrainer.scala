@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
   * scalar + narrow merge map), which computes the identical merge
   * sequence (forced-path parity pinned in BpeTrainerSpec).
   *
+  * PATH DECISION at real merge counts (r9 VERDICT item 5, measured by
+  * tools/BpeBench on a 50k-word Zipf vocabulary): the incremental driver
+  * loop trains 1k merges in ~11 s and 4k in ~4 s more (vs the naive
+  * full-recount loop's 75 s / 276 s), while the distributed loop costs
+  * ~1 s PER MERGE in job dispatch (~66 s for 64 merges at sf0.1) —
+  * linear with a large constant, so at tokenizer-realistic 1k–32k merges
+  * it is strictly a fallback for vocabularies that exceed `driverLimit`
+  * (above ~2M distinct words, i.e. beyond any single natural language);
+  * its per-merge cost is bounded and it computes the identical sequence.
+  *
   * Determinism: the winning pair each round is (max count, then
   * lexicographically smallest (a, b)) — a total order, so the merge
   * sequence is reproducible on any engine and any partitioning.
@@ -67,17 +77,122 @@ object BpeTrainer {
     if (driverLimit > 0) {
       val probe = vocab.limit(driverLimit + 1).collect()
       if (probe.length <= driverLimit) {
-        return trainLocal(
+        return trainLocalIncremental(
           probe.map(r => (r.getString(0).split(" "), r.getLong(1))), nMerges)
       }
     }
     trainDistributed(vocab, nMerges)
   }
 
-  /** In-memory merge loop — the exact same (count, pair) total order as
-    * the distributed loop.
+  /** Incremental in-memory merge loop — the PRODUCTION driver path at
+    * real merge counts (r9 VERDICT item 5). The naive loop
+    * ([[trainLocal]]) recounts every pair of every word per merge:
+    * O(merges × Σ|word|), which at 1k–32k merges (what actual tokenizers
+    * train) turns quadratic-ish. This loop maintains the pair-count table
+    * INCREMENTALLY (the Sennrich reference-implementation recipe): a
+    * (count desc, pair asc)-ordered index yields each round's winner in
+    * O(log P), and a pair → word-occurrence index confines re-counting to
+    * the words that actually contain the merged pair (stale entries are
+    * filtered by an adjacency re-check). Identical (max count, then
+    * lexicographically smallest pair) total order as the naive and
+    * distributed loops — BpeTrainerSpec pins all three path-parities, and
+    * BpeBench carries the ≥1k-merge measurement behind the path decision.
     */
-  private[text] def trainLocal(vocab0: Array[(Array[String], Long)],
+  private[graft] def trainLocalIncremental(
+      vocab0: Array[(Array[String], Long)],
+      nMerges: Int): Seq[(String, String)] = {
+    val words: Array[Array[String]] = vocab0.map(_._1)
+    val freqs: Array[Long] = vocab0.map(_._2)
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val where = scala.collection.mutable
+      .HashMap.empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    // count DESC, then a ASC, b ASC — first() is the round winner
+    val tree = new java.util.TreeSet[(Long, String, String)](
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(y._1, x._1)
+          if (c != 0) return c
+          val a = x._2.compareTo(y._2)
+          if (a != 0) a else x._3.compareTo(y._3)
+        }
+      })
+    def bump(p: (String, String), delta: Long): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      if (old != 0L) tree.remove((old, p._1, p._2))
+      val nw = old + delta
+      if (nw != 0L) { counts(p) = nw; tree.add((nw, p._1, p._2)) }
+      else counts.remove(p)
+    }
+    def index(p: (String, String), i: Int): Unit =
+      where.getOrElseUpdate(p,
+        scala.collection.mutable.HashSet.empty[Int]) += i
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      var k = 0
+      while (k < w.length - 1) {
+        bump((w(k), w(k + 1)), freqs(i)); index((w(k), w(k + 1)), i)
+        k += 1
+      }
+      i += 1
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (merges.length < nMerges && !tree.isEmpty) {
+      val top = tree.first()
+      val (a, b) = (top._2, top._3)
+      merges += ((a, b))
+      val occ = where.getOrElse((a, b),
+        scala.collection.mutable.HashSet.empty[Int]).toArray
+      var oi = 0
+      while (oi < occ.length) {
+        val wi = occ(oi)
+        val w = words(wi)
+        // stale-entry filter: the word may have changed since indexing
+        var has = false
+        var k = 0
+        while (!has && k < w.length - 1) {
+          has = w(k) == a && w(k + 1) == b; k += 1
+        }
+        if (has) {
+          k = 0
+          while (k < w.length - 1) { bump((w(k), w(k + 1)), -freqs(wi)); k += 1 }
+          val merged = mergeWord(w, a, b)
+          words(wi) = merged
+          k = 0
+          while (k < merged.length - 1) {
+            bump((merged(k), merged(k + 1)), freqs(wi))
+            index((merged(k), merged(k + 1)), wi)
+            k += 1
+          }
+        }
+        oi += 1
+      }
+      where.remove((a, b))
+      counts.remove((a, b)).foreach(c => tree.remove((c, a, b)))
+    }
+    merges.toSeq
+  }
+
+  /** Leftmost non-overlapping application of one merge to a symbol array
+    * — shared by the naive and incremental loops.
+    */
+  private def mergeWord(syms: Array[String], a: String,
+                        b: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2 // leftmost, non-overlapping
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Naive in-memory merge loop — full pair recount per round; the exact
+    * same (count, pair) total order as the incremental and distributed
+    * loops, kept as the differential reference for both.
+    */
+  private[graft] def trainLocal(vocab0: Array[(Array[String], Long)],
                                nMerges: Int): Seq[(String, String)] = {
     var vocab = vocab0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -97,16 +212,7 @@ object BpeTrainer {
         val (a, b) = counts.toSeq
           .minBy { case ((x, y), c) => (-c, x, y) }._1
         merges += ((a, b))
-        vocab = vocab.map { case (syms, freq) =>
-          val out = Array.newBuilder[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
-              out += (a + b); i += 2 // leftmost, non-overlapping
-            } else { out += syms(i); i += 1 }
-          }
-          (out.result(), freq)
-        }
+        vocab = vocab.map { case (syms, freq) => (mergeWord(syms, a, b), freq) }
       }
     }
     merges.toSeq

@@ -32,6 +32,26 @@ class BpeTrainerSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(viaCluster == viaDriver)
   }
 
+  test("incremental loop == naive loop on randomized corpora (full drain)") {
+    // the production driver path maintains pair counts incrementally with
+    // an ordered winner index; pin its merge sequence against the naive
+    // full-recount loop on randomized multi-word corpora, drained until no
+    // pairs remain so every (count, tie-break) regime is crossed
+    val rnd = new scala.util.Random(0xC0FFEE)
+    for (trial <- 1 to 8) {
+      val vocab = (1 to (5 + rnd.nextInt(20))).map { _ =>
+        val w = (1 to (1 + rnd.nextInt(8)))
+          .map(_ => ("abcd").charAt(rnd.nextInt(4)).toString).toArray :+ "</w>"
+        (w, (1 + rnd.nextInt(9)).toLong)
+      }.toArray
+      val deep = 500 // far past drain for these sizes
+      val naive = BpeTrainer.trainLocal(vocab.map { case (w, f) => (w.clone, f) }, deep)
+      val incr = BpeTrainer.trainLocalIncremental(
+        vocab.map { case (w, f) => (w.clone, f) }, deep)
+      assert(incr == naive, s"trial $trial: $incr vs $naive")
+    }
+  }
+
   test("encodeWords applies merges leftmost non-overlapping; unseen chars survive") {
     import spark.implicits._
     val out = BpeTrainer
