@@ -35,7 +35,13 @@ case class PipelineConfig(
     githubContributorsParquet: Option[String] = None,
     erThresholds: Map[String, Double] = Map(),
     quoteAll: Boolean = true,
-    rssFeedDir: Option[String] = None)
+    rssFeedDir: Option[String] = None,
+    /** Learned ER pair scorer (J7's spark.ml variant): when set, stage D
+      * clusters with P(match) from this model instead of the threshold
+      * features; the 0.5 default threshold is the sigmoid's natural
+      * decision boundary (EntityResolution.cluster doc).
+      */
+    erScorer: Option[org.apache.spark.ml.classification.LogisticRegressionModel] = None)
 
 object CyberPipeline {
 
@@ -120,7 +126,9 @@ object CyberPipeline {
         .select(col("alert_id"), col("id"), col("label"), col("type")),
       s"$work/alert_ner")
     val (clustered, best, weights) =
-      EntityResolution.resolve(ner, conf.erThresholds)
+      EntityResolution.resolve(ner, conf.erThresholds,
+        defaultThreshold = if (conf.erScorer.isDefined) 0.5 else 0.6,
+        scorer = conf.erScorer)
     val nerNodes = clustered.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("weight"))
       .join(best.select(col("cluster_id"), col("best_label").as("ner")), Seq("cluster_id"))

@@ -87,6 +87,38 @@ class PipelineSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(labels == Set("evil", "initech systems"))
   }
 
+  test("pipeline: learned ER scorer path reproduces the golden ER outputs") {
+    // r9 VERDICT item 6: the scorer=Some(...) path exercised END-TO-END
+    // through stage D, not only in ErEvalSpec isolation. Train the J7
+    // spark.ml pair scorer on a tiny labeled set (same-or-variant org
+    // names match, unrelated ones don't), run the WHOLE pipeline with it,
+    // and require the same golden ER outputs as the threshold path.
+    val labeled = Seq(
+      ("evil", "evil", "ORG", 1.0),
+      ("acme systems", "acme systems", "ORG", 1.0),
+      ("evil corp", "evil corporation", "ORG", 1.0),
+      ("globex", "globex inc", "ORG", 1.0),
+      ("initech systems", "initech", "ORG", 1.0),
+      ("evil", "initech systems", "ORG", 0.0),
+      ("acme systems", "globex", "ORG", 0.0),
+      ("umbrella", "wayne enterprises", "ORG", 0.0),
+      ("initech systems", "globex inc", "ORG", 0.0),
+      ("evil", "acme systems", "ORG", 0.0))
+      .toDF("label_a", "label_b", "type", "is_match")
+    val model = graft.er.EntityResolution.trainPairScorer(labeled)
+    val b = Files.createTempDirectory("graft_pipeline_learned").toString
+    val confLearned = conf.copy(workDir = s"$b/work", outDir = s"$b/out",
+      erScorer = Some(model))
+    val counts = CyberPipeline.run(spark, confLearned, nerFixture)
+    // identical golden ER floors as the threshold path's run
+    assert(counts("alert_ner_label_weights") == 3)
+    assert(counts("ner_node") == 2)
+    val weights = Csv.read(spark, s"${confLearned.outDir}/alert_ner_label_weights")
+    val labels = weights.select(col("best_label")).distinct()
+      .as[String].collect().toSet
+    assert(labels == Set("evil", "initech systems"))
+  }
+
   test("pipeline: RSS feed entries flow through the streaming path into every stage") {
     // fresh work/out dirs: this test must not resume from the other
     // tests' alerts_clean checkpoint, which predates the feed union
