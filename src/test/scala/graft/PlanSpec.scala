@@ -70,8 +70,8 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     // BroadcastNestedLoopJoin; the data side never shuffles); graph
     // algorithms execute iterative jobs on build and streaming queries
     // run a sink, so both are covered by their own suites
-    val skip = Set("a01_knn_cosine", "a03_ivf_knn", "d11_semantic_dedup",
-      "t23_curate_learned")
+    val skip = Set("a01_knn_cosine", "a03_ivf_knn", "a07_ivfpq_refine",
+      "d11_semantic_dedup", "t23_curate_learned")
     val sweep = graft.SparkEntry.registry.filter(q =>
       !skip(q.name) && !q.name.startsWith("g0") && !q.name.startsWith("st"))
     assert(sweep.size >= 40, s"sweep unexpectedly small: ${sweep.size}")
