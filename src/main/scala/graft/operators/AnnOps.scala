@@ -308,7 +308,13 @@ object AnnOps {
     * constants. Centroids live in one in-memory DataFrame of k rows.
     */
   def kmeansCentroids(e: DataFrame, k: Int = 16, iters: Int = 2): DataFrame = {
-    var cents = e.filter(col("vec_id") < k)
+    // seed with the k SMALLEST vec_ids present (TakeOrderedAndProject, no
+    // full sort) — NOT `vec_id < k`: the input may be a filtered subset
+    // (semanticDedupTrained over decile survivors) or an offset id space
+    // (sharded corpora), where a literal id threshold finds few or zero
+    // seeds and the quantizer silently degenerates (r10 review finding).
+    // Identical to the old convention whenever ids are dense from 0.
+    var cents = e.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("c_id"), col("emb").as("c_emb"), col("norm").as("c_norm"))
     var i = 0
     while (i < iters) {
@@ -345,7 +351,7 @@ object AnnOps {
     val cents = kmeansCentroids(e, k, iters).cache()
     cents.count()
     val out = ivfSearch(e, cents, nProbes, topK).localCheckpoint(true)
-    cents.unpersist(blocking = false)
+    Seq(cents, e).foreach(_.unpersist(blocking = false))
     out
   }
 
@@ -372,7 +378,12 @@ object AnnOps {
       val e = embTable(s, dir)
       val seeds = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("c_id"), col("emb").as("c_emb"), col("norm").as("c_norm"))
-      ivfSearch(e, seeds)
+      // materialize the small top-k result, then release the corpus-sized
+      // embTable cache (r10 review: the hygiene fix freed only the k-row
+      // frames while the corpus cache accumulated per call)
+      val out = ivfSearch(e, seeds).localCheckpoint(true)
+      e.unpersist(blocking = false)
+      out
     },
     Some("""WITH e AS (SELECT vec_id,
               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -615,13 +626,17 @@ object AnnOps {
     */
   def ivfPqKnn(s: SparkSession, dir: String, kCells: Int = 16,
                nProbes: Int = 2, topK: Int = 10): DataFrame = {
-    val scored = ivfPqAdcScored(embTable(s, dir), kCells, nProbes)
+    val e = embTable(s, dir)
+    val scored = ivfPqAdcScored(e, kCells, nProbes)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+    val out = scored.withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= topK)
       .select(col("q_id"), col("vec_id"), col("rank"), col("adc"))
       .orderBy(col("q_id"), col("rank"))
+      .localCheckpoint(true)
+    e.unpersist(blocking = false)
+    out
   }
 
   /** The IVF-PQ candidate scoring shared by [[ivfPqKnn]] and
@@ -717,7 +732,7 @@ object AnnOps {
         col("norm").as("q_norm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    shortlist.join(e, Seq("vec_id"))
+    val out = shortlist.join(e, Seq("vec_id"))
       .join(broadcast(q), Seq("q_id"))
       .withColumn("cos", round(
         vecDot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm")), 6))
@@ -725,6 +740,9 @@ object AnnOps {
       .filter(col("rank") <= topK)
       .select(col("q_id"), col("vec_id"), col("rank"), col("cos"))
       .orderBy(col("q_id"), col("rank"))
+      .localCheckpoint(true)
+    e.unpersist(blocking = false)
+    out
   }
 
   val a07 = QueryDef(

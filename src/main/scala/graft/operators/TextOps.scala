@@ -790,18 +790,21 @@ object TextOps {
   /** Oracle gate for the t21 sketch twin (the e07-beside-e06 pattern,
     * r9 VERDICT item 3): run [[corpusProfileApprox]] — the 100 TB path —
     * and hash-pin its EXACT columns (docs/tokens/chars totals are plain
-    * sums in both forms) while the sketch columns land as PROVEN-BOUND
-    * booleans the oracle pins literally TRUE:
+    * sums in both forms) while each sketch bound is VALUE-ENCODED in the
+    * g06 convention (no literal-TRUE pins): the gate emits a value the
+    * oracle independently recomputes only when the bound holds, −1
+    * otherwise —
     *
-    *  - `uniq_within_5pct`: HLL++ estimate within e07's 5% bar (+1 for
-    *    tiny groups) of the exact distinct-hash count;
-    *  - `pXX_in_bound`: each GK quantile is the `nc` of a row whose rank
-    *    sits within the sketch's guaranteed ±⌊n/accuracy⌋ rank error
-    *    (+2 slack for the ceil-vs-floor target-rank convention gap) of
-    *    the t21 nearest-rank target — checked against the true ranked
-    *    values, so a sketch that drifted out of its guarantee fails the
-    *    hash, not a soft tolerance;
-    *  - `quartiles_ordered`: monotone p25 ≤ p50 ≤ p75.
+    *  - `n_unique_exact_ok`: the exact distinct-hash count, emitted when
+    *    the HLL++ estimate sits within e07's 5% bar (+1 for tiny groups);
+    *  - `pXX_lo_ok`: the lower rank-bound value, emitted when the GK
+    *    quantile is the `nc` of a row whose rank sits within the
+    *    sketch's guaranteed ±⌊n/accuracy⌋ rank error (+2 slack for the
+    *    ceil-vs-floor target-rank convention gap) of the t21
+    *    nearest-rank target — a sketch that drifted out of its guarantee
+    *    flips the value and fails the hash;
+    *  - `quartiles_ordered_docs`: the group row count, emitted when
+    *    p25 ≤ p50 ≤ p75.
     *
     * The exact side reuses t21's window form — affordable at gate scale,
     * and exactly the honesty cross-check a user runs once per corpus
@@ -833,31 +836,49 @@ object TextOps {
           boundVal(25, lo = true).as("lo25"), boundVal(25, lo = false).as("hi25"),
           boundVal(50, lo = true).as("lo50"), boundVal(50, lo = false).as("hi50"),
           boundVal(75, lo = true).as("lo75"), boundVal(75, lo = false).as("hi75"))
+      // VALUE-ENCODED invariants (the g06 convention, r9 'no literal-TRUE
+      // pins' rule): each sketch bound emits a value DuckDB independently
+      // recomputes — the exact distinct count, the lower rank-bound
+      // quantile value, the group row count — only when the bound holds,
+      // else −1. A Spark-side bug that made a bound trivially true would
+      // still have to reproduce the oracle's exact value to hash-match.
       ap.join(exact, Seq("source", "lang"))
         .select(col("source"), col("lang"),
           col("n_docs"), col("n_tokens"), col("n_chars"),
-          (abs(col("n_unique_texts") - col("exact_uniq")).cast("double") <=
-            col("exact_uniq").cast("double") * 0.05 + 1).as("uniq_within_5pct"),
-          (col("len_p25") >= col("lo25") && col("len_p25") <= col("hi25"))
-            .as("p25_in_bound"),
-          (col("len_p50") >= col("lo50") && col("len_p50") <= col("hi50"))
-            .as("p50_in_bound"),
-          (col("len_p75") >= col("lo75") && col("len_p75") <= col("hi75"))
-            .as("p75_in_bound"),
-          (col("len_p25") <= col("len_p50") && col("len_p50") <= col("len_p75"))
-            .as("quartiles_ordered"))
+          when(abs(col("n_unique_texts") - col("exact_uniq")).cast("double") <=
+            col("exact_uniq").cast("double") * 0.05 + 1, col("exact_uniq"))
+            .otherwise(lit(-1L)).as("n_unique_exact_ok"),
+          when(col("len_p25") >= col("lo25") && col("len_p25") <= col("hi25"),
+            col("lo25")).otherwise(lit(-1L)).as("p25_lo_ok"),
+          when(col("len_p50") >= col("lo50") && col("len_p50") <= col("hi50"),
+            col("lo50")).otherwise(lit(-1L)).as("p50_lo_ok"),
+          when(col("len_p75") >= col("lo75") && col("len_p75") <= col("hi75"),
+            col("lo75")).otherwise(lit(-1L)).as("p75_lo_ok"),
+          when(col("len_p25") <= col("len_p50") && col("len_p50") <= col("len_p75"),
+            col("n_docs")).otherwise(lit(-1L)).as("quartiles_ordered_docs"))
         .orderBy(col("source"), col("lang"))
     },
-    Some("""SELECT source, lang,
-             COUNT(*) AS n_docs,
-             CAST(SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT))
-               AS BIGINT) AS n_tokens,
-             CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS n_chars,
-             TRUE AS uniq_within_5pct,
-             TRUE AS p25_in_bound, TRUE AS p50_in_bound, TRUE AS p75_in_bound,
-             TRUE AS quartiles_ordered
-      FROM documents WHERE length(trim(text)) > 0
-      GROUP BY source, lang ORDER BY source, lang"""))
+    Some("""WITH b AS (SELECT source, lang, doc_id,
+              CAST(length(text) AS BIGINT) AS nc,
+              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nw,
+              md5(text) AS h
+            FROM documents WHERE length(trim(text)) > 0),
+      r AS (SELECT *,
+              row_number() OVER (PARTITION BY source, lang ORDER BY nc, doc_id) AS rk,
+              COUNT(*) OVER (PARTITION BY source, lang) AS n
+            FROM b)
+      SELECT source, lang, COUNT(*) AS n_docs,
+             CAST(SUM(nw) AS BIGINT) AS n_tokens,
+             CAST(SUM(nc) AS BIGINT) AS n_chars,
+             CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_exact_ok,
+             MAX(CASE WHEN rk = GREATEST(1, (n * 25 + 99) // 100 - (n // 10000 + 2))
+                 THEN nc END) AS p25_lo_ok,
+             MAX(CASE WHEN rk = GREATEST(1, (n * 50 + 99) // 100 - (n // 10000 + 2))
+                 THEN nc END) AS p50_lo_ok,
+             MAX(CASE WHEN rk = GREATEST(1, (n * 75 + 99) // 100 - (n // 10000 + 2))
+                 THEN nc END) AS p75_lo_ok,
+             COUNT(*) AS quartiles_ordered_docs
+      FROM r GROUP BY source, lang ORDER BY source, lang"""))
 
   /** Scalable twin of t22's window form: at 100 TB a handful of sources
     * means a handful of ENORMOUS window partitions — a per-source

@@ -90,7 +90,8 @@ object QualityModel {
       score(docs, model).filter(col("quality_prob") >= minProb)
         .select("doc_id"), Seq("doc_id"), "left_semi")
     if (keepUnscoreable)
-      kept.unionByName(docs.filter(length(trim(col("text"))) === 0))
+      kept.unionByName(docs.filter(
+        col("text").isNull || length(trim(col("text"))) === 0))
     else kept
   }
 }

@@ -168,6 +168,29 @@ class TrainPrepOpsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(deduped.length < twin.length, "near-identical angles must dedup")
   }
 
+  test("t23 scale twin survives offset id spaces (seeds are smallest PRESENT ids)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // r10 review finding: kmeansCentroids used to seed via `vec_id < k`,
+    // which finds ZERO seeds when the id space starts above kAuto (sharded
+    // corpora, key-shifted rehearsal copies) — the whole curated corpus
+    // silently vanished. Seeds are now the k smallest ids present.
+    val off = 1000000L
+    val docsDf = (0 until 40).map { i =>
+      val toks = (0 until (3 + i % 5)).map(j => s"t${(i * 7 + j * j) % 23}")
+      (off + i, "s0", "en", (toks ++ toks.take(2)).mkString(" "))
+    }.toDF("doc_id", "source", "lang", "text")
+    val embDf = (0 until 40).map { i =>
+      val a = (i % 20) * 0.3
+      (off + i, Seq(math.cos(a), math.sin(a)))
+    }.toDF("vec_id", "emb")
+    val out = TextOps.curateLearnedScalable(docsDf, embDf, tau = 2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length >= 30, s"only ${out.length} rows survived — degenerate quantizer")
+    assert(out.forall(_._1 >= off))
+    assert(out.map(_._2).toSet.forall(_ >= off), "centroid ids must be survivor ids")
+  }
+
   test("d11 trained path: Lloyd centroids preserve the drop set on separated clusters") {
     import spark.implicits._
     val emb = Seq(

@@ -61,12 +61,14 @@ class QualityModelSpec extends AnyFunSuite with graft.SparkTestSession {
     val withBlanks = testDf.select("doc_id", "text", "is_quality")
       .unionByName(Seq((900L, "", 0.0), (901L, "     ", 0.0))
         .toDF("doc_id", "text", "is_quality"))
+      .unionByName(Seq((902L, Option.empty[String], 0.0))
+        .toDF("doc_id", "text", "is_quality"))
     val dropped = QualityModel.keep(withBlanks, model, 0.5).collect()
       .map(_.getLong(0)).toSet
-    assert(!dropped.contains(900L) && !dropped.contains(901L))
+    assert(Set(900L, 901L, 902L).forall(!dropped.contains(_)))
     val passed = QualityModel.keep(withBlanks, model, 0.5,
       keepUnscoreable = true).collect().map(_.getLong(0)).toSet
-    assert(passed == dropped + 900L + 901L)
+    assert(passed == dropped + 900L + 901L + 902L) // incl. null text
   }
 
   test("corpus-side scoring plans no shuffle (narrow projection)") {
