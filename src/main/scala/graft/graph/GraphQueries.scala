@@ -255,9 +255,15 @@ object GraphQueries {
           // only the designated producer (g05, first in registry order)
           // pays for the weighted side — a fresh g06 (isolated refloor,
           // bench rep) computes just what it emits, the same principle
-          // the lean fresh-g08 path follows (r10 review finding)
+          // the lean fresh-g08 path follows (r10 review finding). A
+          // weighted-less recompute must NOT clobber a w-carrying entry
+          // g08 has yet to consume (bench reps: g06 rep 2 would otherwise
+          // overwrite g05's entry and strand g08 on its fresh path).
           val (un, w) = computeFusedStats(s, dir, withWeighted = gate == "g05")
-          statsMemo.set(Some(MemoEntry(gate, dir, un, w, Set.empty)))
+          val keepExisting = w.isEmpty &&
+            statsMemo.get().exists(e => e.dir == dir && e.w.isDefined)
+          if (!keepExisting)
+            statsMemo.set(Some(MemoEntry(gate, dir, un, w, Set.empty)))
           un
       }
     }
