@@ -705,21 +705,27 @@ object DedupOps {
     * keyed by doc_id. The oracle replays the same minhash chain in SQL
     * and closes it with the recursive min-label CTE used by g03.
     */
-  val d06 = QueryDef(
-    "d06_dedup_resolve",
-    "near-dup clusters -> canonical doc map (LSH pairs + transitive closure)",
-    (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val pairs = minhashLshPairs(docs).select(col("doc_a"), col("doc_b"))
-      val comp = graft.graph.GraphAlgs.connectedComponents(
-        graft.graph.GraphAlgs.buildGraph(pairs, "doc_a", "doc_b"))
-      docs.select(col("doc_id")).distinct()
-        .join(comp, col("doc_id") === col("node_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("component"), col("doc_id")).as("canonical_id"))
-        .orderBy(col("doc_id"))
-    },
-    Some(s"""WITH RECURSIVE ${minhashPairsSql("documents", 0.3, "")},
+  /** d06 core, reused by d13: the total (doc_id → canonical_id) map from
+    * the LSH pair set's transitive closure (unpaired docs map to
+    * themselves).
+    */
+  private[graft] def canonicalMap(docs: DataFrame): DataFrame = {
+    val pairs = minhashLshPairs(docs).select(col("doc_a"), col("doc_b"))
+    val comp = graft.graph.GraphAlgs.connectedComponents(
+      graft.graph.GraphAlgs.buildGraph(pairs, "doc_a", "doc_b"))
+    docs.select(col("doc_id")).distinct()
+      .join(comp, col("doc_id") === col("node_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canonical_id"))
+  }
+
+  /** DuckDB replay of [[canonicalMap]] (d06's oracle body, shared with
+    * d13): CTE prologue defining `comp(node, canonical)`, plus the
+    * canonical-id expression to select from the `d LEFT JOIN comp c`
+    * closing join.
+    */
+  private[graft] val canonicalMapSqlCtes: String =
+    s"""WITH RECURSIVE ${minhashPairsSql("documents", 0.3, "")},
       und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
               UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
       walk(node, lbl) AS (
@@ -727,8 +733,18 @@ object DedupOps {
         UNION
         SELECT u.b AS node, w.lbl FROM walk w JOIN und u ON u.a = w.node
         WHERE w.lbl < u.b),
-      comp AS (SELECT node, MIN(lbl) AS canonical FROM walk GROUP BY node)
-      SELECT d.doc_id, COALESCE(c.canonical, d.doc_id) AS canonical_id
+      comp AS (SELECT node, MIN(lbl) AS canonical FROM walk GROUP BY node)"""
+
+  private[graft] val canonicalIdSql: String =
+    "COALESCE(c.canonical, d.doc_id)"
+
+  val d06 = QueryDef(
+    "d06_dedup_resolve",
+    "near-dup clusters -> canonical doc map (LSH pairs + transitive closure)",
+    (s, dir) => canonicalMap(Tables.load(s, dir, "documents"))
+      .orderBy(col("doc_id")),
+    Some(s"""$canonicalMapSqlCtes
+      SELECT d.doc_id, $canonicalIdSql AS canonical_id
       FROM (SELECT DISTINCT doc_id FROM documents) d
       LEFT JOIN comp c ON d.doc_id = c.node
       ORDER BY doc_id"""))
@@ -888,6 +904,84 @@ object DedupOps {
              (a.vec_id IN (SELECT vec_id FROM drops)) AS dropped
       FROM assign a ORDER BY a.vec_id"""))
 
+  /** d12 core: cross-document boilerplate-LINE removal — the C4/RefinedWeb
+    * cleanup step that d09's span detector only measures: any line (the
+    * [[TextOps.docLines]] pseudo-line model) appearing in at least
+    * `minDocs` DISTINCT documents is corpus boilerplate (cookie banners,
+    * nav chrome, license headers) and is dropped from every document; the
+    * cleaned text is the kept lines re-joined in position order.
+    *
+    * Scale shape: lines explode linearly (|tokens|/3 rows, never pairs);
+    * the boilerplate set is ONE keyed aggregation (distinct-doc count per
+    * line — two-phase, map-side combinable); flagging is a single
+    * line-keyed left join (AQE broadcasts the boilerplate side when it is
+    * small, and it usually is — bounded by lines crossing the frequency
+    * threshold); the rebuild is one doc-keyed aggregation whose state is
+    * the doc's own lines. No corpus-global window, nothing quadratic.
+    */
+  private[graft] def dropCommonLines(d: DataFrame, minDocs: Int = 4): DataFrame = {
+    val lines = TextOps.docLines(d)
+    val common = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("line"), lit(1L).as("isb"))
+    lines.join(common, Seq("line"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_lines"),
+        sum(when(col("isb").isNull, 1L).otherwise(0L)).cast("bigint").as("n_kept"),
+        collect_list(when(col("isb").isNull, struct(col("pos"), col("line"))))
+          .as("kept"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        (col("n_lines") - col("n_kept")).as("n_dropped"),
+        md5(expr("concat_ws(' ', transform(array_sort(kept), x -> x.line))")
+          .cast("binary")).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d12 = QueryDef(
+    "d12_line_boilerplate",
+    "cross-doc boilerplate-line removal (>=4-doc lines dropped, text rebuilt)",
+    (s, dir) => dropCommonLines(Tables.load(s, dir, "documents")),
+    Some(s"""WITH ${TextOps.docLinesSql()},
+      common AS (SELECT line FROM lines GROUP BY line
+                 HAVING COUNT(DISTINCT doc_id) >= 4),
+      fl AS (SELECT l.doc_id, l.pos, l.line, c.line IS NOT NULL AS isb
+             FROM lines l LEFT JOIN common c ON c.line = l.line)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        CAST(SUM(CASE WHEN isb THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN isb THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        md5(COALESCE(string_agg(line, ' ' ORDER BY pos)
+          FILTER (WHERE NOT isb), '')) AS kept_md5
+      FROM fl GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Leakage-safe train/val/test split — the contamination guard t06's
+    * per-doc hash split cannot give: near-duplicate documents hashed
+    * independently land in DIFFERENT splits ~31% of the time (1 − Σp²),
+    * silently leaking training text into validation. Here the t06 split
+    * rule is applied to the CLUSTER CANONICAL id ([[canonicalMap]], d06's
+    * LSH + transitive closure), so every member of a near-dup cluster
+    * lands in the same split by construction and the split stays
+    * deterministic, seedless, and re-partitioning-stable.
+    *
+    * Scale shape: d06's shapes (LSH band join + CC over the match-bounded
+    * pair set) plus one narrow md5 map on the canonical id — no new
+    * shuffle beyond d06.
+    */
+  val d13 = QueryDef(
+    "d13_leakage_safe_split",
+    "near-dup-cluster-aware 80/10/10 split (t06 rule on d06 canonical ids)",
+    (s, dir) => canonicalMap(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), col("canonical_id"),
+        TextOps.trainSplitColOn(col("canonical_id")).as("split"))
+      .orderBy(col("doc_id")),
+    Some(s"""$canonicalMapSqlCtes
+      SELECT d.doc_id, $canonicalIdSql AS canonical_id,
+        ${TextOps.trainSplitSqlExprOn(canonicalIdSql)} AS split
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      LEFT JOIN comp c ON d.doc_id = c.node
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13)
 }

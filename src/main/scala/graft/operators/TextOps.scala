@@ -175,15 +175,19 @@ object TextOps {
     * [[graft.pipeline.CorpusPipeline.withSplit]] (and mirrored by
     * [[trainSplitSqlExpr]]), so the gate and the pipeline cannot drift.
     */
-  private[graft] def trainSplitCol: Column = {
-    val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+  private[graft] def trainSplitColOn(id: Column): Column = {
+    val h = substring(md5(id.cast("string").cast("binary")), 1, 2)
     when(h < "cd", "train").when(h < "e6", "val").otherwise("test")
   }
 
-  private[graft] val trainSplitSqlExpr: String =
-    """CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
-         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+  private[graft] def trainSplitCol: Column = trainSplitColOn(col("doc_id"))
+
+  private[graft] def trainSplitSqlExprOn(id: String): String =
+    s"""CASE WHEN substring(md5(CAST($id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+         WHEN substring(md5(CAST($id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
          ELSE 'test' END"""
+
+  private[graft] val trainSplitSqlExpr: String = trainSplitSqlExprOn("doc_id")
 
   /** Per-doc (top_word_n, n_tokens) — shared by t09 and the pipeline's
     * quality stage.
@@ -1126,7 +1130,97 @@ object TextOps {
       WHERE a.vec_id NOT IN (SELECT vec_id FROM drops)
       ORDER BY doc_id"""))
 
+  /** Pseudo-LINE model shared by t26 (within-doc duplicate-line fractions)
+    * and d12 (cross-doc boilerplate-line removal). The synthetic corpus has
+    * no newlines, so — the t10 decoration convention — "lines" are
+    * reconstructed deterministically: the token stream is chunked into
+    * 3-token lines, then a boilerplate line ("click here now") is appended
+    * `doc_id % 4` times, giving every fourth doc 0/1/2/3 injected copies.
+    * With the corpus's small vocabulary, 3-token chunks also collide
+    * naturally (within and across documents), so both gates exercise real
+    * and injected repetition. Output: one (doc_id, pos, line) row per
+    * line, pos = 0-based position in the reconstructed document.
+    *
+    * Scale shape: a single narrow map (split + chunk + posexplode) —
+    * row count is |tokens|/3, linear at 100 TB with no shuffle here.
+    */
+  private[graft] def docLines(d: DataFrame, lineTok: Int = 3,
+      boiler: String = "click here now"): DataFrame =
+    d.filter(length(trim(col("text"))) > 0)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"), expr(
+        s"""concat(
+             transform(sequence(0, cast(ceil(size(toks) / $lineTok.0) as int) - 1),
+               i -> concat_ws(' ', slice(toks, i * $lineTok + 1, $lineTok))),
+             array_repeat('$boiler', cast(doc_id % 4 as int)))""").as("arr"))
+      .select(col("doc_id"), posexplode(col("arr")).as(Seq("pos", "line")))
+
+  /** DuckDB CTE replaying [[docLines]]: defines `lines(doc_id, pos, line)`.
+    * Prepend as `WITH $docLinesSql, ...`.
+    */
+  private[graft] def docLinesSql(lineTok: Int = 3,
+      boiler: String = "click here now"): String =
+    s"""ltt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+             FROM documents WHERE length(trim(text)) > 0),
+      lnn AS (SELECT doc_id, toks,
+                CAST(ceil(len(toks) / $lineTok.0) AS INT) AS nc FROM ltt),
+      lines AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(toks[i*$lineTok+1 : i*$lineTok+$lineTok], ' ') AS line
+        FROM (SELECT doc_id, toks, unnest(range(nc)) AS i FROM lnn) u1
+        UNION ALL
+        SELECT doc_id, nc + j AS pos, '$boiler' AS line
+        FROM (SELECT doc_id, nc, unnest(range(doc_id % 4)) AS j FROM lnn) u2)"""
+
+  /** t26 core over any documents-shaped frame, factored for the spec's
+    * hand fixture. Two keyed aggregations, both map-side combinable —
+    * (doc, line) counts then the per-doc fold; all counters are exact
+    * integers, the two fractions are single double divisions (the t09
+    * float convention).
+    */
+  private[graft] def dupLineStats(d: DataFrame): DataFrame =
+    docLines(d)
+      .groupBy(col("doc_id"), col("line"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).cast("bigint").as("n_lines"),
+        sum(col("n") - 1).cast("bigint").as("n_dup_lines"),
+        sum(col("n") * length(col("line"))).cast("bigint").as("line_chars"),
+        sum((col("n") - 1) * length(col("line"))).cast("bigint").as("dup_chars"))
+      .select(col("doc_id"), col("n_lines"), col("n_dup_lines"),
+        (col("n_dup_lines").cast("double") / col("n_lines").cast("double"))
+          .as("dup_line_frac"),
+        (col("dup_chars").cast("double") / col("line_chars").cast("double"))
+          .as("dup_char_frac"))
+      .orderBy(col("doc_id"))
+
+  /** Duplicate-LINE fractions — the Gopher/MassiveText repetition filters
+    * at line granularity, beside t09's token n-gram fractions: per doc,
+    * the fraction of lines that are repeats of an earlier line (each
+    * distinct line's occurrences beyond the first) by COUNT and by
+    * CHARACTER MASS. Documents full of repeated lines (navigation chrome,
+    * cookie banners, templated listings) score high on both and get cut;
+    * the char-mass variant catches a few long repeated lines that the
+    * count variant underweights. The paragraph-granularity twin is this
+    * same operator at a larger [[docLines]] chunk width.
+    */
+  val t26 = QueryDef(
+    "t26_dup_lines",
+    "Gopher repetition filters: duplicate-line count + char-mass fractions",
+    (s, dir) => dupLineStats(docs(s, dir)),
+    Some(s"""WITH ${docLinesSql()},
+      c AS (SELECT doc_id, line, COUNT(*) AS n, length(line) AS len
+            FROM lines GROUP BY doc_id, line, length(line))
+      SELECT doc_id,
+        CAST(SUM(n) AS BIGINT) AS n_lines,
+        CAST(SUM(n - 1) AS BIGINT) AS n_dup_lines,
+        CAST(SUM(n - 1) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS dup_line_frac,
+        CAST(SUM((n - 1) * len) AS DOUBLE) / CAST(SUM(n * len) AS DOUBLE)
+          AS dup_char_frac
+      FROM c GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t13, t14, t15,
-      t17, t18, t19, t20, t21, t22, t23, t24, t25)
+      t17, t18, t19, t20, t21, t22, t23, t24, t25, t26)
 }

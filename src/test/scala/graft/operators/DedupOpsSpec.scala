@@ -187,4 +187,29 @@ class DedupOpsSpec extends AnyFunSuite with graft.SparkTestSession {
     val got = df.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
     assert(got.exists { case (a, b, j) => a == "doc5" && b == "doc6" && math.abs(j - 0.5) < 1e-12 })
   }
+
+  test("d13: near-dup cluster members share a split the naive rule would leak across") {
+    import spark.implicits._
+    // docs 0 and 1 are exact dups -> one LSH cluster, canonical 0.
+    // md5("0") starts 'cf' (val), md5("1") starts 'c4' (train): the naive
+    // t06 per-doc rule splits this cluster across val AND train — the
+    // leak d13 exists to prevent. md5("7") starts '8f' (train).
+    val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val fix = Seq(
+      (0L, dup), (1L, dup),
+      (7L, "completely different singleton content with its own words only here")
+    ).toDF("doc_id", "text")
+    val naive = TextOps.trainSplitColOn(col("doc_id"))
+    assert(fix.select(col("doc_id"), naive).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(0L -> "val", 1L -> "train", 7L -> "train")) // the leak is real
+    val got = DedupOps.canonicalMap(fix)
+      .select(col("doc_id"), col("canonical_id"),
+        TextOps.trainSplitColOn(col("canonical_id")).as("split"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got == Map(
+      0L -> ((0L, "val")), 1L -> ((0L, "val")), // cluster pinned together
+      7L -> ((7L, "train"))))                   // singleton keeps its own
+  }
 }

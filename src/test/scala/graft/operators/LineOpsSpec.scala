@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the pseudo-line family: the shared line model (docLines),
+  * the Gopher duplicate-line fractions (t26), and cross-doc boilerplate
+  * removal (d12) — each pinned on a hand-computed fixture.
+  */
+class LineOpsSpec extends AnyFunSuite with graft.SparkTestSession {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  // doc_id % 4 boilerplate copies; 3-token chunks; doc 7 is unscoreable.
+  private def fixture = {
+    import spark.implicits._
+    Seq(
+      (0L, "a b c a b c"), // chunks: "a b c","a b c"; no boiler
+      (1L, "x y z p q"),   // chunks: "x y z","p q"; 1 boiler
+      (2L, "m n o"),       // chunk: "m n o"; 2 boiler
+      (3L, "a b c"),       // chunk: "a b c"; 3 boiler
+      (7L, "   ")          // whitespace-only: filtered
+    ).toDF("doc_id", "text")
+  }
+
+  test("docLines: chunking, boilerplate injection, and positions") {
+    val got = TextOps.docLines(fixture).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sortBy(x => (x._1, x._2))
+    val b = "click here now"
+    assert(got.toSeq == Seq(
+      (0L, 0, "a b c"), (0L, 1, "a b c"),
+      (1L, 0, "x y z"), (1L, 1, "p q"), (1L, 2, b),
+      (2L, 0, "m n o"), (2L, 1, b), (2L, 2, b),
+      (3L, 0, "a b c"), (3L, 1, b), (3L, 2, b), (3L, 3, b)))
+  }
+
+  test("t26: duplicate-line count and char-mass fractions, hand-computed") {
+    val out = TextOps.dupLineStats(fixture).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L)) // blank doc filtered
+    assert(out(0L) == ((2L, 1L, 0.5, 0.5)))   // "a b c" twice (5 of 10 chars dup)
+    assert(out(1L) == ((3L, 0L, 0.0, 0.0)))   // all three lines distinct
+    assert(out(2L) == ((3L, 1L, 1.0 / 3.0, 14.0 / 33.0))) // boiler x2
+    assert(out(3L) == ((4L, 2L, 0.5, 28.0 / 47.0)))       // boiler x3
+  }
+
+  test("d12: >=minDocs-doc lines drop everywhere, text rebuilt in order") {
+    // at minDocs=2: "a b c" (docs 0,3) and the boiler (docs 1,2,3) are
+    // corpus boilerplate; "x y z"/"p q"/"m n o" are each single-doc.
+    val out = DedupOps.dropCommonLines(fixture, minDocs = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(0L) == ((2L, 0L, 2L, md5hex(""))))
+    assert(out(1L) == ((3L, 2L, 1L, md5hex("x y z p q"))))
+    assert(out(2L) == ((3L, 1L, 2L, md5hex("m n o"))))
+    assert(out(3L) == ((4L, 0L, 4L, md5hex(""))))
+  }
+
+  test("line family is invariant to input partitioning") {
+    val base = TextOps.dupLineStats(fixture).collect().toSeq
+    val rep = TextOps.dupLineStats(fixture.repartition(5)).collect().toSeq
+    assert(rep == base)
+    val base2 = DedupOps.dropCommonLines(fixture, minDocs = 2).collect().toSeq
+    val rep2 = DedupOps.dropCommonLines(fixture.repartition(5), minDocs = 2)
+      .collect().toSeq
+    assert(rep2 == base2)
+  }
+}
