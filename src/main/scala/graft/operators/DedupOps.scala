@@ -957,7 +957,8 @@ object DedupOps {
 
   /** Leakage-safe train/val/test split — the contamination guard t06's
     * per-doc hash split cannot give: near-duplicate documents hashed
-    * independently land in DIFFERENT splits ~31% of the time (1 − Σp²),
+    * independently land in DIFFERENT splits ~34% of the time (1 − Σp²
+    * with p ≈ 0.80/0.10/0.10),
     * silently leaking training text into validation. Here the t06 split
     * rule is applied to the CLUSTER CANONICAL id ([[canonicalMap]], d06's
     * LSH + transitive closure), so every member of a near-dup cluster
