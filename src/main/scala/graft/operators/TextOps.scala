@@ -1220,7 +1220,255 @@ object TextOps {
           AS dup_char_frac
       FROM c GROUP BY doc_id ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- t27
+  // DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+  // select pool documents whose hashed-n-gram profile looks like a target
+  // corpus, by the likelihood ratio of two smoothed bag-of-buckets models.
+
+  /** First `n` md5 hex chars of `c` (a binary column) as a long — the
+    * engine-agnostic hash family (the SketchOps/t06 md5 convention,
+    * generalized to n chars). Mirrored by [[md5HexIntSql]].
+    */
+  private def md5HexIntCol(c: Column, n: Int): Column =
+    conv(substring(md5(c), 1, n), 16, 10).cast("long")
+
+  /** DuckDB twin of [[md5HexIntCol]] over SQL expression `arg` (a VARCHAR):
+    * positional strpos folds, the SketchOps bucketSql idiom at width n.
+    */
+  private def md5HexIntSql(arg: String, n: Int): String = {
+    val terms = (1 to n).map { i =>
+      val p = math.pow(16, (n - i).toDouble).toLong
+      s"(strpos('0123456789abcdef', substring(md5($arg), $i, 1)) - 1) * $p"
+    }
+    s"(${terms.mkString(" + ")})"
+  }
+
+  /** DSIR core shared by the t27 gate and [[dsirResampleScalable]]:
+    * per-doc importance weight + deterministic Gumbel key, NO selection.
+    *
+    * Model: every doc's unigrams and bigrams hash into `buckets` cells
+    * (first-2-hex md5, the repo's engine-agnostic convention); the target
+    * distribution is the bucket profile of docs with `source =
+    * targetSource`, the pool distribution is the whole corpus, both
+    * add-one smoothed. log w(doc) = Σ_b c_b · (ln p_t[b] − ln p_r[b]),
+    * ROUND 6 (the t18/g04 cross-engine float convention). The Gumbel key
+    * implements the paper's Gumbel-top-k resampling seedlessly: u from
+    * the first-6-hex md5 of doc_id (the t20 seeded-shuffle idiom), key =
+    * logw − ln(−ln u), ROUND 6.
+    *
+    * Scale shape: the gram stream collapses IMMEDIATELY to per-(doc,
+    * bucket) counts (one map-side-combinable groupBy; ≤ `buckets` rows
+    * per doc); both model tables are ≤ `buckets` rows and broadcast; the
+    * weight is one more doc-keyed aggregation. The only driver scalars
+    * are the two corpus totals. No windows, nothing quadratic — linear
+    * in the token stream at 100 TB.
+    */
+  private[graft] def dsirKeyed(docsDf: DataFrame, targetSource: String,
+      buckets: Int = 256): DataFrame = {
+    require(buckets == 256, "bucket family is the 2-hex-char md5 convention")
+    val toks = docsDf.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("source"),
+        split(trim(col("text")), "\\s+").as("t"))
+    val grams = toks.select(col("doc_id"), col("source"), explode(expr(
+      """concat(t, zip_with(slice(t, 1, size(t) - 1),
+                            slice(t, 2, size(t) - 1),
+                            (a, b) -> concat(a, ' ', b)))""")).as("g"))
+    val gb = grams
+      .withColumn("b", md5HexIntCol(col("g").cast("binary"), 2))
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .cache() // three consumers: pool model, target model, per-doc weights
+    val pool = gb.groupBy(col("b")).agg(sum(col("c")).as("np"))
+    val tgt = gb.filter(col("source") === targetSource)
+      .groupBy(col("b")).agg(sum(col("c")).as("nt"))
+    val tp = pool.agg(coalesce(sum(col("np")), lit(0L))).head.getLong(0)
+    val tt = tgt.agg(coalesce(sum(col("nt")), lit(0L))).head.getLong(0)
+    val out = gb.join(broadcast(pool), Seq("b"))
+      .join(broadcast(tgt), Seq("b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("bigint").as("n_grams"),
+        round(sum(col("c").cast("double") *
+          (log((coalesce(col("nt"), lit(0L)) + lit(1)).cast("double")
+            / lit((tt + buckets).toDouble))
+            - log((col("np") + lit(1)).cast("double")
+              / lit((tp + buckets).toDouble)))), 6).as("logw"))
+      .withColumn("u",
+        (md5HexIntCol(concat(col("doc_id").cast("string"), lit(":dsir42"))
+          .cast("binary"), 6).cast("double") + lit(0.5)) / lit(16777216.0))
+      .select(col("doc_id"), col("n_grams"), col("logw"),
+        round(col("logw") - log(-log(col("u"))), 6).as("gkey"))
+      .localCheckpoint(true)
+    gb.unpersist(blocking = false)
+    out
+  }
+
+  /** DuckDB CTE replaying [[dsirKeyed]]: defines
+    * `keyed(doc_id, n_grams, logw, gkey)`. Prepend as `WITH $..., ...`.
+    */
+  private[graft] def dsirKeyedSql(targetSource: String): String =
+    s"""dtok AS (SELECT doc_id, source,
+              string_split_regex(trim(text), '\\s+') AS t
+            FROM documents WHERE length(trim(text)) > 0),
+      dgrams AS (
+        SELECT doc_id, source, unnest(t) AS g FROM dtok
+        UNION ALL
+        SELECT doc_id, source,
+               t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2] AS g
+        FROM (SELECT doc_id, source, t, unnest(range(len(t) - 1)) AS i
+              FROM dtok WHERE len(t) >= 2) x),
+      gbk AS (SELECT doc_id, source, ${md5HexIntSql("g", 2)} AS b,
+                COUNT(*) AS c
+              FROM dgrams GROUP BY 1, 2, 3),
+      pool AS (SELECT b, SUM(c) AS np FROM gbk GROUP BY 1),
+      tgt AS (SELECT b, SUM(c) AS nt FROM gbk
+              WHERE source = '$targetSource' GROUP BY 1),
+      tot AS (SELECT (SELECT SUM(np) FROM pool) AS tp,
+                     (SELECT COALESCE(SUM(nt), 0) FROM tgt) AS tt),
+      wts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+               ROUND(SUM(CAST(c AS DOUBLE) *
+                 (ln((COALESCE(nt, 0) + 1.0) / (tt + 256))
+                  - ln((np + 1.0) / (tp + 256)))), 6) AS logw
+             FROM gbk JOIN pool USING (b) LEFT JOIN tgt USING (b)
+                  CROSS JOIN tot
+             GROUP BY doc_id),
+      keyed AS (SELECT doc_id, n_grams, logw,
+               ROUND(logw - ln(-ln(
+                 (${md5HexIntSql("CAST(doc_id AS VARCHAR) || ':dsir42'", 6)}
+                  + 0.5) / 16777216.0)), 6) AS gkey
+             FROM wts)"""
+
+  /** DSIR at 100 TB: same weights, selection by a cutoff VALUE from
+    * `approx_percentile` over the Gumbel key (the t21/t23-twin
+    * convention) instead of the gate's corpus-global rank window —
+    * filter is a narrow map, no window anywhere. Strictly-greater
+    * comparison: the percentile value is a corpus element (Spark's GK
+    * sketch returns data values), so `>` keeps the top frac·N and
+    * excludes the boundary element itself, matching the gate's exact
+    * rank-k set whenever the sketch resolves the boundary exactly
+    * (TrainPrepOpsSpec pins set parity at gate scale).
+    */
+  def dsirResampleScalable(docsDf: DataFrame, targetSource: String,
+      frac: Double = 0.2, accuracy: Int = 10000): DataFrame = {
+    val keyed = dsirKeyed(docsDf, targetSource)
+    val cutoff = keyed
+      .agg(expr(s"approx_percentile(gkey, ${1.0 - frac}, $accuracy)"))
+      .head.getDouble(0)
+    keyed.filter(col("gkey") > cutoff).orderBy(col("doc_id"))
+  }
+
+  /** DSIR importance resampling — the published data-selection recipe a
+    * training-data pipeline runs to tilt a raw crawl toward a curated
+    * target corpus: hashed-n-gram bag models for target and pool, per-doc
+    * log likelihood ratio, Gumbel-top-k sample of the top 20%. The
+    * selection rank window is corpus-global by definition — at 100 TB
+    * [[dsirResampleScalable]] is the implemented twin (percentile cutoff
+    * value, no window).
+    */
+  val t27 = QueryDef(
+    "t27_dsir_sample",
+    "DSIR: hashed-ngram importance weights + Gumbel top-20% resample",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("gkey").desc, col("doc_id"))
+      dsirKeyed(docs(s, dir), "src0")
+        .withColumn("rk", row_number().over(w))
+        .withColumn("nn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .select(col("doc_id"), col("n_grams"), col("logw"), col("gkey"),
+          (col("rk") <= expr("(nn + 4) DIV 5")).as("sampled"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH ${dsirKeyedSql("src0")},
+      ranked AS (SELECT doc_id, n_grams, logw, gkey,
+               row_number() OVER (ORDER BY gkey DESC, doc_id) AS rk,
+               COUNT(*) OVER () AS nn
+             FROM keyed)
+      SELECT doc_id, n_grams, logw, gkey, rk <= (nn + 4) // 5 AS sampled
+      FROM ranked ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- t28
+  /** t28 core, factored for the spec's hand fixture: per doc, the token
+    * and character mass covered by SOME duplicated `n`-gram — the last
+    * Gopher/MassiveText repetition filter the suite lacked (t09 has the
+    * top-n-gram fractions, t26 the duplicate-line fractions; this is the
+    * "fraction of characters in duplicate n-grams" family, which needs
+    * position COVERAGE, not counts: overlapping occurrences must not
+    * double-count a token).
+    *
+    * Coverage without interval folds: every start of a duplicated n-gram
+    * explodes into its n covered token positions and a per-doc DISTINCT
+    * collapses the overlaps — keyed shuffles only (per-(doc,gram) counts,
+    * per-(doc,pos) distinct), no windows, per-doc state never exceeds the
+    * doc's own token count. Linear at 100 TB.
+    */
+  private[graft] def dupNgramCoverage(d: DataFrame, n: Int = 5): DataFrame = {
+    val toks = d.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("arr"))
+    val tl = toks.select(col("doc_id"),
+      posexplode(col("arr")).as(Seq("p", "w")))
+      .select(col("doc_id"), col("p"), length(col("w")).as("len"))
+    val ng = toks.filter(size(col("arr")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(arr) - $n), i -> array_join(slice(arr, i + 1, $n), ' '))"))
+        .as(Seq("s", "g")))
+    val dupStarts = ng.join(
+      ng.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select(col("doc_id"), col("g")),
+      Seq("doc_id", "g"), "left_semi")
+    val covered = dupStarts
+      .select(col("doc_id"), explode(expr(s"sequence(s, s + ${n - 1})")).as("p"))
+      .distinct()
+      .join(tl, Seq("doc_id", "p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("cov_tokens"),
+        sum(col("len")).cast("bigint").as("cov_chars"))
+    tl.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_tokens"),
+        sum(col("len")).cast("bigint").as("tok_chars"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("cov_tokens"), lit(0L)).as("cov_tokens"),
+        (coalesce(col("cov_tokens"), lit(0L)).cast("double")
+          / col("n_tokens").cast("double")).as("dup_tok_frac"),
+        (coalesce(col("cov_chars"), lit(0L)).cast("double")
+          / col("tok_chars").cast("double")).as("dup_char_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Duplicate-n-gram COVERAGE fractions (Gopher "fraction of characters
+    * in duplicate 5-grams"): tokens/chars lying inside at least one
+    * 5-gram that occurs ≥2× in the document.
+    */
+  val t28 = QueryDef(
+    "t28_dup_ngram_cover",
+    "Gopher dup-5-gram coverage: token + char mass inside repeated 5-grams",
+    (s, dir) => dupNgramCoverage(docs(s, dir)),
+    Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+              FROM documents WHERE length(trim(text)) > 0),
+      tl AS (SELECT doc_id, i AS p, length(arr[CAST(i AS INT) + 1]) AS len
+             FROM (SELECT doc_id, arr, unnest(range(len(arr))) AS i FROM toks) x),
+      ng AS (SELECT doc_id, i AS st,
+               array_to_string(arr[CAST(i AS INT) + 1 : CAST(i AS INT) + 5], ' ') AS g
+             FROM (SELECT doc_id, arr, unnest(range(len(arr) - 4)) AS i
+                   FROM toks WHERE len(arr) >= 5) x),
+      dg AS (SELECT doc_id, g FROM ng GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      cov AS (SELECT DISTINCT doc_id, st + j AS p
+              FROM (SELECT n.doc_id, n.st, unnest(range(5)) AS j
+                    FROM ng n JOIN dg USING (doc_id, g)) y),
+      cv AS (SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS cov_tokens,
+               CAST(SUM(len) AS BIGINT) AS cov_chars
+             FROM cov c JOIN tl USING (doc_id, p) GROUP BY 1),
+      tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(len) AS BIGINT) AS tok_chars
+              FROM tl GROUP BY 1)
+      SELECT t.doc_id, t.n_tokens,
+        COALESCE(cv.cov_tokens, 0) AS cov_tokens,
+        CAST(COALESCE(cv.cov_tokens, 0) AS DOUBLE) / t.n_tokens AS dup_tok_frac,
+        CAST(COALESCE(cv.cov_chars, 0) AS DOUBLE) / t.tok_chars AS dup_char_frac
+      FROM tot t LEFT JOIN cv ON t.doc_id = cv.doc_id
+      ORDER BY t.doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t13, t14, t15,
-      t17, t18, t19, t20, t21, t22, t23, t24, t25, t26)
+      t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28)
 }

@@ -67,4 +67,32 @@ class LineOpsSpec extends AnyFunSuite with graft.SparkTestSession {
       .collect().toSeq
     assert(rep2 == base2)
   }
+
+  test("t28: dup-5-gram coverage counts overlapping occurrences once") {
+    import spark.implicits._
+    // doc 0: "a b c d e a b c d e a" — 5-gram "a b c d e" at starts 0 and 5,
+    //   plus "b c d e a"@{1,6}, "c d e a b"@{2}, "d e a b c"@{3},
+    //   "e a b c d"@{4}. Duplicated: starts {0,5} ∪ {1,6} → covered
+    //   positions 0..10 = ALL 11 tokens (overlap must not double count).
+    // doc 1: "p q r s t u" — all 5-grams unique → coverage 0.
+    // doc 2: "x y" — shorter than n → no grams, coverage 0.
+    val d = Seq(
+      (0L, "a b c d e a b c d e a"),
+      (1L, "p q r s t u"),
+      (2L, "x y")
+    ).toDF("doc_id", "text")
+    val got = TextOps.dupNgramCoverage(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    assert(got(0) == ((0L, 11L, 11L, 1.0, 1.0)))
+    assert(got(1) == ((1L, 6L, 0L, 0.0, 0.0)))
+    assert(got(2) == ((2L, 2L, 0L, 0.0, 0.0)))
+    // partial coverage: the distinct tail "z1 z2 z3" breaks the wrapped
+    // grams, so the only duplicated gram is "a b c d e"@{0,5}: covered
+    // positions 0..9 of 13 tokens.
+    val d2 = Seq((9L, "a b c d e a b c d e z1 z2 z3")).toDF("doc_id", "text")
+    val g2 = TextOps.dupNgramCoverage(d2).collect().head
+    assert((g2.getLong(1), g2.getLong(2)) == ((13L, 10L)))
+    assert(math.abs(g2.getDouble(3) - 10.0 / 13.0) < 1e-15)
+  }
 }

@@ -212,4 +212,53 @@ class TrainPrepOpsSpec extends AnyFunSuite with graft.SparkTestSession {
       assert(rows.exists { case (v2, c2, d2) => c2 == c && v2 < v && !d2 })
     }
   }
+
+  test("t27: DSIR weights tilt toward the target source's vocabulary") {
+    import spark.implicits._
+    // target docs (src0) speak vocab {alpha beta}; the pool adds docs in a
+    // disjoint vocab {omega psi}. A pool doc written in the target's vocab
+    // must outweigh an equally long doc written in the foreign vocab.
+    val docsDf = Seq(
+      (0L, "alpha beta alpha beta", "src0"),
+      (1L, "beta alpha beta alpha", "src0"),
+      (2L, "alpha beta alpha beta", "srcX"),
+      (3L, "omega psi omega psi", "srcX"),
+      (4L, "   ", "srcX")
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.dsirKeyed(docsDf, "src0").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L)) // blank doc not scored
+    assert(out(2L)._1 == 7L) // 4 unigrams + 3 bigrams
+    assert(out(2L)._2 > out(3L)._2,
+      s"target-vocab doc ${out(2L)._2} must outweigh foreign ${out(3L)._2}")
+    // weight is a per-doc function of content: same text, same logw
+    assert(math.abs(out(0L)._2 - out(2L)._2) < 1e-12)
+  }
+
+  test("t27: sampled count is exactly ceil(N/5); logw repartition-stable") {
+    val docsDf = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val gate = TextOps.t27.run(spark, "/root/testdata/sf0.001")
+    val n = gate.count()
+    val k = gate.filter(org.apache.spark.sql.functions.col("sampled")).count()
+    assert(k == (n + 4) / 5, s"sampled $k of $n")
+    val a = TextOps.dsirKeyed(docsDf, "src0").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).sortBy(_._1)
+    val b = TextOps.dsirKeyed(docsDf.repartition(17), "src0").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).sortBy(_._1)
+    assert(a.sameElements(b), "ROUND-6 weights must not drift with partitioning")
+  }
+
+  test("t27 scale twin: percentile-cutoff selection matches the gate's rank set") {
+    import org.apache.spark.sql.functions.col
+    val docsDf = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val gateSet = TextOps.t27.run(spark, "/root/testdata/sf0.001")
+      .filter(col("sampled")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val twinSet = TextOps.dsirResampleScalable(docsDf, "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(twinSet == gateSet,
+      s"twin ${twinSet.size} vs gate ${gateSet.size}; diff ${(twinSet diff gateSet) ++ (gateSet diff twinSet)}")
+  }
 }
