@@ -1258,10 +1258,11 @@ object TextOps {
     *
     * Scale shape: the gram stream collapses IMMEDIATELY to per-(doc,
     * bucket) counts (one map-side-combinable groupBy; ≤ `buckets` rows
-    * per doc); both model tables are ≤ `buckets` rows and broadcast; the
-    * weight is one more doc-keyed aggregation. The only driver scalars
-    * are the two corpus totals. No windows, nothing quadratic — linear
-    * in the token stream at 100 TB.
+    * per doc); ONE fused ≤`buckets`-row model table carries both
+    * distributions (conditional sum) and broadcasts into the weight
+    * aggregation. The only driver scalars are the two corpus totals
+    * (one job over the model table). No windows, nothing quadratic —
+    * linear in the token stream at 100 TB.
     */
   private[graft] def dsirKeyed(docsDf: DataFrame, targetSource: String,
       buckets: Int = 256): DataFrame = {
@@ -1277,18 +1278,21 @@ object TextOps {
       .withColumn("b", md5HexIntCol(col("g").cast("binary"), 2))
       .groupBy(col("doc_id"), col("source"), col("b"))
       .agg(count(lit(1)).as("c"))
-      .cache() // three consumers: pool model, target model, per-doc weights
-    val pool = gb.groupBy(col("b")).agg(sum(col("c")).as("np"))
-    val tgt = gb.filter(col("source") === targetSource)
-      .groupBy(col("b")).agg(sum(col("c")).as("nt"))
-    val tp = pool.agg(coalesce(sum(col("np")), lit(0L))).head.getLong(0)
-    val tt = tgt.agg(coalesce(sum(col("nt")), lit(0L))).head.getLong(0)
-    val out = gb.join(broadcast(pool), Seq("b"))
-      .join(broadcast(tgt), Seq("b"), "left")
+      .cache() // two consumers: the fused model build + per-doc weights
+    // ONE ≤256-row model table carrying both distributions (conditional
+    // sum), so the weight join broadcasts a single tiny side
+    val model = gb.groupBy(col("b")).agg(sum(col("c")).as("np"),
+      coalesce(sum(when(col("source") === targetSource, col("c"))), lit(0L))
+        .as("nt"))
+    val totals = model
+      .agg(coalesce(sum(col("np")), lit(0L)), coalesce(sum(col("nt")), lit(0L)))
+      .head
+    val (tp, tt) = (totals.getLong(0), totals.getLong(1))
+    val out = gb.join(broadcast(model), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).cast("bigint").as("n_grams"),
         round(sum(col("c").cast("double") *
-          (log((coalesce(col("nt"), lit(0L)) + lit(1)).cast("double")
+          (log((col("nt") + lit(1)).cast("double")
             / lit((tt + buckets).toDouble))
             - log((col("np") + lit(1)).cast("double")
               / lit((tp + buckets).toDouble)))), 6).as("logw"))
