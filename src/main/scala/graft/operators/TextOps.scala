@@ -645,10 +645,14 @@ object TextOps {
     val cb = docBig.groupBy(col("w1"), col("w2"))
       .agg(sum(col("n")).as("cb"))
     val cctx = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cctx"))
+    // pre-join the context totals INTO the bigram model (model-sized
+    // shuffle) so the corpus-sized docBig relation shuffles once for the
+    // probe, not once per model table
+    val model = cb.join(cctx, Seq("w1"))
     // materialize the per-doc score frame, then release the cached token
     // arrays (r9 ADVICE session-cache hygiene) — also saves t23's chain
     // from replaying the LM build per downstream consumer
-    val out = docBig.join(cb, Seq("w1", "w2")).join(cctx, Seq("w1"))
+    val out = docBig.join(model, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).cast("bigint").as("n_bigrams"),
         round(sum(col("n") * log((col("cb") + lit(1)).cast("double")
