@@ -162,4 +162,59 @@ object Multimodal {
       .select(col("media_id"),
         explode(sequence(lit(0), col("meta.n_frames") - 1, lit(everyK)))
           .as("frame_idx"))
+
+  /** Documents decorated into a media-shaped frame (the t10 decoration
+    * convention — the synthetic corpus ships no binary columns): payload
+    * = the document's UTF-8 bytes as `binary`, kind from `doc_id % 3`.
+    * The DECODE path cannot take this route (payloads aren't real PPM/
+    * WAV/AVI — MultimodalSpec pins that on exact encoded fixtures); what
+    * this feeds is the payload PLUMBING every multimodal pipeline stage
+    * shares: opaque-bytes column, length/digest accounting, fixed-size
+    * chunking, every-k frame-sample arithmetic.
+    */
+  def mediaFromDocs(docsDf: DataFrame): DataFrame =
+    docsDf.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        col("text").cast("binary").as("payload"))
+
+  /** Payload accounting over an opaque binary column — pure column math,
+    * codegen'd, narrow (no shuffle): byte length, content digest,
+    * `chunkBytes`-sized chunk count (the object-store read-batch unit),
+    * and the every-`everyK`-th sampled-frame count over those chunks.
+    */
+  def payloadStats(media: DataFrame, chunkBytes: Int = 64,
+      everyK: Int = 4): DataFrame =
+    media.select(col("media_id"), col("kind"),
+      length(col("payload")).cast("bigint").as("byte_len"),
+      md5(col("payload")).as("payload_md5"),
+      expr(s"CAST((length(payload) + ${chunkBytes - 1}) DIV $chunkBytes AS BIGINT)")
+        .as("n_chunks"))
+      .withColumn("n_sampled",
+        expr(s"CAST((n_chunks + ${everyK - 1}) DIV $everyK AS BIGINT)"))
+      .orderBy(col("media_id"))
+
+  /** m01 — the multimodal family's driver gate. Decode itself is not
+    * SQL-expressible (DuckDB has no PPM/WAV/AVI codec) and stays pinned
+    * by MultimodalSpec's exact encode/decode fixtures; this gate puts
+    * the family's relational surface under the oracle: binary payload
+    * column, byte/digest accounting, chunk + frame-sample arithmetic.
+    */
+  val m01 = graft.QueryDef(
+    "m01_media_meta",
+    "multimodal payload plumbing: binary column, chunk + frame-sample math",
+    (s, dir) => payloadStats(mediaFromDocs(graft.Tables.load(s, dir, "documents"))),
+    Some("""SELECT doc_id AS media_id,
+        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+          ELSE 'video' END AS kind,
+        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        md5(text) AS payload_md5,
+        CAST((octet_length(encode(text)) + 63) // 64 AS BIGINT) AS n_chunks,
+        CAST(((octet_length(encode(text)) + 63) // 64 + 3) // 4 AS BIGINT)
+          AS n_sampled
+      FROM documents WHERE length(trim(text)) > 0 ORDER BY media_id"""))
+
+  val all: Seq[graft.QueryDef] = Seq(m01)
 }

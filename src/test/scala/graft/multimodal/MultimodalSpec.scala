@@ -165,4 +165,29 @@ class MultimodalSpec extends AnyFunSuite with graft.SparkTestSession {
       assert(idxs.head == 0 && idxs.forall(_ % 7 == 0))
     }
   }
+
+  test("m01 payloadStats: UTF-8 byte accounting and chunk/sample ceilings") {
+    import spark.implicits._
+    // "é" is 2 UTF-8 bytes: byte_len counts bytes, not characters.
+    // 130 bytes / 64-byte chunks -> 3 chunks; every-4th of 3 -> 1 sample.
+    val d = Seq(
+      (0L, "é" * 65),            // 130 bytes -> 3 chunks, 1 sampled
+      (1L, "a" * 64),            // exactly one chunk
+      (2L, "b" * 257),           // 5 chunks -> ceil(5/4) = 2 sampled
+      (3L, "   ")                // blank: excluded
+    ).toDF("doc_id", "text")
+    val got = Multimodal.payloadStats(Multimodal.mediaFromDocs(d))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(4), r.getLong(5))).toList
+    assert(got == List(
+      (0L, "image", 130L, 3L, 1L),
+      (1L, "audio", 64L, 1L, 1L),
+      (2L, "video", 257L, 5L, 2L)))
+    // digest is over the payload BYTES — matches a driver-side md5
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(("a" * 64).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val row1 = Multimodal.payloadStats(Multimodal.mediaFromDocs(d))
+      .filter($"media_id" === 1L).collect().head
+    assert(row1.getString(3) == md5hex)
+  }
 }
