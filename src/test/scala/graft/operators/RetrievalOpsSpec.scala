@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BM25 semantics (a08) pinned against an independent naive driver-side
+  * implementation on a hand fixture.
+  */
+class RetrievalOpsSpec extends AnyFunSuite with graft.SparkTestSession {
+
+  private val fixture = Seq(
+    (0L, "x x y"),
+    (1L, "x z"),
+    (2L, "z z z"),
+    (3L, "x z"),   // identical to doc 1: equal score, doc_id tie-break
+    (4L, "   ")    // blank: excluded everywhere
+  )
+
+  /** Naive reference: plain Scala maps, no Spark. */
+  private def naiveBm25(docs: Seq[(Long, String)], q: String,
+      k1: Double = 1.2, b: Double = 0.75): Seq[(Long, Double)] = {
+    val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+      .filter(_._2.exists(_.nonEmpty))
+    val n = toks.size.toDouble
+    val avgdl = toks.map(_._2.size).sum.toDouble / toks.size
+    val df = toks.count(_._2.contains(q)).toDouble
+    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    toks.flatMap { case (id, ts) =>
+      val tf = ts.count(_ == q).toDouble
+      if (tf == 0) None
+      else Some(id -> BigDecimal(idf * tf * (k1 + 1.0)
+        / (tf + k1 * ((1.0 - b) + b * ts.size / avgdl)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, s) => (-s, id) }
+  }
+
+  test("a08: scores, ranking, and tie-break match the naive reference") {
+    import spark.implicits._
+    val docsDf = fixture.toDF("doc_id", "text")
+    val queries = Seq("x", "z").toDF("q")
+    val got = RetrievalOps.bm25TopK(docsDf, queries).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+      .groupBy(_._1)
+    for (q <- Seq("x", "z")) {
+      val expect = naiveBm25(fixture, q)
+      val rows = got(q).sortBy(_._2)
+      assert(rows.map(_._3).toSeq == expect.map(_._1),
+        s"$q ranking: ${rows.toSeq} vs $expect")
+      rows.zip(expect).foreach { case ((_, _, id, s), (eid, es)) =>
+        assert(id == eid && math.abs(s - es) < 1e-9, s"$q doc $id: $s vs $es")
+      }
+      assert(rows.map(_._2).toSeq == (1L to rows.length).toSeq)
+    }
+    // docs 1 and 3 are identical: same score, doc 1 must rank first
+    val xs = got("x").sortBy(_._2).map(x => (x._3, x._4))
+    val i1 = xs.indexWhere(_._1 == 1L); val i3 = xs.indexWhere(_._1 == 3L)
+    assert(xs(i1)._2 == xs(i3)._2 && i1 < i3)
+    // z never matches docs 0; blank doc 4 appears nowhere
+    assert(!got("z").exists(_._3 == 0L))
+    assert(got.values.flatten.forall(_._3 != 4L))
+  }
+
+  test("a08: top-k truncation keeps the k best per query") {
+    import spark.implicits._
+    val many = (0L until 30L).map(i => (i, ("x " * ((i % 7).toInt + 1)).trim))
+    val docsDf = many.toDF("doc_id", "text")
+    val out = RetrievalOps.bm25TopK(docsDf, Seq("x").toDF("q"), k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(out.length == 5)
+    val naive = naiveBm25(many, "x").take(5).map(_._1)
+    assert(out.sortBy(_._1).map(_._2).toSeq == naive)
+  }
+}
