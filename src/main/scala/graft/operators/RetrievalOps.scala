@@ -114,5 +114,127 @@ object RetrievalOps {
       SELECT q, CAST(rk AS BIGINT) AS rk, doc_id, CAST(tf AS BIGINT) AS tf, score
       FROM ranked WHERE rk <= 10 ORDER BY q, rk"""))
 
-  val all: Seq[QueryDef] = Seq(a08)
+  /** Doc-as-query BM25: each query DOCUMENT's distinct term set probes
+    * the corpus index; per-(query, candidate) scores are the sum of the
+    * per-term BM25 contributions (ROUND 6 — summation across a query's
+    * matched terms is the t19 float-convention case). Query docs are
+    * `doc_id < nQuery`, candidates the rest — the a01 id convention, so
+    * the two retrieval modalities share a query key space.
+    */
+  private[graft] def bm25DocQuery(docsDf: DataFrame, nQuery: Int = 5,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docsDf.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("w"))
+    val tf = toks.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+      .cache()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val scal = tf.agg(sum(col("tf")), countDistinct(col("doc_id"))).head
+    val avgdl = scal.getLong(0).toDouble / scal.getLong(1)
+    val nDocs = scal.getLong(1)
+    val qterms = tf.filter(col("doc_id") < nQuery)
+      .select(col("doc_id").as("q_id"), col("w"))
+    val idf = log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5))
+      / (col("df") + lit(0.5)))
+    val term = idf * col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double")
+        + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl)))
+    val out = tf.filter(col("doc_id") >= nQuery)
+      .join(broadcast(qterms), Seq("w"))
+      .join(dfreq, Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(round(sum(term), 6).as("score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("doc_id"), col("rk").cast("bigint").as("rk"),
+        col("score"))
+      .localCheckpoint(true)
+    tf.unpersist(blocking = false)
+    out
+  }
+
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):
+    * fuse the dense cosine top-k (a01's exact ranking over the embedding
+    * column) with the sparse doc-query BM25 top-k on the SHARED id space
+    * — rrf(q,d) = Σ_modality 1/(c + rank), a doc absent from one list
+    * contributes only the other's term. The standard first stage of a
+    * production RAG retriever; both inputs are partition-bounded top-k
+    * lists, so the fusion join is k·|Q| rows a side — broadcast
+    * territory at any corpus size.
+    */
+  def rrfHybrid(s: SparkSession, dir: String, k: Int = 10,
+      c: Int = 60): DataFrame = {
+    val dense = AnnOps.a01.run(s, dir)
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("rank").as("rd"))
+    val sparse = bm25DocQuery(Tables.load(s, dir, "documents"))
+      .select(col("q_id"), col("doc_id"), col("rk").as("rs"))
+    dense.join(sparse, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(c.toDouble) + col("rd")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(c.toDouble) + col("rs")), lit(0.0)), 6)
+          .as("rrf"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("doc_id")))
+        .cast("bigint"))
+      .filter(col("rank") <= k)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val a09 = QueryDef(
+    "a09_rrf_hybrid",
+    "hybrid retrieval: RRF fusion of dense cosine top-k and doc-query BM25",
+    (s, dir) => rrfHybrid(s, dir),
+    Some("""WITH e AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings),
+      n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS norm FROM e),
+      q AS (SELECT vec_id AS q_id, emb AS q_emb, norm AS q_norm FROM n WHERE vec_id < 5),
+      sc AS (SELECT q_id, vec_id,
+               list_dot_product(emb, q_emb) / (norm * q_norm) AS sim
+             FROM n CROSS JOIN q WHERE vec_id >= 5),
+      dense AS (SELECT q_id, vec_id AS doc_id, rank AS rd FROM (
+        SELECT q_id, vec_id, sim,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+        FROM sc) t WHERE rank <= 10),
+      toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+              FROM documents WHERE length(trim(text)) > 0),
+      tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+      dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+      scal AS (SELECT CAST(SUM(tf) AS DOUBLE) / COUNT(DISTINCT doc_id) AS avgdl,
+                      CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nd FROM tf),
+      qt AS (SELECT doc_id AS q_id, w FROM tf WHERE doc_id < 5),
+      bs AS (SELECT p.q_id, t.doc_id,
+               ROUND(SUM(ln(1.0 + (s.nd - f.df + 0.5) / (f.df + 0.5))
+                 * CAST(t.tf AS DOUBLE) * (1.2 + 1.0)
+                 / (CAST(t.tf AS DOUBLE)
+                    + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(l.dl AS DOUBLE) / s.avgdl))), 6)
+                 AS score
+             FROM tf t JOIN qt p ON t.w = p.w
+                  JOIN dfreq f ON f.w = t.w
+                  JOIN dl l ON l.doc_id = t.doc_id
+                  CROSS JOIN scal s
+             WHERE t.doc_id >= 5
+             GROUP BY p.q_id, t.doc_id),
+      sparse AS (SELECT q_id, doc_id, rk AS rs FROM (
+        SELECT q_id, doc_id, score,
+               row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rk
+        FROM bs) t WHERE rk <= 10),
+      fused AS (SELECT COALESCE(d.q_id, sp.q_id) AS q_id,
+               COALESCE(d.doc_id, sp.doc_id) AS doc_id,
+               ROUND(COALESCE(1.0 / (60.0 + d.rd), 0.0)
+                 + COALESCE(1.0 / (60.0 + sp.rs), 0.0), 6) AS rrf
+             FROM dense d FULL OUTER JOIN sparse sp
+               ON d.q_id = sp.q_id AND d.doc_id = sp.doc_id)
+      SELECT q_id, doc_id, rrf, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT q_id, doc_id, rrf,
+               row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rank
+        FROM fused) t
+      WHERE rank <= 10 ORDER BY q_id, rank"""))
+
+  val all: Seq[QueryDef] = Seq(a08, a09)
 }

@@ -59,6 +59,41 @@ class RetrievalOpsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(got.values.flatten.forall(_._3 != 4L))
   }
 
+  test("a09: doc-query BM25 sums per-term contributions over the query's vocab") {
+    import spark.implicits._
+    // query doc 0 = "x y"; candidates 5 ("x"), 6 ("x y"), 7 ("z").
+    // score(0,6) > score(0,5) (6 matches both terms), 7 never matches.
+    val docsDf = Seq(
+      (0L, "x y"), (5L, "x"), (6L, "x y"), (7L, "z")
+    ).toDF("doc_id", "text")
+    val got = RetrievalOps.bm25DocQuery(docsDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got.map(x => (x._1, x._2)).toSet == Set((0L, 6L), (0L, 5L)))
+    assert(got.find(_._2 == 6L).get._3 == 1L, s"doc 6 must rank first: $got")
+  }
+
+  test("a09: RRF fusion equals 1/(60+rd) + 1/(60+rs) recomputed from the inputs") {
+    val dir = "/root/testdata/sf0.001"
+    val dense = AnnOps.a01.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sparse = RetrievalOps.bm25DocQuery(
+      graft.Tables.load(spark, dir, "documents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expect = (dense.keySet ++ sparse.keySet).toSeq.map { k =>
+      val rrf = dense.get(k).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+        sparse.get(k).map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+      k -> BigDecimal(rrf).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.groupBy(_._1._1).flatMap { case (_, xs) =>
+      xs.sortBy { case ((_, d), s) => (-s, d) }.take(10)
+    }.toMap
+    val got = RetrievalOps.rrfHybrid(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == expect, s"fusion drift: ${got.toSet diff expect.toSet}")
+    // both-list docs must beat single-list docs at comparable ranks:
+    // every fused top-1 appears in at least one input list by construction
+    assert(got.keySet.subsetOf(dense.keySet ++ sparse.keySet))
+  }
+
   test("a08: top-k truncation keeps the k best per query") {
     import spark.implicits._
     val many = (0L until 30L).map(i => (i, ("x " * ((i % 7).toInt + 1)).trim))
