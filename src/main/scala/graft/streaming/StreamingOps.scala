@@ -65,7 +65,8 @@ object StreamingOps {
     * why the scope must cover start-to-drain, and why a per-gate fresh
     * checkpoint re-derives it per run.
     */
-  private def streamParts(s: SparkSession, srcDir: String): Int = {
+  private def streamParts(s: SparkSession, srcDir: String,
+      table: String = "events"): Int = {
     val ceil = s.conf.get("spark.sql.shuffle.partitions").toInt
     try {
       val files = new java.io.File(srcDir).listFiles
@@ -74,7 +75,7 @@ object StreamingOps {
         def size(f: java.io.File): Long =
           if (f.isDirectory) Option(f.listFiles).map(_.map(size).sum).getOrElse(0L)
           else f.length
-        val bytes = files.filter(_.getName.contains("events")).map(size).sum
+        val bytes = files.filter(_.getName.contains(table)).map(size).sum
         math.max(1, math.min(ceil.toLong, bytes / (64L << 20) + 1L).toInt)
       }
     } catch { case _: Throwable => ceil }
@@ -83,10 +84,11 @@ object StreamingOps {
   /** Run `f` (query start + drain) with shuffle partitions scoped to the
     * stream-state width for `srcDir`, restoring the session value after.
     */
-  private def withStreamParts[T](s: SparkSession, srcDir: String)(f: => T): T = {
+  private def withStreamParts[T](s: SparkSession, srcDir: String,
+      table: String = "events")(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val old = s.conf.get(key)
-    val n = streamParts(s, srcDir).toString
+    val n = streamParts(s, srcDir, table).toString
     if (old == n) f
     else {
       s.conf.set(key, n)
@@ -107,9 +109,10 @@ object StreamingOps {
     * `srcDir`.
     */
   private def runAppendToFiles(s: SparkSession, out: DataFrame,
-                               name: String, srcDir: String): DataFrame = {
+                               name: String, srcDir: String,
+                               table: String = "events"): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory(tmpRoot, name).toString
-    withStreamParts(s, srcDir) {
+    withStreamParts(s, srcDir, table) {
       val q = out.writeStream
         .outputMode("append")
         .format("parquet")
@@ -370,5 +373,90 @@ object StreamingOps {
       WHERE e.event_type = 'purchase'
       ORDER BY event_id"""))
 
-  val all: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05, st06)
+  /** Streaming documents source — the curation pipeline's ingest shape
+    * (the continuous-crawl case: new document files land, the filter
+    * chain runs on arrival). Schema peeked from the parquet footer like
+    * [[eventsStream]].
+    */
+  private def docsStream(s: SparkSession, dir: String): DataFrame = {
+    val fileSchema = graft.Tables.loadRaw(s, dir, "documents").schema
+    s.readStream.schema(fileSchema).parquet(s"$dir/*documents*")
+  }
+
+  /** st07: STATELESS streaming curation — the quality-filter stage of the
+    * t04/t12 family run over `readStream` instead of `read`. Every metric
+    * is row-local (HOFs over the token array: no explode, no state, no
+    * watermark — the embarrassingly-streamable part of a curation
+    * pipeline, which is exactly why it belongs in the streaming family's
+    * coverage), and the keep rule drops short and short-token-heavy docs.
+    * File sink + checkpoint = exactly-once restartable output; the oracle
+    * is the identical batch predicate — stream/batch parity for the doc
+    * pipeline.
+    */
+  val st07 = QueryDef(
+    "st07_stream_curate",
+    "stateless streaming curation filter (row-local HOF metrics, file sink)",
+    (s, dir) => {
+      val src = docsStream(s, dir)
+        .filter(length(trim(col("text"))) > 0)
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("bigint").as("n_tokens"),
+          length(trim(col("text"))).cast("bigint").as("n_chars"),
+          (size(expr("filter(toks, x -> length(x) < 4)")).cast("double")
+            / size(col("toks")).cast("double")).as("short_frac"))
+        .filter(col("n_tokens") >= 30 && col("short_frac") < 0.8)
+      runAppendToFiles(s, src, "st07", dir, table = "documents")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, trim(text) AS tx,
+              string_split_regex(trim(text), '\s+') AS toks
+            FROM documents WHERE length(trim(text)) > 0),
+      m AS (SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_tokens,
+              CAST(length(tx) AS BIGINT) AS n_chars,
+              CAST(len(list_filter(toks, x -> length(x) < 4)) AS DOUBLE)
+                / len(toks) AS short_frac
+            FROM t)
+      SELECT doc_id, n_tokens, n_chars, short_frac FROM m
+      WHERE n_tokens >= 30 AND short_frac < 0.8 ORDER BY doc_id"""))
+
+  /** st08: per-source corpus accounting as a running streaming aggregate
+    * (complete-mode memory sink, the st01 harness shape) — the live
+    * datasheet a continuous ingest keeps: docs and token mass per
+    * (source, lang). Key space is |sources|×|langs| (tiny, bounded), so
+    * complete mode is safe here; the append/watermark variant of this
+    * family is st02's covered territory.
+    */
+  val st08 = QueryDef(
+    "st08_stream_source_totals",
+    "streaming running per-(source,lang) doc/token totals (complete mode)",
+    (s, dir) => {
+      val tableName = "st08_stream_out"
+      val agg = docsStream(s, dir)
+        .filter(length(trim(col("text"))) > 0)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(trim(col("text")), "\\s+")).cast("bigint"))
+            .as("n_tokens"))
+      withStreamParts(s, dir, table = "documents") {
+        val q = agg.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(tableName)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(tableName)
+        .select(col("source"), col("lang"), col("n_docs").cast("bigint"),
+          col("n_tokens").cast("bigint"))
+        .orderBy(col("source"), col("lang"))
+    },
+    Some("""SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+      FROM documents WHERE length(trim(text)) > 0
+      GROUP BY 1, 2 ORDER BY source, lang"""))
+
+  val all: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05, st06, st07, st08)
 }

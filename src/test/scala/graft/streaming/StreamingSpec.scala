@@ -40,6 +40,16 @@ class StreamingSpec extends AnyFunSuite with graft.SparkTestSession {
         (2L, "c2", 0, 0.0, "SEG_A"), (99L, "c99", 0, 0.0, "SEG_Z"))
       .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
       .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // documents for the doc-stream gates: 0 passes st07's keep rule
+    // (31 long tokens), 1 fails on length (5 tokens), 2 fails on
+    // short_frac (30 one-char tokens -> 1.0), 3 is blank
+    Seq(
+      (0L, Seq.fill(31)("longword").mkString(" "), "en", "sA", 0L),
+      (1L, "tiny doc of five tokens", "en", "sA", 0L),
+      (2L, Seq.fill(30)("a").mkString(" "), "de", "sB", 0L),
+      (3L, "   ", "de", "sB", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     dir
   }
 
@@ -95,5 +105,21 @@ class StreamingSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(got == expected, s"got=$got")
     assert(StreamingOps.sinkDescriptions.get("st05").exists(_.contains("FileSink")),
       s"st05 sink was '${StreamingOps.sinkDescriptions.get("st05")}', expected a file sink")
+  }
+
+  test("st07: stateless streaming curation keeps exactly the batch-rule set") {
+    val got = StreamingOps.st07.run(spark, base).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toList
+    // only doc 0 passes: 31 tokens, all >= 4 chars -> short_frac 0.0
+    assert(got == List((0L, 31L, 0.0)), s"got=$got")
+    assert(StreamingOps.sinkDescriptions.get("st07").exists(_.contains("FileSink")),
+      s"st07 sink was '${StreamingOps.sinkDescriptions.get("st07")}', expected a file sink")
+  }
+
+  test("st08: running per-(source,lang) totals match the batch aggregate") {
+    val got = StreamingOps.st08.run(spark, base).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // blank doc 3 excluded; (sA,en): docs 0+1 = 31+5 tokens; (sB,de): doc 2
+    assert(got == Set(("sA", "en", 2L, 36L), ("sB", "de", 1L, 30L)), s"got=$got")
   }
 }
