@@ -919,8 +919,11 @@ object DedupOps {
     * threshold); the rebuild is one doc-keyed aggregation whose state is
     * the doc's own lines. No corpus-global window, nothing quadratic.
     */
-  private[graft] def dropCommonLines(d: DataFrame, minDocs: Int = 4): DataFrame = {
-    val lines = TextOps.docLines(d)
+  private[graft] def dropCommonLines(d: DataFrame, minDocs: Int = 4,
+      lineTok: Int = 3): DataFrame = {
+    // lineTok > 3 is the paragraph-granularity twin the t26/d12 docs name:
+    // the same operator over wider docLines chunks
+    val lines = TextOps.docLines(d, lineTok)
     val common = lines.groupBy(col("line"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)

@@ -71,7 +71,8 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     // algorithms execute iterative jobs on build and streaming queries
     // run a sink, so both are covered by their own suites
     val skip = Set("a01_knn_cosine", "a03_ivf_knn", "a07_ivfpq_refine",
-      "d11_semantic_dedup", "t23_curate_learned")
+      "d11_semantic_dedup", "t23_curate_learned",
+      "a09_rrf_hybrid") // a09's dense side IS a01's broadcast-query scan
     val sweep = graft.SparkEntry.registry.filter(q =>
       !skip(q.name) && !q.name.startsWith("g0") && !q.name.startsWith("st"))
     assert(sweep.size >= 40, s"sweep unexpectedly small: ${sweep.size}")

@@ -68,6 +68,26 @@ class LineOpsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(rep2 == base2)
   }
 
+  test("d12 paragraph twin: wider chunks change the unit, same semantics") {
+    import spark.implicits._
+    // at lineTok=6 docs 0 and 1 share their single 6-token "paragraph";
+    // doc 2 differs. minDocs=2 drops the shared paragraph from both.
+    val d = Seq(
+      (0L, "a b c d e f"),
+      (1L, "a b c d e f"),
+      (2L, "g h i j k l")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.dropCommonLines(d, minDocs = 2, lineTok = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap // doc -> n_kept
+    // docLines injects doc_id%4 boiler copies (docs 1 and 2 both carry
+    // "click here now", so it crosses minDocs=2 and drops too): doc 0 has
+    // only the shared paragraph (kept 0), doc 1 paragraph+boiler both
+    // drop (kept 0), doc 2 keeps only its unique paragraph
+    assert(got(0L) == 0L, s"doc 0: $got")
+    assert(got(1L) == 0L, s"doc 1: $got")
+    assert(got(2L) == 1L, s"doc 2: $got")
+  }
+
   test("t28: dup-5-gram coverage counts overlapping occurrences once") {
     import spark.implicits._
     // doc 0: "a b c d e a b c d e a" — 5-gram "a b c d e" at starts 0 and 5,
