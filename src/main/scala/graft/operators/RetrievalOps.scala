@@ -32,9 +32,14 @@ object RetrievalOps {
     * document length.
     */
   def bm25TopK(docsDf: DataFrame, queries: DataFrame, k: Int = 10,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    bm25Core(docsDf, (_, q) => q.select(col("q").as("w")), k, k1, b,
-      Some(queries))
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // distinct: a duplicated caller query term would otherwise rank every
+    // matching doc once per duplicate inside the same top-k
+    val probe = queries.select(col("q").as("w")).distinct()
+    withIndex(docsDf) { ix =>
+      rankTopK(scoreProbes(ix, probe, k1, b), k)
+    }
+  }
 
   /** BM25 with the probe set derived from the index itself: the corpus's
     * `nProbes` most document-frequent terms (ties by term asc) — the hot
@@ -44,36 +49,61 @@ object RetrievalOps {
     */
   def bm25TopKHotTerms(docsDf: DataFrame, nProbes: Int = 3,
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    bm25Core(docsDf, (dfreq, _) =>
-      dfreq.orderBy(col("df").desc, col("w")).limit(nProbes).select(col("w")),
-      k, k1, b, None)
+    withIndex(docsDf) { ix =>
+      val probe = ix.dfreq.orderBy(col("df").desc, col("w")).limit(nProbes)
+        .select(col("w"))
+      rankTopK(scoreProbes(ix, probe, k1, b), k)
+    }
 
-  private def bm25Core(docsDf: DataFrame,
-      probes: (DataFrame, DataFrame) => DataFrame, k: Int, k1: Double,
-      b: Double, extQueries: Option[DataFrame]): DataFrame = {
-    val toks = docsDf.filter(length(trim(col("text"))) > 0)
+  /** The corpus inverted index and its model tables — ONE shared build
+    * for every BM25 entry point. `tf` is cached; [[withIndex]] releases
+    * it after the caller's (eagerly materialized) result.
+    */
+  private final case class Bm25Index(tf: DataFrame, dl: DataFrame,
+      dfreq: DataFrame, nDocs: Long, avgdl: Double)
+
+  private def withIndex(docsDf: DataFrame)(f: Bm25Index => DataFrame): DataFrame = {
+    val tf = docsDf.filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("w"))
-    val tf = toks.groupBy(col("doc_id"), col("w"))
+      .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("tf"))
       .cache() // inverted index: feeds df/dl aggregates + the probe join
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val scal = tf.agg(sum(col("tf")), countDistinct(col("doc_id"))).head
-    val (totTok, nDocs) = (scal.getLong(0), scal.getLong(1))
-    val avgdl = totTok.toDouble / nDocs
-    val idf = log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5))
+    val nDocs = scal.getLong(1)
+    val out = f(Bm25Index(tf, dl, dfreq, nDocs,
+      scal.getLong(0).toDouble / nDocs))
+    tf.unpersist(blocking = false)
+    out
+  }
+
+  /** The per-(posting, probe-term) BM25 contribution — THE scoring
+    * formula, written once: idf(df) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)).
+    */
+  private def termScore(ix: Bm25Index, k1: Double, b: Double): Column = {
+    val idf = log(lit(1.0) + (lit(ix.nDocs.toDouble) - col("df") + lit(0.5))
       / (col("df") + lit(0.5)))
-    val score = round(idf * col("tf").cast("double") * lit(k1 + 1.0)
-      / (col("tf").cast("double")
-        + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl))), 6)
-    val scored = tf
-      .join(broadcast(probes(dfreq, extQueries.orNull)), Seq("w"))
-      .join(dfreq, Seq("w"))
-      .join(dl, Seq("doc_id"))
-      .select(col("w").as("q"), col("doc_id"), col("tf").as("tf"),
-        score.as("score"))
-    val out = scored
+    idf * col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double")
+        + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(ix.avgdl)))
+  }
+
+  /** Score a broadcast term-probe frame against the index: one posting
+    * equi-join, per-row ROUND-6 term score.
+    */
+  private def scoreProbes(ix: Bm25Index, probe: DataFrame, k1: Double,
+      b: Double): DataFrame =
+    ix.tf
+      .join(broadcast(probe), Seq("w"))
+      .join(ix.dfreq, Seq("w"))
+      .join(ix.dl, Seq("doc_id"))
+      .select(col("w").as("q"), col("doc_id"), col("tf"),
+        round(termScore(ix, k1, b), 6).as("score"))
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("q")).orderBy(col("score").desc, col("doc_id"))))
       .filter(col("rk") <= k)
@@ -81,9 +111,6 @@ object RetrievalOps {
         col("tf").cast("bigint").as("tf"), col("score"))
       .orderBy(col("q"), col("rk"))
       .localCheckpoint(true)
-    tf.unpersist(blocking = false)
-    out
-  }
 
   val a08 = QueryDef(
     "a08_bm25_topk",
@@ -122,40 +149,23 @@ object RetrievalOps {
     * the two retrieval modalities share a query key space.
     */
   private[graft] def bm25DocQuery(docsDf: DataFrame, nQuery: Int = 5,
-      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = docsDf.filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"),
-        explode(split(trim(col("text")), "\\s+")).as("w"))
-    val tf = toks.groupBy(col("doc_id"), col("w"))
-      .agg(count(lit(1)).as("tf"))
-      .cache()
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val scal = tf.agg(sum(col("tf")), countDistinct(col("doc_id"))).head
-    val avgdl = scal.getLong(0).toDouble / scal.getLong(1)
-    val nDocs = scal.getLong(1)
-    val qterms = tf.filter(col("doc_id") < nQuery)
-      .select(col("doc_id").as("q_id"), col("w"))
-    val idf = log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5))
-      / (col("df") + lit(0.5)))
-    val term = idf * col("tf").cast("double") * lit(k1 + 1.0) /
-      (col("tf").cast("double")
-        + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl)))
-    val out = tf.filter(col("doc_id") >= nQuery)
-      .join(broadcast(qterms), Seq("w"))
-      .join(dfreq, Seq("w"))
-      .join(dl, Seq("doc_id"))
-      .groupBy(col("q_id"), col("doc_id"))
-      .agg(round(sum(term), 6).as("score"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("doc_id"), col("rk").cast("bigint").as("rk"),
-        col("score"))
-      .localCheckpoint(true)
-    tf.unpersist(blocking = false)
-    out
-  }
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    withIndex(docsDf) { ix =>
+      val qterms = ix.tf.filter(col("doc_id") < nQuery)
+        .select(col("doc_id").as("q_id"), col("w"))
+      ix.tf.filter(col("doc_id") >= nQuery)
+        .join(broadcast(qterms), Seq("w"))
+        .join(ix.dfreq, Seq("w"))
+        .join(ix.dl, Seq("doc_id"))
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(round(sum(termScore(ix, k1, b)), 6).as("score"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rk") <= k)
+        .select(col("q_id"), col("doc_id"), col("rk").cast("bigint").as("rk"),
+          col("score"))
+        .localCheckpoint(true)
+    }
 
   /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):
     * fuse the dense cosine top-k (a01's exact ranking over the embedding

@@ -1034,9 +1034,13 @@ object TextOps {
                             accuracy: Int = 10000): DataFrame = {
     val lm = bigramLmScores(docsDf) // localCheckpointed — filters below
                                     // re-read blocks, never the LM chain
-    val cutoff = lm
+    val cutRow = lm
       .agg(expr(s"approx_percentile(lm_score, $dropFrac, $accuracy)"))
-      .head.getDouble(0)
+      .head
+    if (cutRow.isNullAt(0)) // empty/all-blank corpus: degrade like the
+      return lm.select(col("doc_id"), col("doc_id").as("c_id"), // gate form
+        col("lm_score"))
+    val cutoff = cutRow.getDouble(0)
     val surv = lm.filter(col("lm_score") > cutoff)
     val kAuto =
       if (k > 0) k
@@ -1358,10 +1362,11 @@ object TextOps {
   def dsirResampleScalable(docsDf: DataFrame, targetSource: String,
       frac: Double = 0.2, accuracy: Int = 10000): DataFrame = {
     val keyed = dsirKeyed(docsDf, targetSource)
-    val cutoff = keyed
+    val cutRow = keyed
       .agg(expr(s"approx_percentile(gkey, ${1.0 - frac}, $accuracy)"))
-      .head.getDouble(0)
-    keyed.filter(col("gkey") > cutoff).orderBy(col("doc_id"))
+      .head
+    if (cutRow.isNullAt(0)) keyed // empty/all-blank corpus: nothing to cut
+    else keyed.filter(col("gkey") > cutRow.getDouble(0)).orderBy(col("doc_id"))
   }
 
   /** DSIR importance resampling — the published data-selection recipe a

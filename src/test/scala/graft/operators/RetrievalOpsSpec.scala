@@ -94,6 +94,26 @@ class RetrievalOpsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(got.keySet.subsetOf(dense.keySet ++ sparse.keySet))
   }
 
+  test("a08: duplicated caller query terms do not duplicate docs in the top-k") {
+    import spark.implicits._
+    val docsDf = fixture.toDF("doc_id", "text")
+    val dup = RetrievalOps.bm25TopK(docsDf, Seq("x", "x", "z").toDF("q"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(dup.length == dup.distinct.length, s"duplicated rows: ${dup.toList}")
+    val clean = RetrievalOps.bm25TopK(docsDf, Seq("x", "z").toDF("q"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(dup.sorted.toList == clean.sorted.toList)
+  }
+
+  test("scale twins degrade to empty output on an all-blank corpus (no NPE)") {
+    import spark.implicits._
+    val blank = Seq((0L, "   ", "en", "src0", 0L), (1L, "", "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(TextOps.dsirResampleScalable(blank, "src0").count() == 0L)
+    val emb = Seq((0L, Seq(1.0, 0.0))).toDF("vec_id", "emb")
+    assert(TextOps.curateLearnedScalable(blank, emb).count() == 0L)
+  }
+
   test("a08: top-k truncation keeps the k best per query") {
     import spark.implicits._
     val many = (0L until 30L).map(i => (i, ("x " * ((i % 7).toInt + 1)).trim))
