@@ -351,5 +351,33 @@ object EventsOps {
       UNION ALL SELECT '3_purchase', COUNT(*) FROM p
       ORDER BY stage"""))
 
-  val all: Seq[QueryDef] = Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11)
+  /** HOPPING (sliding) windows — e02's tumbling twin via Spark's real
+    * `window(ts, size, slide)` operator: every event lands in size/slide
+    * = 4 overlapping windows, so the relation grows 4× BEFORE the keyed
+    * aggregation (a narrow generate, then the same single-shuffle
+    * map-side-combinable groupBy as e02 — never a self-join of window
+    * ranges). The oracle replays the hop expansion arithmetically:
+    * window starts are floor₁₅ₘᵢₙ(ms) − i·15min for i in 0..3.
+    */
+  val e12 = QueryDef(
+    "e12_hopping_windows",
+    "hopping 1h/15min window counts per event type (window size > slide)",
+    (s, dir) =>
+      events(s, dir)
+        .select(
+          window(timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000")),
+            "1 hour", "15 minutes").as("w"),
+          col("event_type"), col("user_id"))
+        .groupBy(unix_millis(col("w.start")).as("window_ms"), col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("window_ms"), col("event_type")),
+    Some("""WITH e AS (SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+              event_type, user_id FROM events)
+      SELECT (ms - (ms % 900000)) - 900000 * CAST(i AS BIGINT) AS window_ms,
+             event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+      FROM e, (SELECT unnest(range(4)) AS i) hops
+      GROUP BY 1, 2 ORDER BY window_ms, event_type"""))
+
+  val all: Seq[QueryDef] =
+    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12)
 }
