@@ -904,6 +904,73 @@ object DedupOps {
              (a.vec_id IN (SELECT vec_id FROM drops)) AS dropped
       FROM assign a ORDER BY a.vec_id"""))
 
+  /** Cluster-capped DIVERSITY sampling — the coverage-preserving subset a
+    * curated pretraining mix wants where uniform random sampling would
+    * mirror the corpus's topic skew: assign every vector to its nearest
+    * centroid (the d11 convention), then keep at most `cap` members per
+    * cluster by a seeded-md5 rank (the t20 deterministic-shuffle idiom) —
+    * dominant clusters are capped, tail clusters survive whole, and the
+    * sample is seedless-deterministic and re-partitioning-stable.
+    *
+    * Scale shape: assignment is the d11 broadcast-centroid argmax; the
+    * quota rank is a window PARTITIONED BY cluster — bounded by cluster
+    * size (k grows ~√N under the trained quantizer, so clusters stay
+    * bounded), never corpus-global.
+    */
+  private[graft] def diverseSample(emb: DataFrame, kSeeds: Int = 16,
+      cap: Int = 20, seed: String = "div42"): DataFrame = {
+    val e = emb
+      .withColumn("norm", sqrt(vecDot(col("emb"), col("emb"))))
+      .cache()
+    e.count() // single fill: seeds + assignment both read it
+    val seeds = e.filter(col("vec_id") < kSeeds)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
+        col("norm").as("c_norm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("c_id"))
+    val assign = e.crossJoin(broadcast(seeds))
+      .withColumn("sim",
+        vecDot(col("emb"), col("c_emb")) / (col("norm") * col("c_norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id"))
+    val quota = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_id"))
+      .orderBy(md5(concat(col("vec_id").cast("string"), lit(s":$seed"))
+        .cast("binary")), col("vec_id"))
+    val out = assign
+      .withColumn("rk", row_number().over(quota))
+      .select(col("vec_id"), col("c_id"), (col("rk") <= cap).as("picked"))
+      .orderBy(col("vec_id"))
+      .localCheckpoint(true)
+    e.unpersist(blocking = false)
+    out
+  }
+
+  val d14 = QueryDef(
+    "d14_diverse_sample",
+    "cluster-capped diversity sampling: seeded-md5 quota per d11 cluster",
+    (s, dir) => diverseSample(Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("emb"))),
+    Some("""WITH e AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings),
+      n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS norm FROM e),
+      seeds AS (SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm
+                FROM n WHERE vec_id < 16),
+      assign AS (SELECT vec_id, c_id FROM (
+          SELECT v.vec_id, s.c_id,
+                 row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY list_dot_product(v.emb, s.c_emb) / (v.norm * s.c_norm) DESC,
+                            s.c_id) AS rn
+          FROM n v CROSS JOIN seeds s) t WHERE rn = 1),
+      r AS (SELECT vec_id, c_id,
+              row_number() OVER (PARTITION BY c_id
+                ORDER BY md5(CAST(vec_id AS VARCHAR) || ':div42'), vec_id) AS rk
+            FROM assign)
+      SELECT vec_id, c_id, rk <= 20 AS picked FROM r ORDER BY vec_id"""))
+
   /** d12 core: cross-document boilerplate-LINE removal — the C4/RefinedWeb
     * cleanup step that d09's span detector only measures: any line (the
     * [[TextOps.docLines]] pseudo-line model) appearing in at least
@@ -987,5 +1054,5 @@ object DedupOps {
       ORDER BY doc_id"""))
 
   val all: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14)
 }
