@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.functions.{col, expr, lit, timestamp_micros, unix_micros}
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided synthetic parquet corpus (TESTDATA.md).
@@ -51,6 +51,14 @@ object Tables {
     * session timezone (pinned UTC session-wide), matching the DuckDB
     * oracle's `epoch_ms(CAST(ts AS TIMESTAMP))` on the same file.
     */
+  /** The normalized epoch-ns `ts` long as a TimestampType column (µs,
+    * ns FLOOR-divided via pmod — exact for pre-epoch values too). ONE
+    * definition shared by every consumer that needs a real timestamp
+    * (the streaming event-time gates, e12's hopping windows).
+    */
+  def eventTsAsTimestamp: org.apache.spark.sql.Column =
+    timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000"))
+
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType => df

@@ -816,17 +816,42 @@ object DedupOps {
     * definition), then drop the larger vec_id of every within-cluster
     * pair at or above `tau` cosine.
     */
-  private def semanticDedupCore(e: DataFrame, cents: DataFrame,
-                                tau: Double,
-                                release: Seq[DataFrame] = Nil): DataFrame = {
+  /** Nearest-centroid argmax assignment (broadcast centroid side, ties to
+    * the smallest c_id) — ONE definition shared by the SemDeDup core and
+    * [[diverseSample]], carrying emb+norm for pairwise consumers.
+    */
+  private def assignToCentroids(e: DataFrame, cents: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("c_id"))
-    val assign = e.crossJoin(broadcast(cents))
+    e.crossJoin(broadcast(cents))
       .withColumn("sim",
         vecDot(col("emb"), col("c_emb")) / (col("norm") * col("c_norm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("c_id"), col("emb"), col("norm"))
+  }
+
+  /** Norm-decorated, cached-and-filled embedding frame (single fill:
+    * seeds + assignment both read it), and the `vec_id < kSeeds` seed
+    * convention — shared prep for the centroid family.
+    */
+  private def normedCached(emb: DataFrame): DataFrame = {
+    val e = emb
+      .withColumn("norm", sqrt(vecDot(col("emb"), col("emb"))))
+      .cache()
+    e.count()
+    e
+  }
+
+  private def seedCents(e: DataFrame, kSeeds: Int): DataFrame =
+    e.filter(col("vec_id") < kSeeds)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
+        col("norm").as("c_norm"))
+
+  private def semanticDedupCore(e: DataFrame, cents: DataFrame,
+                                tau: Double,
+                                release: Seq[DataFrame] = Nil): DataFrame = {
+    val assign = assignToCentroids(e, cents)
       .cache() // consumed 3x: both self-join sides + the kept/dropped list
     val drops = assign.as("a")
       .join(assign.as("b"),
@@ -850,14 +875,8 @@ object DedupOps {
 
   def semanticDedup(emb: DataFrame, kSeeds: Int = 16,
                     tau: Double = 0.35): DataFrame = {
-    val e = emb
-      .withColumn("norm", sqrt(vecDot(col("emb"), col("emb"))))
-      .cache()
-    e.count() // single fill: seeds + assignment both read it
-    val seeds = e.filter(col("vec_id") < kSeeds)
-      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
-        col("norm").as("c_norm"))
-    semanticDedupCore(e, seeds, tau, release = Seq(e))
+    val e = normedCached(emb)
+    semanticDedupCore(e, seedCents(e, kSeeds), tau, release = Seq(e))
   }
 
   /** The production quantizer path: Lloyd-trained centroids
@@ -869,10 +888,7 @@ object DedupOps {
     */
   def semanticDedupTrained(emb: DataFrame, k: Int = 16, iters: Int = 2,
                            tau: Double = 0.35): DataFrame = {
-    val e = emb
-      .withColumn("norm", sqrt(vecDot(col("emb"), col("emb"))))
-      .cache()
-    e.count()
+    val e = normedCached(emb)
     val cents = AnnOps.kmeansCentroids(e, k, iters).cache()
     cents.count()
     semanticDedupCore(e, cents, tau, release = Seq(e, cents))
@@ -919,20 +935,8 @@ object DedupOps {
     */
   private[graft] def diverseSample(emb: DataFrame, kSeeds: Int = 16,
       cap: Int = 20, seed: String = "div42"): DataFrame = {
-    val e = emb
-      .withColumn("norm", sqrt(vecDot(col("emb"), col("emb"))))
-      .cache()
-    e.count() // single fill: seeds + assignment both read it
-    val seeds = e.filter(col("vec_id") < kSeeds)
-      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
-        col("norm").as("c_norm"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("c_id"))
-    val assign = e.crossJoin(broadcast(seeds))
-      .withColumn("sim",
-        vecDot(col("emb"), col("c_emb")) / (col("norm") * col("c_norm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val e = normedCached(emb)
+    val assign = assignToCentroids(e, seedCents(e, kSeeds))
       .select(col("vec_id"), col("c_id"))
     val quota = org.apache.spark.sql.expressions.Window
       .partitionBy(col("c_id"))

@@ -365,7 +365,7 @@ object EventsOps {
     (s, dir) =>
       events(s, dir)
         .select(
-          window(timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000")),
+          window(graft.Tables.eventTsAsTimestamp,
             "1 hour", "15 minutes").as("w"),
           col("event_type"), col("user_id"))
         .groupBy(unix_millis(col("w.start")).as("window_ms"), col("event_type"))
@@ -373,7 +373,8 @@ object EventsOps {
         .orderBy(col("window_ms"), col("event_type")),
     Some("""WITH e AS (SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
               event_type, user_id FROM events)
-      SELECT (ms - (ms % 900000)) - 900000 * CAST(i AS BIGINT) AS window_ms,
+      SELECT (ms - (((ms % 900000) + 900000) % 900000))
+               - 900000 * CAST(i AS BIGINT) AS window_ms,
              event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
       FROM e, (SELECT unnest(range(4)) AS i) hops
       GROUP BY 1, 2 ORDER BY window_ms, event_type"""))

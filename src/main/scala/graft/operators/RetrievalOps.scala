@@ -73,8 +73,12 @@ object RetrievalOps {
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val scal = tf.agg(sum(col("tf")), countDistinct(col("doc_id"))).head
     val nDocs = scal.getLong(1)
-    val out = f(Bm25Index(tf, dl, dfreq, nDocs,
-      scal.getLong(0).toDouble / nDocs))
+    // empty/all-blank corpus: SUM is null and nDocs 0 — every downstream
+    // frame is empty anyway, so any finite avgdl yields the correct
+    // empty result instead of an NPE / division by zero
+    val avgdl =
+      if (nDocs == 0) 1.0 else scal.getLong(0).toDouble / nDocs
+    val out = f(Bm25Index(tf, dl, dfreq, nDocs, avgdl))
     tf.unpersist(blocking = false)
     out
   }

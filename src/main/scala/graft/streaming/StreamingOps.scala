@@ -153,7 +153,7 @@ object StreamingOps {
     (s, dir) => {
       val tableName = "st01_stream_out"
       val src = eventsStream(s, dir)
-        .withColumn("event_ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000")))
+        .withColumn("event_ts", graft.Tables.eventTsAsTimestamp)
         .withWatermark("event_ts", "2 hours")
       val agg = src
         .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
@@ -198,7 +198,7 @@ object StreamingOps {
     "append-mode streaming windows: watermark-closed only, file sink",
     (s, dir) => {
       val src = eventsStream(s, dir)
-        .withColumn("event_ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000")))
+        .withColumn("event_ts", graft.Tables.eventTsAsTimestamp)
         .withWatermark("event_ts", "2 hours")
       val agg = src
         .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
@@ -230,7 +230,7 @@ object StreamingOps {
     "streaming dedup via dropDuplicatesWithinWatermark (bounded state)",
     (s, dir) => {
       val src = eventsStream(s, dir)
-        .withColumn("event_ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000")))
+        .withColumn("event_ts", graft.Tables.eventTsAsTimestamp)
         .withWatermark("event_ts", "2 hours")
         .select(col("user_id"), col("event_type"), col("event_ts"))
         .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))

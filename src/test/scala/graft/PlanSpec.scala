@@ -72,7 +72,13 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     // run a sink, so both are covered by their own suites
     val skip = Set("a01_knn_cosine", "a03_ivf_knn", "a07_ivfpq_refine",
       "d11_semantic_dedup", "t23_curate_learned",
-      "a09_rrf_hybrid") // a09's dense side IS a01's broadcast-query scan
+      "a09_rrf_hybrid", // a09's dense side IS a01's broadcast-query scan
+      "d14_diverse_sample") // d11's broadcast-centroid assign shape
+    // NOTE: gates whose run() ends in localCheckpoint(true) materialize
+    // eagerly and print as a LogicalRDD scan here, so this sweep asserts
+    // their DOWNSTREAM plan only — their internal shapes are pinned by
+    // their own specs/oracles (and the skip list documents the two
+    // broadcast-product families regardless)
     val sweep = graft.SparkEntry.registry.filter(q =>
       !skip(q.name) && !q.name.startsWith("g0") && !q.name.startsWith("st"))
     assert(sweep.size >= 40, s"sweep unexpectedly small: ${sweep.size}")

@@ -112,6 +112,11 @@ class RetrievalOpsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(TextOps.dsirResampleScalable(blank, "src0").count() == 0L)
     val emb = Seq((0L, Seq(1.0, 0.0))).toDF("vec_id", "emb")
     assert(TextOps.curateLearnedScalable(blank, emb).count() == 0L)
+    // the BM25 index builder hits the same SUM-null/0-docs corner
+    assert(RetrievalOps.bm25TopKHotTerms(blank.select("doc_id", "text"))
+      .count() == 0L)
+    assert(RetrievalOps.bm25TopK(blank.select("doc_id", "text"),
+      Seq("x").toDF("q")).count() == 0L)
   }
 
   test("a08: top-k truncation keeps the k best per query") {
