@@ -63,7 +63,15 @@ object Multimodal {
           }
           MediaCodecs.encodeAvi(w, h, 40000, frames, jpeg = true) // 25 fps
       }
-      (i, kind, payload, (w, h, 16000, (i % 100).toInt + 1))
+      // meta.n_frames is TRUTHFUL per kind: it must match what the
+      // encoded payload actually contains, or frame-indexed consumers
+      // (sampleFrames idx paired with decodeAvi frames) walk off the end
+      val nFrames = kind match {
+        case "video" => (i % 3).toInt + 2 // == frames.length above
+        case "audio" => 1600              // WAV frames == samples (mono)
+        case _       => 1                 // a still image is one frame
+      }
+      (i, kind, payload, (w, h, 16000, nFrames))
     }.toDF("media_id", "kind", "payload", "meta")
       .withColumn("meta", col("meta").cast(mediaSchema("meta").dataType))
   }
@@ -151,14 +159,21 @@ object Multimodal {
     media.withColumn("scale",
         least(lit(maxSide) / col("meta.width"), lit(maxSide) / col("meta.height"),
           lit(1.0)))
-      .withColumn("target_w", ceil(col("meta.width") * col("scale")).cast("int"))
-      .withColumn("target_h", ceil(col("meta.height") * col("scale")).cast("int"))
+      // round + 1-floor, the SAME rule as resizeImages' pixel path — the
+      // plan and the executed payload must agree on the target dims
+      .withColumn("target_w",
+        greatest(lit(1), round(col("meta.width") * col("scale"), 0)).cast("int"))
+      .withColumn("target_h",
+        greatest(lit(1), round(col("meta.height") * col("scale"), 0)).cast("int"))
 
   /** Deterministic frame sampling: every k-th frame index up to n_frames
     * (video path of the pipeline; explode keeps it relational).
     */
   def sampleFrames(media: DataFrame, everyK: Int): DataFrame =
-    media.filter(col("kind") === "video")
+    media.filter(col("kind") === "video" && col("meta.n_frames") > 0)
+      // the n_frames > 0 guard: sequence(0, -1, +k) THROWS (illegal
+      // boundaries) rather than yielding empty, so a corrupt/empty
+      // container row would fail the stage instead of emitting nothing
       .select(col("media_id"),
         explode(sequence(lit(0), col("meta.n_frames") - 1, lit(everyK)))
           .as("frame_idx"))

@@ -48,27 +48,35 @@ object AnnOps {
       when(vecDot(col("emb"), row) >= 0, "1").otherwise("0")
     }
 
+  /** Brute-force cosine top-k for query vectors vec_id < 5 — the a01
+    * gate body at its default depth, parameterized so callers that fuse
+    * this ranking (a09's RRF) can ask for a deeper list without silently
+    * fusing a truncated one.
+    */
+  private[graft] def denseTopK(s: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("emb"))
+      .withColumn("norm", sqrt(vecDot(col("emb"), col("emb"))))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("norm").as("q_norm"))
+    val scored = e.filter(col("vec_id") >= 5)
+      .crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        (dotCol / (col("norm") * col("q_norm"))).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Brute-force cosine top-k (k=10) for query vectors vec_id < 5. */
   val a01 = QueryDef(
     "a01_knn_cosine",
     "brute-force cosine top-k with broadcast query set",
-    (s, dir) => {
-      val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> cast(x AS double))").as("emb"))
-        .withColumn("norm", sqrt(vecDot(col("emb"), col("emb"))))
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("norm").as("q_norm"))
-      val scored = e.filter(col("vec_id") >= 5)
-        .crossJoin(broadcast(q))
-        .select(col("q_id"), col("vec_id"),
-          (dotCol / (col("norm") * col("q_norm"))).as("sim"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-      scored.withColumn("rank", row_number().over(w).cast("bigint"))
-        .filter(col("rank") <= 10)
-        .select(col("q_id"), col("vec_id"), col("rank"), col("sim"))
-        .orderBy(col("q_id"), col("rank"))
-    },
+    (s, dir) => denseTopK(s, dir),
     Some("""WITH e AS (SELECT vec_id,
               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
             FROM embeddings),

@@ -177,14 +177,22 @@ object RetrievalOps {
     * — rrf(q,d) = Σ_modality 1/(c + rank), a doc absent from one list
     * contributes only the other's term. The standard first stage of a
     * production RAG retriever; both inputs are partition-bounded top-k
-    * lists, so the fusion join is k·|Q| rows a side — broadcast
+    * lists, so the fusion join is depth·|Q| rows a side — broadcast
     * territory at any corpus size.
+    *
+    * `k` caps the FUSED output per query; `depth` is the per-modality
+    * list depth fed into the fusion and is propagated to BOTH inputs —
+    * without that, a k above the inputs' depth would silently rank the
+    * fused tail from truncated lists (docs at dense/sparse rank >depth
+    * contributing nothing). The usual setting is k ≤ depth.
     */
   def rrfHybrid(s: SparkSession, dir: String, k: Int = 10,
-      c: Int = 60): DataFrame = {
-    val dense = AnnOps.a01.run(s, dir)
+      c: Int = 60, depth: Int = 10): DataFrame = {
+    require(k <= depth,
+      s"fused k=$k exceeds per-modality depth=$depth: the tail would fuse truncated lists")
+    val dense = AnnOps.denseTopK(s, dir, depth)
       .select(col("q_id"), col("vec_id").as("doc_id"), col("rank").as("rd"))
-    val sparse = bm25DocQuery(Tables.load(s, dir, "documents"))
+    val sparse = bm25DocQuery(Tables.load(s, dir, "documents"), k = depth)
       .select(col("q_id"), col("doc_id"), col("rk").as("rs"))
     dense.join(sparse, Seq("q_id", "doc_id"), "full_outer")
       .select(col("q_id"), col("doc_id"),

@@ -17,12 +17,7 @@ object BpeBench {
   def main(args: Array[String]): Unit = {
     val maxMerges = args.headOption.map(_.toInt).getOrElse(512)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = Tables.requiredConf.foldLeft(SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.ui.enabled", "false")) { case (b, (k, v)) => b.config(k, v) }
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = ToolSession.local("ERROR")
     val docs = Tables.load(spark, sfDir, "documents")
 
     // ---- TRAINING paths at realistic merge counts (r9 VERDICT item 5):

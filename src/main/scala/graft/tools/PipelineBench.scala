@@ -112,13 +112,7 @@ object PipelineBench {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft_pipe")
     new java.io.File(s"$base/nvd").mkdirs()
-    val spark = Tables.requiredConf.foldLeft(SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")) { case (b, (k, v)) => b.config(k, v) }
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ToolSession.local()
     import spark.implicits._
 
     // ---- generation (untimed, idempotent) ----

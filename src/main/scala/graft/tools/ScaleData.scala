@@ -87,12 +87,7 @@ object ScaleData {
     val copies = copiesStr.toInt
     val tableSubset: Option[Set[String]] =
       args.lift(3).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    val spark = Tables.requiredConf.foldLeft(SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.ui.enabled", "false")) { case (b, (k, v)) => b.config(k, v) }
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ToolSession.local()
 
     // one stride per key-owning table: max key + 1, so copies are disjoint
     val strides: Map[String, Long] = keyCols.keys.map { t =>

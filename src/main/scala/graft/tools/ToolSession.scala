@@ -1,0 +1,26 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.Tables
+
+/** The ONE local-session builder for every dev/rehearsal driver in
+  * `graft.tools` (BpeBench, GuardFlip, PipelineBench, Profile, ScaleData,
+  * TwinBench). Each used to inline the identical six-line incantation —
+  * requiredConf fold, `SPARK_GRAFT_CPUS` master, 32 shuffle partitions,
+  * UTC session timezone, UI off — and the copies had already started to
+  * drift (one missing the UTC pin, one hardcoding the core count). A
+  * config change now lands in exactly one place.
+  */
+object ToolSession {
+  def local(logLevel: String = "WARN"): SparkSession = {
+    val spark = Tables.requiredConf.foldLeft(SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")) { case (b, (k, v)) => b.config(k, v) }
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(logLevel)
+    spark
+  }
+}

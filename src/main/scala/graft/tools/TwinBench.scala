@@ -33,13 +33,7 @@ object TwinBench {
     val vecStride = args.lift(1).map(_.toLong).getOrElse(2000L)
     val docStride = args.lift(2).map(_.toLong).getOrElse(5000L)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = Tables.requiredConf.foldLeft(SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")) { case (b, (k, v)) => b.config(k, v) }
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = ToolSession.local()
 
     val docsDf = Tables.load(spark, dir, "documents")
     val embDf = Tables.load(spark, dir, "embeddings")

@@ -147,12 +147,48 @@ class MultimodalSpec extends AnyFunSuite with graft.SparkTestSession {
       } else {
         scaledRows += 1
         assert(math.max(tw, th) == 4, s"long side ${w}x$h -> ${tw}x$th")
-        // ceil rounding keeps the short side within one pixel of exact
+        // half-up rounding keeps the short side within half a pixel
         val exact = math.min(w, h) * 4.0 / math.max(w, h)
-        assert(math.abs(math.min(tw, th) - exact) <= 1.0, s"${w}x$h -> ${tw}x$th")
+        assert(math.abs(math.min(tw, th) - exact) <= 0.5, s"${w}x$h -> ${tw}x$th")
       }
     }
     assert(scaledRows > 0, "fixture must contain rows that actually scale")
+  }
+
+  test("resizePlan target dims EQUAL what resizeImages actually produces") {
+    import spark.implicits._
+    // both paths share the round + 1-floor rule; a plan/payload dim
+    // mismatch (the old ceil-vs-round split) breaks any pipeline that
+    // plans storage from the metadata and executes on the pixels
+    val m = Multimodal.syntheticMedia(spark, 30).filter(col("kind") === "image")
+    val planned = Multimodal.resizePlan(m, maxSide = 3)
+      .select("media_id", "target_w", "target_h").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    Multimodal.resizeImages(m, maxSide = 3).collect().foreach { r =>
+      val img = MediaCodecs.decodePpm(r.getAs[Array[Byte]]("payload")).get
+      assert((img.width, img.height) == planned(r.getLong(0)),
+        s"media ${r.getLong(0)}: payload ${img.width}x${img.height} vs plan ${planned(r.getLong(0))}")
+    }
+  }
+
+  test("meta.n_frames matches the frames actually encoded in the payload") {
+    val m = Multimodal.syntheticMedia(spark, 12).collect()
+    m.filter(_.getString(1) == "video").foreach { r =>
+      val declared = r.getAs[Row]("meta").getAs[Int]("n_frames")
+      val actual = MediaCodecs.decodeAvi(r.getAs[Array[Byte]]("payload")).get
+        .frames.length
+      assert(declared == actual, s"media ${r.getLong(0)}: meta $declared vs avi $actual")
+    }
+  }
+
+  test("sampleFrames yields no rows (not a crash) for n_frames = 0") {
+    import spark.implicits._
+    // sequence(0, -1, +k) throws on illegal boundaries without the guard
+    val df = Seq((7L, "video", (2, 2, 0, 0)))
+      .toDF("media_id", "kind", "meta")
+      .withColumn("meta", col("meta").cast(
+        Multimodal.mediaSchema("meta").dataType))
+    assert(Multimodal.sampleFrames(df, everyK = 2).count() == 0L)
   }
 
   test("sampleFrames emits every k-th frame for videos only") {

@@ -94,6 +94,23 @@ class RetrievalOpsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(got.keySet.subsetOf(dense.keySet ++ sparse.keySet))
   }
 
+  test("a09: k propagates to BOTH input list depths; k > depth is rejected") {
+    val dir = "/root/testdata/sf0.001"
+    // depth-20 inputs: the fused tail past rank 10 must draw on dense and
+    // sparse ranks 11-20 (with fixed depth-10 inputs those docs are
+    // invisible and the tail fuses truncated lists)
+    val deep = RetrievalOps.rrfHybrid(spark, dir, k = 20, depth = 20)
+    val ranks = deep.collect().map(r =>
+      r.getLong(0) -> r.getAs[Long]("rank"))
+    assert(ranks.exists(_._2 > 10), "depth-20 run must fill ranks past 10")
+    val denseDeep = AnnOps.denseTopK(spark, dir, 20).collect()
+    assert(denseDeep.exists(_.getLong(2) > 10), "dense input must be depth-20")
+    // and the guard: a fused k above the per-modality depth is a bug trap
+    intercept[IllegalArgumentException] {
+      RetrievalOps.rrfHybrid(spark, dir, k = 20, depth = 10)
+    }
+  }
+
   test("a08: duplicated caller query terms do not duplicate docs in the top-k") {
     import spark.implicits._
     val docsDf = fixture.toDF("doc_id", "text")
