@@ -59,6 +59,13 @@ object Tables {
   def eventTsAsTimestamp: org.apache.spark.sql.Column =
     timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000"))
 
+  /** The normalized epoch-ns `ts` long as epoch MILLISECONDS (floor via
+    * pmod — exact for pre-epoch values too). The ONE definition of the
+    * millisecond twin; e10/e11/st04/st05 used to hand-copy the string.
+    */
+  val EventTsMsSql: String = "(ts - pmod(ts, 1000000)) DIV 1000000"
+  def eventTsMs: org.apache.spark.sql.Column = expr(EventTsMsSql)
+
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType => df

@@ -26,7 +26,7 @@ object EventsOps {
   // ns -> ms as FLOOR division (pmod keeps it exact integer math): plain
   // DIV truncates toward zero, diverging from the DuckDB oracle's
   // epoch_ms flooring for pre-epoch (negative) timestamps.
-  private val tsMs: Column = expr("(ts - pmod(ts, 1000000)) DIV 1000000")
+  private val tsMs: Column = graft.Tables.eventTsMs
 
   /** SURVEY §2.5 A1/A6: per-type stats with exact value sums. */
   val e01 = QueryDef(
@@ -55,11 +55,13 @@ object EventsOps {
     (s, dir) =>
       events(s, dir)
         .groupBy(
-          (tsMs - (tsMs % 3600000L)).as("window_ms"),
+          // pmod floor, not truncating % — matches window()'s flooring
+          // (st01) and the e12 convention for pre-epoch timestamps
+          (tsMs - pmod(tsMs, lit(3600000L))).as("window_ms"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("window_ms"), col("event_type")),
-    Some("""SELECT ms - (ms % 3600000) AS window_ms, event_type,
+    Some("""SELECT ms - (((ms % 3600000) + 3600000) % 3600000) AS window_ms, event_type,
         COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
       FROM (SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_type, user_id FROM events) t
       GROUP BY 1, 2 ORDER BY window_ms, event_type"""))
@@ -284,7 +286,7 @@ object EventsOps {
     "cohort-day x day-offset active-user retention matrix",
     (s, dir) => {
       // ns -> ms -> day, all floor divisions (pmod form, see tsMs)
-      val ms = "(ts - pmod(ts, 1000000)) DIV 1000000"
+      val ms = graft.Tables.EventTsMsSql
       val days = events(s, dir)
         .select(col("user_id"),
           expr(s"(($ms) - pmod(($ms), 86400000)) DIV 86400000").as("day"))
@@ -316,9 +318,8 @@ object EventsOps {
     "e11_funnel",
     "ordered view->click->purchase funnel: users reaching each stage",
     (s, dir) => {
-      val ms = "(ts - pmod(ts, 1000000)) DIV 1000000"
       val e = events(s, dir)
-        .select(col("user_id"), col("event_type"), expr(ms).as("ms"))
+        .select(col("user_id"), col("event_type"), graft.Tables.eventTsMs.as("ms"))
       def stage(tpe: String) = e.filter(col("event_type") === tpe)
       val v = stage("view").groupBy(col("user_id")).agg(min(col("ms")).as("v_ms"))
       val c = stage("click").join(v, Seq("user_id"))

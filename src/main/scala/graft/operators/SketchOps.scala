@@ -82,8 +82,11 @@ object SketchOps {
     (s, dir) => {
       val toks = tokens(s, dir).cache()
       toks.count() // grid build and key list share one token pass
-      cmsEstimates(toks, toks.distinct())
+      val out = cmsEstimates(toks, toks.distinct())
         .orderBy(col("tok"))
+        .localCheckpoint(true) // materialize (key-space-sized), then free
+      toks.unpersist(blocking = false) // the corpus-sized token cache
+      out
     },
     Some {
       val bucketRows = (0 until depth).map(j =>

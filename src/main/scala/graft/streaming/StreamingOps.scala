@@ -12,10 +12,11 @@ import graft.QueryDef
   * `readStream` → event-time transforms → sink. Each gate runs its query
   * synchronously over the parquet corpus with an AvailableNow trigger and
   * oracles against the *batch* SQL for the same semantics — stream/batch
-  * parity. All append-mode gates (st02–st06) drain through the shared
+  * parity. All append-mode gates (st02–st07) drain through the shared
   * parquet file-sink harness ([[runAppendToFiles]] — the production
-  * shape); only st01's complete-mode histogram uses the memory sink,
-  * which that mode requires.
+  * shape); only the complete-mode gates use the memory sink, which that
+  * mode requires and whose output those gates bound by construction
+  * (st01: the window histogram; st08: the |sources|×|langs| key grid).
   *
   * At scale the same plans run continuously with watermarks bounding
   * state: `withWatermark("ts", "2 hours")` keeps only open windows in the
@@ -83,9 +84,14 @@ object StreamingOps {
 
   /** Run `f` (query start + drain) with shuffle partitions scoped to the
     * stream-state width for `srcDir`, restoring the session value after.
+    * SERIALIZED on a lock: the read/set/restore touches a session-GLOBAL
+    * conf key, so two concurrent gates interleaving would pin one gate's
+    * width into the other's checkpoint and could leave the session at the
+    * wrong width permanently after both restores ran out of order.
     */
+  private val streamPartsLock = new Object
   private def withStreamParts[T](s: SparkSession, srcDir: String,
-      table: String = "events")(f: => T): T = {
+      table: String = "events")(f: => T): T = streamPartsLock.synchronized {
     val key = "spark.sql.shuffle.partitions"
     val old = s.conf.get(key)
     val n = streamParts(s, srcDir, table).toString
@@ -120,7 +126,27 @@ object StreamingOps {
         .option("checkpointLocation", s"$tmp/chk")
         .trigger(Trigger.AvailableNow())
         .start()
-      try q.processAllAvailable() finally {
+      try {
+        q.processAllAvailable()
+        // Batch-parity guard: these gates oracle against the batch SQL,
+        // which assumes NO row was late-dropped. One AvailableNow drain
+        // over a static dir normally runs a single micro-batch (watermark
+        // starts at -inf), but if the file source ever splits the corpus
+        // into multiple batches with newer files first, the advanced
+        // watermark silently drops the older rows and the oracle
+        // mismatches in a way that looks like an operator bug. Fail LOUD
+        // with the real cause instead. (Inside the try, not the finally:
+        // a drain failure must surface as itself, not as this guard.)
+        val dropped = q.recentProgress.iterator
+          .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+        if (dropped > 0) {
+          throw new IllegalStateException(
+            s"$name: $dropped rows dropped by watermark across " +
+              s"${q.recentProgress.length} micro-batches - the static corpus " +
+              "did not drain in one batch, so the result diverges from the " +
+              "batch oracle (raise maxFilesPerTrigger or coalesce the input)")
+        }
+      } finally {
         sinkDescriptions(name) =
           Option(q.lastProgress).map(_.sink.description).getOrElse("")
         q.stop()
@@ -177,7 +203,8 @@ object StreamingOps {
           col("event_type"), col("n"))
         .orderBy(col("window_ms"), col("event_type"))
     },
-    Some("""SELECT ms - (ms % 3600000) AS window_ms, event_type, COUNT(*) AS n
+    Some("""SELECT ms - (((ms % 3600000) + 3600000) % 3600000) AS window_ms,
+             event_type, COUNT(*) AS n
       FROM (SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_type FROM events) t
       GROUP BY 1, 2 ORDER BY window_ms, event_type"""))
 
@@ -211,9 +238,11 @@ object StreamingOps {
     },
     Some("""WITH t AS (SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_type FROM events),
       wm AS (SELECT MAX(ms) - 7200000 AS wm FROM t)
-      SELECT ms - (ms % 3600000) AS window_ms, event_type, COUNT(*) AS n
+      SELECT ms - (((ms % 3600000) + 3600000) % 3600000) AS window_ms,
+             event_type, COUNT(*) AS n
       FROM t
-      WHERE (ms - (ms % 3600000)) + 3600000 <= (SELECT wm FROM wm)
+      WHERE (ms - (((ms % 3600000) + 3600000) % 3600000)) + 3600000
+              <= (SELECT wm FROM wm)
       GROUP BY 1, 2 ORDER BY window_ms, event_type"""))
 
   /** Streaming deduplication with watermark-bounded state:
@@ -262,7 +291,7 @@ object StreamingOps {
       import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
       import StatefulSessions._
       val src = eventsStream(s, dir)
-        .withColumn("ms", expr("(ts - pmod(ts, 1000000)) DIV 1000000"))
+        .withColumn("ms", graft.Tables.eventTsMs)
         .withColumn("event_ts", timestamp_millis(col("ms")))
         .withWatermark("event_ts", "0 seconds")
         .select(col("user_id"), col("event_id"), col("ms"), col("event_ts"))
@@ -316,7 +345,7 @@ object StreamingOps {
       def side(tpe: String, p: String): DataFrame = eventsStream(s, dir)
         .filter(col("event_type") === tpe)
         .withColumn(s"${p}_ts",
-          timestamp_millis(expr("(ts - pmod(ts, 1000000)) DIV 1000000")))
+          timestamp_millis(graft.Tables.eventTsMs))
         .withWatermark(s"${p}_ts", "1 hour")
         .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_user"),
           col(s"${p}_ts"))
