@@ -259,7 +259,9 @@ object GraphQueries {
           // weighted-less recompute must NOT clobber a w-carrying entry
           // g08 has yet to consume (bench reps: g06 rep 2 would otherwise
           // overwrite g05's entry and strand g08 on its fresh path).
-          val (un, w) = computeFusedStats(s, dir, withWeighted = gate == "g05")
+          val (unOpt, w) = computeFusedStats(s, dir,
+            withUnweighted = true, withWeighted = gate == "g05")
+          val un = unOpt.get
           val keepExisting = w.isEmpty &&
             statsMemo.get().exists(e => e.dir == dir && e.w.isDefined)
           if (!keepExisting)
@@ -276,10 +278,13 @@ object GraphQueries {
           consumeFrom(e, "g08")
           e.w.get
         case _ =>
-          val wEdges = weightedEdges(s, dir).cache()
-          val st = computeWeightedStats(wEdges)
-          wEdges.unpersist(blocking = false)
-          st
+          // lean fresh path (isolated g08 refloor / bench rep): the SAME
+          // fused build with the unweighted Louvain skipped — one
+          // definition of the invariant machinery for all three gates
+          // (the r10 review duplication finding), still computing only
+          // what g08 emits.
+          computeFusedStats(s, dir,
+            withUnweighted = false, withWeighted = true)._2.get
       }
     }
 
@@ -307,7 +312,9 @@ object GraphQueries {
     *      community-size histogram stats (count/min/max/sum).
     */
   private def computeFusedStats(s: SparkSession, dir: String,
-      withWeighted: Boolean): (LouvainStats, Option[WeightedStats]) = {
+      withUnweighted: Boolean, withWeighted: Boolean)
+      : (Option[LouvainStats], Option[WeightedStats]) = {
+    require(withUnweighted || withWeighted, "at least one side must run")
     // ONE orders⋈lineitem scan feeds both sides: the weighted groupBy is
     // the same shuffle the unweighted path paid for distinct(), and its
     // key set IS the distinct edge set. Everything downstream is DEEPLY
@@ -347,24 +354,35 @@ object GraphQueries {
 
     // 2 levels / 4 sweeps: the gate graph converges within these budgets;
     // each extra sweep is pure fixed overhead at gate SF.
-    val assign = GraphAlgs.louvainUnd(und, maxLevels = 2, maxSweeps = 4)
-      .localCheckpoint(true)
+    val assignOpt =
+      if (withUnweighted)
+        Some(GraphAlgs.louvainUnd(und, maxLevels = 2, maxSweeps = 4)
+          .localCheckpoint(true))
+      else None
     val cc = GraphAlgs.connectedComponentsUnd(und)
       .localCheckpoint(true)
 
     // full-outer (node -> communityU, communityW, component, degrees)
     // table: a missing side anywhere (lost/extra/duplicated assignment
     // rows) surfaces as a null flag in the single validity aggregate.
-    // The weighted Louvain (the one genuinely separate algorithm) only
-    // runs when a consumer for it exists; without it `lw` rides along as
-    // a null column so every fused job keeps one shape.
-    val withLw =
+    // Each Louvain run (the genuinely separate algorithms) only happens
+    // when a consumer for it exists; the absent side's column rides along
+    // as null so every fused job keeps one shape — the lean fresh-g08
+    // path is this same build with withUnweighted = false.
+    val lwOpt =
       if (withWeighted)
-        assign.toDF("node_id", "lc")
-          .join(GraphAlgs.louvainDF(wEdges, maxLevels = 2, maxSweeps = 4)
-            .localCheckpoint(true).toDF("node_id", "lw"), Seq("node_id"), "full")
-      else assign.toDF("node_id", "lc")
-        .withColumn("lw", lit(null).cast("long"))
+        Some(GraphAlgs.louvainDF(wEdges, maxLevels = 2, maxSweeps = 4)
+          .localCheckpoint(true).toDF("node_id", "lw"))
+      else None
+    val withLw = (assignOpt, lwOpt) match {
+      case (Some(a), Some(lw)) =>
+        a.toDF("node_id", "lc").join(lw, Seq("node_id"), "full")
+      case (Some(a), None) =>
+        a.toDF("node_id", "lc").withColumn("lw", lit(null).cast("long"))
+      case (None, Some(lw)) =>
+        lw.select(col("node_id"), lit(null).cast("long").as("lc"), col("lw"))
+      case (None, None) => sys.error("unreachable: require above")
+    }
     val ext = withLw
       .join(cc.toDF("node_id", "ccmp"), Seq("node_id"), "full")
       .join(deg, Seq("node_id"), "full")
@@ -414,12 +432,16 @@ object GraphQueries {
     // per community, then once per partition: degree-mass squares for all
     // four modularity numerators AND the unweighted size histogram in a
     // single job
-    val ps = ext.select(explode(array(
+    val memberships =
+      (if (withUnweighted) Seq(
         struct(lit("l").as("k"), col("lc").as("cid"), col("deg").as("d")),
-        struct(lit("c").as("k"), col("ccmp").as("cid"), col("deg").as("d")),
+        struct(lit("c").as("k"), col("ccmp").as("cid"), col("deg").as("d")))
+       else Nil) ++
+      (if (withWeighted) Seq(
         struct(lit("x").as("k"), col("lw").as("cid"), col("degw").as("d")),
-        struct(lit("y").as("k"), col("ccmp").as("cid"), col("degw").as("d"))))
-        .as("kc"))
+        struct(lit("y").as("k"), col("ccmp").as("cid"), col("degw").as("d")))
+       else Nil)
+    val ps = ext.select(explode(array(memberships: _*)).as("kc"))
       .select(col("kc.k").as("k"), col("kc.cid").as("cid"), col("kc.d").as("d"))
       .groupBy(col("k"), col("cid"))
       .agg(coalesce(sum(col("d")), lit(0L)).as("dmass"),
@@ -439,11 +461,14 @@ object GraphQueries {
     // every invariant is computed — release the caches so nothing squats
     // on executor storage into the next query
     Seq(ext, deg, wUnd, wEdges).foreach(_.unpersist(blocking = false))
-    val un = LouvainStats(m2 = m2, nNodes = nNodes, nComps = nComps,
-      maxCsz = maxCsz,
-      nComms = nComms, minSize = minSz, maxSize = maxSz, sumSizes = sumSz,
-      ccModNum = wc * m2 - dc, lvModNum = wl * m2 - dl,
-      valid = valid, refines = refines)
+    val un =
+      if (withUnweighted)
+        Some(LouvainStats(m2 = m2, nNodes = nNodes, nComps = nComps,
+          maxCsz = maxCsz,
+          nComms = nComms, minSize = minSz, maxSize = maxSz, sumSizes = sumSz,
+          ccModNum = wc * m2 - dc, lvModNum = wl * m2 - dl,
+          valid = valid, refines = refines))
+      else None
     val w =
       if (withWeighted)
         Some(WeightedStats(m2 = m2w, nNodes = nNodes, nComps = nComps,
@@ -454,80 +479,6 @@ object GraphQueries {
     (un, w)
   }
 
-  /** The LEAN fresh-g08 path: the weighted invariant computation over a
-    * cached `wEdges` (src, dst, weight) table, computing exactly what g08
-    * emits (weighted Louvain + its own CC + weighted invariants) and
-    * nothing of the unweighted side. A suite run never lands here —
-    * g08 consumes the g05 producer's fused memo instead.
-    */
-  private def computeWeightedStats(wEdges: DataFrame): WeightedStats = {
-    val und = wEdges
-      .union(wEdges.select(col("dst").as("src"), col("src").as("dst"),
-        col("weight")))
-      .cache()
-    val deg = und.groupBy(col("src").as("node_id"))
-      .agg(sum(col("weight")).as("deg")).cache()
-    // one fused scalar job: node count + 2m (= Σ deg, since every und
-    // edge contributes its weight to exactly one src degree)
-    val dstat = deg.agg(count(lit(1)),
-      coalesce(sum(col("deg")), lit(0L))).head()
-    val nNodes = dstat.getLong(0)
-    val m2 = dstat.getLong(1)
-    def small(df: DataFrame): DataFrame =
-      if (nNodes < 1000000L) broadcast(df) else df
-
-    // weighted Louvain: integer co-occurrence weights qualify for the
-    // driver replay (louvainRep probes weight integrality — exact
-    // accumulations survive contraction); same level/sweep budgets as g05
-    val assign = GraphAlgs.louvainDF(wEdges, maxLevels = 2, maxSweeps = 4)
-      .localCheckpoint(true)
-    val cc = GraphAlgs.connectedComponentsUnd(
-      und.select(col("src"), col("dst"))).localCheckpoint(true)
-
-    val ext = assign.toDF("node_id", "lc")
-      .join(cc.toDF("node_id", "ccmp"), Seq("node_id"), "full")
-      .join(deg, Seq("node_id"), "full")
-      .cache()
-    val v = ext.agg(
-      count(lit(1)).as("rows"),
-      countDistinct(col("node_id")).as("nd"),
-      count(when(col("lc").isNull || col("ccmp").isNull || col("deg").isNull, 1))
-        .as("bad"),
-      countDistinct(col("lc")).as("ncomm"),
-      countDistinct(col("ccmp")).as("ncomp"),
-      countDistinct(col("lc"), col("ccmp")).as("npair")).head()
-    val (nComms, nComps) = (v.getLong(3), v.getLong(4))
-    val valid = v.getLong(0) == nNodes && v.getLong(1) == nNodes &&
-      v.getLong(2) == 0L
-    val refines = nComms == v.getLong(5)
-
-    // within-partition WEIGHT sums for both partitions in one edge join
-    val j = und
-      .join(small(ext.select(col("node_id").as("src"),
-        col("lc").as("lcs"), col("ccmp").as("ccs"))), Seq("src"))
-      .join(small(ext.select(col("node_id").as("dst"),
-        col("lc").as("lcd"), col("ccmp").as("ccd"))), Seq("dst"))
-      .agg(coalesce(sum(when(col("lcs") === col("lcd"), col("weight"))), lit(0L)).as("wl"),
-        coalesce(sum(when(col("ccs") === col("ccd"), col("weight"))), lit(0L)).as("wc"))
-      .head()
-    val (wl, wc) = (j.getLong(0), j.getLong(1))
-
-    // Σc (weighted degree mass)² per partition, one fused explode pass
-    val ps = ext.select(col("deg"), explode(array(
-        struct(lit("l").as("k"), col("lc").as("cid")),
-        struct(lit("c").as("k"), col("ccmp").as("cid")))).as("kc"))
-      .select(col("deg"), col("kc.k").as("k"), col("kc.cid").as("cid"))
-      .groupBy(col("k"), col("cid"))
-      .agg(coalesce(sum(col("deg")), lit(0L)).as("dmass"))
-      .groupBy(col("k"))
-      .agg(coalesce(sum(col("dmass") * col("dmass")), lit(0L)).as("degsq"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    Seq(ext, deg, und).foreach(_.unpersist(blocking = false))
-    WeightedStats(m2 = m2, nNodes = nNodes, nComps = nComps, nComms = nComms,
-      ccModNum = wc * m2 - ps.getOrElse("c", 0L),
-      lvModNum = wl * m2 - ps.getOrElse("l", 0L),
-      valid = valid, refines = refines)
-  }
 
   val g05 = QueryDef(
     "g05_communities",
@@ -684,7 +635,7 @@ object GraphQueries {
       import s.implicits._
       // memo-aware: a preceding g05/g06 fused run already computed the
       // weighted invariants from the shared scan + CC; fresh runs pay
-      // only the weighted side (computeWeightedStats)
+      // only the weighted side (computeFusedStats, withUnweighted=false)
       val st = weightedStats(s, dir)
       val inBounds = st.nComms >= st.nComps && st.nComms <= st.nNodes
       Seq((st.ccModNum,

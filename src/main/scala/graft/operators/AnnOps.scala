@@ -267,27 +267,9 @@ object AnnOps {
     */
   private[operators] def ivfSearch(e: DataFrame, cents: DataFrame,
       nProbes: Int = 2, topK: Int = 10): DataFrame = {
-    val cdot = vecDot(col("emb"), col("c_emb"))
-    // nearest centroid per vector: ties to the smallest centroid id
-    val assign = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("c_id"),
-        (cdot / (col("norm") * col("c_norm"))).as("csim"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("c_id"), struct(col("csim"), -col("c_id"))).as("c_id"))
+    val cand = ivfCandidates(e, cents, nProbes)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("norm").as("q_norm"))
-    val qdotC = vecDot(col("q_emb"), col("c_emb"))
-    val probeW = Window.partitionBy(col("q_id"))
-      .orderBy(col("psim").desc, col("c_id"))
-    val probes = q.crossJoin(broadcast(cents))
-      .select(col("q_id"), col("c_id"),
-        (qdotC / (col("q_norm") * col("c_norm"))).as("psim"))
-      .withColumn("rn", row_number().over(probeW))
-      .filter(col("rn") <= nProbes)
-      .select(col("q_id"), col("c_id"))
-    val cand = broadcast(probes).join(assign, Seq("c_id"))
-      .filter(col("vec_id") >= 5)
-      .select(col("q_id"), col("vec_id"))
     val scored = cand
       .join(e, Seq("vec_id"))
       .join(broadcast(q), Seq("q_id"))
@@ -298,6 +280,40 @@ object AnnOps {
       .filter(col("rank") <= topK)
       .select(col("q_id"), col("vec_id"), col("rank"), col("sim"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** ONE definition of IVF candidate generation, shared by the
+    * full-precision path ([[ivfSearch]] → a03/ivfKnnTrained) and the
+    * PQ-ADC path ([[ivfPqAdcScored]] → a06/a07): assign every corpus
+    * vector to its nearest centroid by cosine (ties to the smallest
+    * c_id), pick the `nProbes` nearest cells per query (vec_id < 5, the
+    * gate query convention), and emit the (q_id, vec_id) candidates in
+    * the probed cells. Both families' oracles pin the same tie-break and
+    * probe conventions, so a fix here reaches both by construction.
+    */
+  private def ivfCandidates(e: DataFrame, cents: DataFrame,
+                            nProbes: Int): DataFrame = {
+    val assign = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("c_id"),
+        (vecDot(col("emb"), col("c_emb")) / (col("norm") * col("c_norm")))
+          .as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_id"), struct(col("csim"), -col("c_id"))).as("c_id"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("psim").desc, col("c_id"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("norm").as("q_norm"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("c_id"),
+        (vecDot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+          .as("psim"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nProbes)
+      .select(col("q_id"), col("c_id"))
+    broadcast(probes).join(assign, Seq("c_id"))
+      .filter(col("vec_id") >= 5)
+      .select(col("q_id"), col("vec_id"))
   }
 
   /** Deterministic-structure Lloyd (k-means) refinement for the IVF
@@ -657,27 +673,7 @@ object AnnOps {
     val cents = e.filter(col("vec_id") < kCells)
       .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
         col("norm").as("c_norm"))
-    val assign = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("c_id"),
-        (vecDot(col("emb"), col("c_emb")) / (col("norm") * col("c_norm")))
-          .as("csim"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("c_id"), struct(col("csim"), -col("c_id"))).as("c_id"))
-    val probeW = Window.partitionBy(col("q_id"))
-      .orderBy(col("psim").desc, col("c_id"))
-    val probes = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
-        col("norm").as("q_norm"))
-      .crossJoin(broadcast(cents))
-      .select(col("q_id"), col("c_id"),
-        (vecDot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
-          .as("psim"))
-      .withColumn("rn", row_number().over(probeW))
-      .filter(col("rn") <= nProbes)
-      .select(col("q_id"), col("c_id"))
-    val cand = broadcast(probes).join(assign, Seq("c_id"))
-      .filter(col("vec_id") >= 5)
-      .select(col("q_id"), col("vec_id"))
+    val cand = ivfCandidates(e, cents, nProbes)
     val subs = e
       .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("s"),
         col("emb"))

@@ -832,8 +832,8 @@ object DedupOps {
   }
 
   /** Norm-decorated, cached-and-filled embedding frame (single fill:
-    * seeds + assignment both read it), and the `vec_id < kSeeds` seed
-    * convention — shared prep for the centroid family.
+    * seeds + assignment both read it) — shared prep for the centroid
+    * family; the seed convention lives in [[seedCents]].
     */
   private def normedCached(emb: DataFrame): DataFrame = {
     val e = emb
@@ -843,8 +843,16 @@ object DedupOps {
     e
   }
 
+  /** The kSeeds smallest PRESENT vec_ids as seed centroids
+    * (TakeOrderedAndProject, no full sort) — NOT a literal
+    * `vec_id < kSeeds`: an offset or filtered id space (sharded corpora,
+    * upstream-filter survivors) would find few or zero seeds and the
+    * assignment would silently produce no rows (the kmeansCentroids r10
+    * finding, same fix). Identical whenever ids are dense from 0; the
+    * d11/d14/t23 oracles replay it as `ORDER BY vec_id LIMIT 16`.
+    */
   private def seedCents(e: DataFrame, kSeeds: Int): DataFrame =
-    e.filter(col("vec_id") < kSeeds)
+    e.orderBy(col("vec_id")).limit(kSeeds)
       .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
         col("norm").as("c_norm"))
 
@@ -905,7 +913,7 @@ object DedupOps {
             FROM embeddings),
       n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS norm FROM e),
       seeds AS (SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm
-                FROM n WHERE vec_id < 16),
+                FROM n ORDER BY vec_id LIMIT 16),
       assign AS (SELECT vec_id, c_id, emb, norm FROM (
           SELECT v.vec_id, s.c_id, v.emb, v.norm,
                  row_number() OVER (PARTITION BY v.vec_id
@@ -962,7 +970,7 @@ object DedupOps {
             FROM embeddings),
       n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS norm FROM e),
       seeds AS (SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm
-                FROM n WHERE vec_id < 16),
+                FROM n ORDER BY vec_id LIMIT 16),
       assign AS (SELECT vec_id, c_id FROM (
           SELECT v.vec_id, s.c_id,
                  row_number() OVER (PARTITION BY v.vec_id

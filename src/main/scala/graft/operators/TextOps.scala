@@ -1122,7 +1122,7 @@ object TextOps {
             FROM embeddings WHERE vec_id IN (SELECT doc_id FROM surv)),
       nrm AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS norm FROM e),
       seeds AS (SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm
-                FROM nrm WHERE vec_id < 16),
+                FROM nrm ORDER BY vec_id LIMIT 16),
       assign AS (SELECT vec_id, c_id, emb, norm FROM (
           SELECT x.vec_id, sd.c_id, x.emb, x.norm,
                  row_number() OVER (PARTITION BY x.vec_id
@@ -1352,21 +1352,31 @@ object TextOps {
   /** DSIR at 100 TB: same weights, selection by a cutoff VALUE from
     * `approx_percentile` over the Gumbel key (the t21/t23-twin
     * convention) instead of the gate's corpus-global rank window —
-    * filter is a narrow map, no window anywhere. Strictly-greater
-    * comparison: the percentile value is a corpus element (Spark's GK
-    * sketch returns data values), so `>` keeps the top frac·N and
-    * excludes the boundary element itself, matching the gate's exact
-    * rank-k set whenever the sketch resolves the boundary exactly
-    * (TrainPrepOpsSpec pins set parity at gate scale).
+    * filter is a narrow map, no window anywhere. The gate keeps the top
+    * K = ceil(frac·N) docs, so the cutoff must be the element at
+    * ascending rank N−K — NOT `approx_percentile(gkey, 1−frac)`, whose
+    * resolved rank is ceil((1−frac)·N) and overshoots by one whenever
+    * frac·N is non-integral (e.g. N=6: rank 5 keeps 1 doc, the gate
+    * keeps 2). N is counted first (one scan of the already-checkpointed
+    * weights) and the percentile targeted at (N−K−0.5)/N, whose
+    * ceil(p·N) = N−K robustly against float rounding; `>` then keeps
+    * exactly the top K whenever the sketch resolves the boundary element
+    * (TrainPrepOpsSpec pins set parity at gate scale for both N % 5 == 0
+    * and N % 5 != 0).
     */
   def dsirResampleScalable(docsDf: DataFrame, targetSource: String,
       frac: Double = 0.2, accuracy: Int = 10000): DataFrame = {
     val keyed = dsirKeyed(docsDf, targetSource)
-    val cutRow = keyed
-      .agg(expr(s"approx_percentile(gkey, ${1.0 - frac}, $accuracy)"))
-      .head
-    if (cutRow.isNullAt(0)) keyed // empty/all-blank corpus: nothing to cut
-    else keyed.filter(col("gkey") > cutRow.getDouble(0)).orderBy(col("doc_id"))
+    val n = keyed.count()
+    val k = math.ceil(frac * n).toLong
+    if (n == 0L || k >= n) keyed.orderBy(col("doc_id")) // keep everything
+    else {
+      val p = (n - k - 0.5) / n
+      val cut = keyed
+        .agg(expr(s"approx_percentile(gkey, $p, $accuracy)"))
+        .head.getDouble(0)
+      keyed.filter(col("gkey") > cut).orderBy(col("doc_id"))
+    }
   }
 
   /** DSIR importance resampling — the published data-selection recipe a

@@ -215,23 +215,42 @@ class DedupOpsSpec extends AnyFunSuite with graft.SparkTestSession {
 
   test("d14: cluster cap keeps tail clusters whole and caps the dominant one") {
     import spark.implicits._
-    // centroid seeds are vec_id < 16; give two orthogonal directions so
-    // assignment is unambiguous: cluster A = x-axis {0, 20, 21, 22},
-    // cluster B = y-axis {1, 30}. cap=2: A keeps 2 of 4, B keeps both.
+    // centroid seeds are the kSeeds smallest present ids; give two
+    // orthogonal directions so assignment is unambiguous: cluster A =
+    // x-axis {0, 20, 21, 22}, cluster B = y-axis {1, 30}. kSeeds=2 seeds
+    // {0, 1}; cap=2: A keeps 2 of 4, B keeps both.
     val emb = Seq(
       (0L, Seq(1.0, 0.0)), (20L, Seq(0.9, 0.1)), (21L, Seq(1.0, 0.05)),
       (22L, Seq(0.95, 0.0)),
       (1L, Seq(0.0, 1.0)), (30L, Seq(0.1, 0.9))
     ).toDF("vec_id", "emb")
-    val got = DedupOps.diverseSample(emb, cap = 2).collect()
+    val got = DedupOps.diverseSample(emb, kSeeds = 2, cap = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     val byCluster = got.groupBy(_._2)
     assert(byCluster(0L).count(_._3) == 2, s"cluster A capped at 2: $got")
     assert(byCluster(0L).size == 4)
     assert(byCluster(1L).forall(_._3), s"tail cluster kept whole: $got")
     // deterministic under repartition
-    val rep = DedupOps.diverseSample(emb.repartition(5), cap = 2).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val rep = DedupOps.diverseSample(emb.repartition(5), kSeeds = 2, cap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     assert(got.sortBy(_._1).sameElements(rep.sortBy(_._1)))
+  }
+
+  test("d14: offset id spaces still seed and sample (no silent empty result)") {
+    import spark.implicits._
+    // all ids >= 100 — a literal `vec_id < kSeeds` seed rule would find
+    // zero seeds here and silently drop the whole corpus from the sample
+    // (the r10 review finding); smallest-present seeding must keep it live
+    val emb = Seq(
+      (100L, Seq(1.0, 0.0)), (120L, Seq(0.9, 0.1)), (121L, Seq(1.0, 0.05)),
+      (101L, Seq(0.0, 1.0)), (130L, Seq(0.1, 0.9))
+    ).toDF("vec_id", "emb")
+    val got = DedupOps.diverseSample(emb, kSeeds = 2, cap = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length == 5, s"every vector assigned: ${got.toSeq}")
+    assert(got.map(_._2).toSet == Set(100L, 101L), s"seeds are the 2 smallest present ids")
+    val byCluster = got.groupBy(_._2)
+    assert(byCluster(100L).count(_._3) == 2, s"dominant cluster capped: ${got.toSeq}")
+    assert(byCluster(101L).forall(_._3), s"tail cluster kept whole: ${got.toSeq}")
   }
 }

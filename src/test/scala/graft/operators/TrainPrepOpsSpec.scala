@@ -261,4 +261,24 @@ class TrainPrepOpsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(twinSet == gateSet,
       s"twin ${twinSet.size} vs gate ${gateSet.size}; diff ${(twinSet diff gateSet) ++ (gateSet diff twinSet)}")
   }
+
+  test("t27 scale twin: parity holds when frac*N is non-integral") {
+    import org.apache.spark.sql.functions.col
+    // 497 scoreable docs: ceil(0.2*497)=100, but a naive
+    // approx_percentile(gkey, 0.8) cutoff sits at rank ceil(0.8*497)=398
+    // and keeps only 99 — the boundary the twin must get right
+    val docsDf = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 497)
+    val keyed = TextOps.dsirKeyed(docsDf, "src0")
+      .select("doc_id", "gkey")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val n = keyed.length
+    assert(n % 5 != 0, s"fixture must exercise the non-integral boundary, n=$n")
+    val k = (n + 4) / 5
+    val gateSet = keyed.sortBy { case (id, g) => (-g, id) }.take(k).map(_._1).toSet
+    val twinSet = TextOps.dsirResampleScalable(docsDf, "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(twinSet == gateSet, s"twin ${twinSet.size} vs gate $k of $n")
+  }
 }
