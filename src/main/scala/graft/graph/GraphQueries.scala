@@ -387,44 +387,53 @@ object GraphQueries {
       .join(cc.toDF("node_id", "ccmp"), Seq("node_id"), "full")
       .join(deg, Seq("node_id"), "full")
       .cache()
-    val v = ext.agg(
+    // each absent side's columns are SKIPPED, not computed-and-ignored:
+    // every extra countDistinct adds an Expand multiplier to this job,
+    // and the lean fresh-g08 path exists to pay only for what it emits
+    val vAggs = Seq(
       count(lit(1)).as("rows"),
       countDistinct(col("node_id")).as("nd"),
-      count(when(col("lc").isNull || col("ccmp").isNull || col("deg").isNull, 1))
-        .as("bad"),
-      count(when(col("lw").isNull || col("ccmp").isNull || col("degw").isNull, 1))
-        .as("badw"),
-      countDistinct(col("lc")).as("ncomm"),
-      countDistinct(col("lw")).as("ncommw"),
-      countDistinct(col("ccmp")).as("ncomp"),
-      // refines ⟺ every community meets exactly one component ⟺
-      // #distinct (community, ccmp) pairs == #distinct community
-      countDistinct(col("lc"), col("ccmp")).as("npair"),
-      countDistinct(col("lw"), col("ccmp")).as("npairw")).head()
-    val (nComms, nCommsW, nComps) = (v.getLong(4), v.getLong(5), v.getLong(6))
-    val valid = v.getLong(0) == nNodes && v.getLong(1) == nNodes &&
-      v.getLong(2) == 0L
-    val validW = v.getLong(0) == nNodes && v.getLong(1) == nNodes &&
-      v.getLong(3) == 0L
-    val refines = nComms == v.getLong(7)
-    val refinesW = nCommsW == v.getLong(8)
+      countDistinct(col("ccmp")).as("ncomp")) ++
+      (if (withUnweighted) Seq(
+        count(when(col("lc").isNull || col("ccmp").isNull || col("deg").isNull, 1))
+          .as("bad"),
+        countDistinct(col("lc")).as("ncomm"),
+        // refines ⟺ every community meets exactly one component ⟺
+        // #distinct (community, ccmp) pairs == #distinct community
+        countDistinct(col("lc"), col("ccmp")).as("npair"))
+       else Nil) ++
+      (if (withWeighted) Seq(
+        count(when(col("lw").isNull || col("ccmp").isNull || col("degw").isNull, 1))
+          .as("badw"),
+        countDistinct(col("lw")).as("ncommw"),
+        countDistinct(col("lw"), col("ccmp")).as("npairw"))
+       else Nil)
+    val v = ext.agg(vAggs.head, vAggs.tail: _*).head()
+    def vl(name: String): Long = v.getLong(v.fieldIndex(name))
+    val nComps = vl("ncomp")
+    val baseValid = vl("rows") == nNodes && vl("nd") == nNodes
 
     // exact integer modularity pieces Q·m2² = within·m2 − Σc degc², for
     // BOTH algorithms and BOTH metrics in ONE edge join: unweighted
     // within-counts for (lc, ccmp) and weighted within-sums for (lw, ccmp)
+    val jAggs =
+      (if (withUnweighted) Seq(
+        count(when(col("lcs") === col("lcd"), 1)).as("wl"),
+        count(when(col("ccs") === col("ccd"), 1)).as("wc"))
+       else Nil) ++
+      (if (withWeighted) Seq(
+        coalesce(sum(when(col("lws") === col("lwd"), col("weight"))), lit(0L))
+          .as("wlw"),
+        coalesce(sum(when(col("ccs") === col("ccd"), col("weight"))), lit(0L))
+          .as("wcw"))
+       else Nil)
     val j = wUnd
       .join(small(ext.select(col("node_id").as("src"), col("lc").as("lcs"),
         col("lw").as("lws"), col("ccmp").as("ccs"))), Seq("src"))
       .join(small(ext.select(col("node_id").as("dst"), col("lc").as("lcd"),
         col("lw").as("lwd"), col("ccmp").as("ccd"))), Seq("dst"))
-      .agg(count(when(col("lcs") === col("lcd"), 1)).as("wl"),
-        count(when(col("ccs") === col("ccd"), 1)).as("wc"),
-        coalesce(sum(when(col("lws") === col("lwd"), col("weight"))), lit(0L))
-          .as("wlw"),
-        coalesce(sum(when(col("ccs") === col("ccd"), col("weight"))), lit(0L))
-          .as("wcw")).head()
-    val (wl, wc, wlw, wcw) =
-      (j.getLong(0), j.getLong(1), j.getLong(2), j.getLong(3))
+      .agg(jAggs.head, jAggs.tail: _*).head()
+    def jl(name: String): Long = j.getLong(j.fieldIndex(name))
 
     // fused per-partition pass: explode each node into its (partition,
     // community-id, relevant-degree) memberships — unweighted Louvain and
@@ -465,16 +474,19 @@ object GraphQueries {
       if (withUnweighted)
         Some(LouvainStats(m2 = m2, nNodes = nNodes, nComps = nComps,
           maxCsz = maxCsz,
-          nComms = nComms, minSize = minSz, maxSize = maxSz, sumSizes = sumSz,
-          ccModNum = wc * m2 - dc, lvModNum = wl * m2 - dl,
-          valid = valid, refines = refines))
+          nComms = vl("ncomm"), minSize = minSz, maxSize = maxSz,
+          sumSizes = sumSz,
+          ccModNum = jl("wc") * m2 - dc, lvModNum = jl("wl") * m2 - dl,
+          valid = baseValid && vl("bad") == 0L,
+          refines = vl("ncomm") == vl("npair")))
       else None
     val w =
       if (withWeighted)
         Some(WeightedStats(m2 = m2w, nNodes = nNodes, nComps = nComps,
-          nComms = nCommsW,
-          ccModNum = wcw * m2w - dcw, lvModNum = wlw * m2w - dlw,
-          valid = validW, refines = refinesW))
+          nComms = vl("ncommw"),
+          ccModNum = jl("wcw") * m2w - dcw, lvModNum = jl("wlw") * m2w - dlw,
+          valid = baseValid && vl("badw") == 0L,
+          refines = vl("ncommw") == vl("npairw")))
       else None
     (un, w)
   }
