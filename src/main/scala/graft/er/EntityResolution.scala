@@ -55,10 +55,14 @@ object EntityResolution {
 
   /** Candidate pairs within a type: (a) shared plural-folded word token —
     * a strict superset of raw shared-token blocking; (b) for
-    * [[charTypes]], shared character 3-gram with a document-frequency cap
-    * on hot grams (same skew guard as the dedup joins — a gram occurring
-    * in more than `gramDfCap` labels is dropped from blocking, not from
-    * scoring). Input: (id: Long, label: String, type: String).
+    * [[charTypes]], shared character 3-gram. BOTH channels carry the
+    * document-frequency cap on hot keys (same skew guard as the dedup
+    * joins — a token/gram occurring in more than `gramDfCap` labels is
+    * dropped from blocking, not from scoring): a corpus where 100k ORG
+    * labels share "inc" would otherwise put O(df²) pairs through one
+    * skewed join task on the word channel (r10 review finding — the cap
+    * used to guard only grams). Input: (id: Long, label: String,
+    * type: String).
     */
   def blockPairs(labels: DataFrame, gramDfCap: Int = 1000): DataFrame = {
     def selfJoin(keys: DataFrame): DataFrame =
@@ -66,15 +70,17 @@ object EntityResolution {
           col("a.type") === col("b.type") && col("a.tok") === col("b.tok") &&
           col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.type").as("type"))
+    def capHot(keys: DataFrame): DataFrame = {
+      val hot = keys.groupBy(col("type"), col("tok")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > gramDfCap).select(col("type"), col("tok"))
+      keys.join(hot, Seq("type", "tok"), "left_anti")
+    }
     val toks = labels.select(col("id"), col("type"),
       explode(array_distinct(SimilarityJoin.whitespaceTokens(stripS(lower(col("label")))))).as("tok"))
     val grams = labels.filter(col("type").isin(charTypes.toSeq: _*))
       .select(col("id"), col("type"),
         explode(array_distinct(SimilarityJoin.qgrams(lower(col("label"))))).as("tok"))
-    val hot = grams.groupBy(col("type"), col("tok")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > gramDfCap).select(col("type"), col("tok"))
-    val gramsCapped = grams.join(hot, Seq("type", "tok"), "left_anti")
-    selfJoin(toks).union(selfJoin(gramsCapped)).distinct()
+    selfJoin(capHot(toks)).union(selfJoin(capHot(grams))).distinct()
   }
 
   /** Feature column names shared by the threshold scorer and the learned
@@ -308,22 +314,13 @@ object EntityResolution {
       var mCached: Option[DataFrame] = None
       if (probe.nonEmpty) {
         val merged = (if (probe.length <= driverCcLimit) {
-          val parent = scala.collection.mutable.Map.empty[Long, Long]
-          def find(x: Long): Long = {
-            var r = x
-            while (parent(r) != r) r = parent(r)
-            var c = x
-            while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-            r
-          }
-          probe.foreach { row =>
-            val (a, b) = (row.getLong(0), row.getLong(1))
-            parent.getOrElseUpdate(a, a)
-            parent.getOrElseUpdate(b, b)
-            val (ra, rb) = (find(a), find(b))
-            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-          }
-          parent.keys.toSeq.map(k => (k, find(k))).toDF("node_id", "component")
+          // ONE union-find definition repo-wide (GraphAlgs.unionFindMin,
+          // r10 review finding): the sweep's "identical to from-scratch
+          // CC" invariant depends on root = min reachable id, and a
+          // hand-copy here could silently drift from the shared one
+          GraphAlgs.unionFindMin(Iterator.empty,
+              probe.iterator.map(r => (r.getLong(0), r.getLong(1))))
+            .toSeq.toDF("node_id", "component")
         } else {
           val mC = m.cache()
           mCached = Some(mC)

@@ -213,7 +213,10 @@ object ExpressionHelpers {
     val folded = java.text.Normalizer
       .normalize(s.toString, java.text.Normalizer.Form.NFD)
       .replaceAll("\\p{M}+", "")
-      .toLowerCase
+      // Locale.ROOT: the no-arg toLowerCase is locale-sensitive — on a
+      // tr/az-default JVM "I" folds to dotless ı, diverging from DuckDB
+      // lower(), Spark's lower(), and goldens produced elsewhere
+      .toLowerCase(java.util.Locale.ROOT)
     UTF8String.fromString(folded)
   }
 }

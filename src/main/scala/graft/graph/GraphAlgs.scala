@@ -37,8 +37,8 @@ object GraphAlgs {
     * converges to (roots merge toward the smaller id, so the final root
     * of every set is its minimum). `verts` seeds isolated vertices.
     */
-  private def unionFindMin(verts: Iterator[Long],
-                           edges: Iterator[(Long, Long)]): Map[Long, Long] = {
+  private[graft] def unionFindMin(verts: Iterator[Long],
+                                  edges: Iterator[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -177,6 +177,12 @@ object GraphAlgs {
     // executor churn, swap for reliable checkpoint(dir) — same shape.)
     var ranks = vertices.select(col("node_id"), lit(1.0).as("rank"))
       .localCheckpoint(true)
+    // the last MATERIALIZED checkpoint — tracked separately from the
+    // running plan because with checkpointStride > 1 `ranks` is a lazy
+    // intermediate on off-stride steps, and unpersisting THAT was a
+    // no-op that leaked one checkpoint's blocks per stride window
+    // (r10 review finding)
+    var lastCk = ranks
     var i = 0
     while (i < iters) {
       val msgs = edgesWithDeg
@@ -205,8 +211,9 @@ object GraphAlgs {
           .join(small(ranks.select(col("node_id").as("pid"), col("rank").as("prev"))),
             col("node_id") === col("pid"))
           .agg(sum(abs(col("rank") - col("prev")))).head().getDouble(0)
-        ranks.unpersist(blocking = false)
+        lastCk.unpersist(blocking = false)
         ranks = next
+        lastCk = next
         i += 1
         if (delta < tol) i = iters
       } else {
@@ -220,13 +227,19 @@ object GraphAlgs {
         i += 1
         if (i % checkpointStride == 0 || i == iters) {
           val next = nextLazy.localCheckpoint(true)
-          ranks.unpersist(blocking = false)
+          lastCk.unpersist(blocking = false)
           ranks = next
+          lastCk = next
         } else {
           ranks = nextLazy
         }
       }
     }
+    // the loop always exits on a materialized checkpoint (i == iters
+    // forces one), whose blocks are lineage-independent of these caches —
+    // release them so repeated calls don't accumulate edge-sized frames
+    // in executor storage for the session lifetime (r10 review finding)
+    Seq(e, vertices, edgesWithDeg).foreach(_.unpersist(blocking = false))
     ranks.select(col("node_id"), col("rank"))
   }
 
@@ -388,7 +401,14 @@ object GraphAlgs {
       else sizes.map(_._1).sum + sizes.map(_._2).sum
     if (vBound > vertexLimit) {
       rawCsr.unpersist(blocking = false)
-      val g = buildGraph(edges, srcCol, dstCol, undirected)
+      // The pull path dedupes (d, s) runs AFTER symmetrizing, so the
+      // fallback must see the same distinct-edge projection — handing the
+      // raw caller edges to GraphX would count multiplicities in degrees
+      // and messages, silently changing ranks across the size threshold
+      // (r10 review finding). `sym` already carries both directions for
+      // undirected graphs, so the fallback builds directed from it.
+      val fb = if (dedupeEdges) sym.distinct() else sym
+      val g = buildGraph(fb, "s", "d", undirected = false)
       return articleRankGraphX(g, iters, damping)
     }
     if (vBound == 0) {
@@ -543,7 +563,12 @@ object GraphAlgs {
         }
       }
     }
-    val sym = Graph.fromEdges(
+    // keep g.vertices: fromEdges would derive the vertex set from edge
+    // endpoints only, silently dropping caller-supplied isolated vertices
+    // on exactly the overflow path the vProbe fall-through above exists
+    // for (r10 review finding) — the driver path labels them, so the
+    // distributed path must too
+    val sym = Graph(g.vertices,
       g.edges.flatMap(e => Iterator(e, Edge(e.dstId, e.srcId, e.attr))), ())
     sym.connectedComponents().vertices
       .map { case (id, comp) => (id, comp) }.toDF("node_id", "component")
@@ -652,6 +677,10 @@ object GraphAlgs {
       labels = next
       i += 1
     }
+    // final labels are a materialized checkpoint — free the edge- and
+    // vertex-sized loop caches (same session-lifetime hygiene as
+    // articleRankDF)
+    Seq(und, vertices).foreach(_.unpersist(blocking = false))
     labels.select(col("node_id"), col("community"))
   }
 
@@ -876,6 +905,13 @@ object GraphAlgs {
     withShufflePartitions(spark, loopParts(spark, nEdges)) {
     try {
 
+    // every intermediate checkpoint (sweep, level comm, globalMap chain,
+    // contracted edges) lands here and is freed AFTER the final eager
+    // checkpoint materializes the whole chain — without this, each call
+    // left one vertex- or edge-sized block set per sweep/level persisted
+    // for the session lifetime (r10 review finding)
+    val ckFrees = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
     /** One level of parity-alternating greedy local moves. Input/output:
       * (node_id, community) over the level's graph.
       */
@@ -946,6 +982,9 @@ object GraphAlgs {
         comm = statsReset(next).select(col("node_id"), col("community"), col("k"))
         sweep += 1
       }
+      // the returned frame still reads the final sweep's checkpoint
+      // blocks — freed with the batch once the chain has materialized
+      ckFrees += commCk
       comm.select(col("node_id"), col("community"))
     }
 
@@ -955,17 +994,20 @@ object GraphAlgs {
     // which also keeps the whole chain's execution inside this scope)
     var globalMap = vertices.select(col("node_id"), col("node_id").as("community"))
       .localCheckpoint(false)
+    ckFrees += globalMap
     var curEdges = rep0
     var prevCount = nVerts
     var level = 0
     var done = false
     while (level < maxLevels && !done) {
       val comm = localMoves(curEdges).localCheckpoint(false)
+      ckFrees += comm
       val nComm = comm.select(col("community")).distinct().count()
       globalMap = globalMap.as("g")
         .join(comm.as("c"), col("g.community") === col("c.node_id"))
         .select(col("g.node_id"), col("c.community"))
         .localCheckpoint(false)
+      ckFrees += globalMap
       if (nComm == prevCount) done = true // no contraction progress
       else {
         prevCount = nComm
@@ -976,17 +1018,22 @@ object GraphAlgs {
           .groupBy(col("cs").as("src"), col("cd").as("dst"))
           .agg(sum(col("w")).as("w"))
           .localCheckpoint(false)
+        ckFrees += curEdges // rep0 (caller-owned) is never added
       }
       level += 1
     }
     // partitioning-stable labels: community := min member node id;
     // localCheckpoint keeps the final plan's execution inside this scope
-    // (and off the by-then-unpersisted vertices cache)
+    // (and off the by-then-unpersisted vertices cache). EAGER: the whole
+    // lazy chain materializes here, after which every intermediate
+    // checkpoint can be freed — the result's own blocks are independent.
     val relabel = globalMap.groupBy(col("community"))
       .agg(min(col("node_id")).as("cmin"))
-    globalMap.join(small(relabel), Seq("community"))
+    val out = globalMap.join(small(relabel), Seq("community"))
       .select(col("node_id"), col("cmin").as("community"))
       .localCheckpoint(true)
+    ckFrees.foreach(_.unpersist(blocking = false))
+    out
     } finally vertices.unpersist(blocking = false)
     }
   }

@@ -71,7 +71,7 @@ object ScaleOps {
                  saltBy: Column, salts: Int,
                  joinType: String = "inner"): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
-    require(saltableJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
+    require(saltableJoinTypes.contains(joinType.toLowerCase(java.util.Locale.ROOT).replace("_", "")),
       s"saltedJoin preserves only inner/left/semi/anti semantics, got $joinType")
     require(!(left.columns ++ right.columns).contains("__salt"),
       "saltedJoin reserves the internal column name __salt")

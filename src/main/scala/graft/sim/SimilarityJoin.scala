@@ -21,8 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityJoin {
 
-  /** F15 tokenizers. */
-  def whitespaceTokens(c: Column): Column = split(trim(c), "\\s+")
+  /** F15 tokenizers. Blank/whitespace-only input yields an EMPTY array:
+    * Java split semantics would return `[""]` there, making every blank
+    * text share the "" token and Jaccard-match other blanks at 1.0 —
+    * the reference's Python `"".split()` returns `[]` (r10 review
+    * finding), so the empty token is filtered like [[alphaTokens]] does.
+    */
+  def whitespaceTokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), x => x =!= "")
   def alphaTokens(c: Column): Column =
     filter(split(c, "[^a-zA-Z]+"), x => x =!= "")
 

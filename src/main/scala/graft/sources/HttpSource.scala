@@ -123,7 +123,7 @@ private[sources] final case class HttpConf(
 
 private[sources] object HttpConf {
   def apply(props: Map[String, String]): HttpConf = {
-    val get = (k: String) => props.get(k.toLowerCase)
+    val get = (k: String) => props.get(k.toLowerCase(java.util.Locale.ROOT))
     val skip = get("skipUrls").toSeq.flatMap(_.split(',')).map(_.trim).toSet
     // urlsPath: newline-delimited URL file for frontiers too large for an
     // option string (a backfill); read once at partition-planning time,
@@ -157,7 +157,7 @@ private[sources] object HttpConf {
 
 private[sources] class HttpTable(props: Map[String, String])
     extends Table with SupportsRead {
-  private val conf = HttpConf(props.map { case (k, v) => k.toLowerCase -> v })
+  private val conf = HttpConf(props.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v })
   override def name(): String = "graft_http"
   override def schema(): StructType = HttpSource.schema
   override def capabilities(): util.Set[TableCapability] =
