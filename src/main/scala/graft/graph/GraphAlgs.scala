@@ -400,14 +400,25 @@ object GraphAlgs {
       if (undirected) sizes.map(_._1).sum
       else sizes.map(_._1).sum + sizes.map(_._2).sum
     if (vBound > vertexLimit) {
-      rawCsr.unpersist(blocking = false)
       // The pull path dedupes (d, s) runs AFTER symmetrizing, so the
       // fallback must see the same distinct-edge projection — handing the
       // raw caller edges to GraphX would count multiplicities in degrees
       // and messages, silently changing ranks across the size threshold
       // (r10 review finding). `sym` already carries both directions for
       // undirected graphs, so the fallback builds directed from it.
-      val fb = if (dedupeEdges) sym.distinct() else sym
+      //
+      // Partitioning: the CSR pass already measured the deduped edge
+      // count (dst-partitioned + consecutive dedupe = exact distinct), so
+      // size the handed-off RDD at ~500k edges/partition — GraphX's
+      // EdgePartitionBuilder holds a whole partition in hash structures,
+      // and a conf-width distinct over ~100M edges leaves few fat
+      // partitions that OOM the builders (observed at the 80x rehearsal).
+      // The explicit repartition also survives AQE's coalescing.
+      val nFb = sizes.map(_._3).sum
+      rawCsr.unpersist(blocking = false)
+      val fbParts = math.max(parts, (nFb / 500000L + 1L).toInt)
+      val fb = (if (dedupeEdges) sym.distinct() else sym)
+        .repartition(fbParts)
       val g = buildGraph(fb, "s", "d", undirected = false)
       return articleRankGraphX(g, iters, damping)
     }
