@@ -369,6 +369,11 @@ object EntityResolution {
     * `scorer = Some(model)` switches pair scoring to the learned
     * LogisticRegression variant ([[trainPairScorer]]); the default stays
     * the deterministic threshold path.
+    *
+    * The returned `clustered` frame is CACHED (it feeds `best`, `weights`,
+    * and the caller's own reads) — the caller should
+    * `clustered.unpersist()` once all three outputs are materialized, as
+    * [[graft.pipeline.CyberPipeline.run]] does after its exports.
     */
   def resolve(ner: DataFrame, thresholds: Map[String, Double] = Map(),
               defaultThreshold: Double = 0.6,

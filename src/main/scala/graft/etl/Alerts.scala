@@ -23,11 +23,13 @@ object Alerts {
   def cleanAlerts(raw: DataFrame): DataFrame =
     raw
       .withColumn("alert_id", trim(regexp_replace(col("alert_id"), " :", "")))
-      .withColumn("date", to_timestamp(
+      .withColumn("date", try_to_timestamp(
+        // try_: a junk date cell must yield a null row, not fail the job
+        // under ANSI mode (the Rss.withPublishedTs convention)
         trim(regexp_replace(
           regexp_replace(col("date"), "Original release date: ", ""),
           "\\|.*", "")),
-        "MMMM d, yyyy"))
+        lit("MMMM d, yyyy")))
       .withColumn("full_path", concat(lit("https://www.cisa.gov"), col("link")))
       .withColumn("cve_list",
         array_sort(array_distinct(regexp_extract_all(col("text"), lit(cvePattern), lit(1)))))

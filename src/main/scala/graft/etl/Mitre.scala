@@ -104,8 +104,12 @@ object Mitre {
     */
   def techniques(spark: SparkSession, objects: DataFrame): DataFrame = {
     val ap = liveObjects(objects).filter(col("type") === "attack-pattern")
-      .withColumn("mitre_ref", element_at(
-        expr("filter(external_references, r -> r.source_name = 'mitre-attack')"), -1))
+      .withColumn("mitre_ref", try_element_at(
+        // try_: an attack-pattern with no mitre-attack reference yields an
+        // EMPTY filtered array, and plain element_at(empty, -1) throws
+        // under Spark 4's default ANSI mode — the isNotNull drop below is
+        // the intended path for such rows
+        expr("filter(external_references, r -> r.source_name = 'mitre-attack')"), lit(-1)))
       .filter(col("mitre_ref").isNotNull)
       .select(
         col("id").as("stix_id"),

@@ -53,11 +53,18 @@ object CyberPipeline {
     implicit val s: SparkSession = spark
     val work = conf.workDir
 
-    // stage A: NVD JSON → cve/reference/cpe tables (c23-c25)
-    lazy val items = Nvd.readItems(spark, conf.nvdGlob)
+    // stage A: NVD JSON → cve/reference/cpe tables (c23-c25). The
+    // multiLine JSON parse is the hottest cold-run loop (~80 min on the
+    // full corpus), so the scan is SHARED via persist across the three
+    // consumers (Nvd.parseAll's shape) instead of re-parsing four times
+    // (cpeNodes alone references the parse twice), and released once the
+    // checkpoints are on disk. Skip-if-exists runs never touch it.
+    var itemsTouched = false // lazy: a fully-checkpointed re-run must not list nvdGlob
+    lazy val items = { itemsTouched = true; Nvd.readItems(spark, conf.nvdGlob).persist() }
     val cves = Checkpoints.checkpoint(Nvd.cveNodes(items), s"$work/cve_node_data")
     val refs = Checkpoints.checkpoint(Nvd.cveReferences(items), s"$work/cve_references")
     val cpes = Checkpoints.checkpoint(Nvd.cpeNodes(items), s"$work/cpe_node_data")
+    if (itemsTouched) items.unpersist(blocking = false)
 
     // stage B: MITRE STIX bundle → techniques (mitre_json_to_csv.py)
     val techniques = Checkpoints.checkpoint(
@@ -73,8 +80,8 @@ object CyberPipeline {
     // c1-c11) per SURVEY §7: the feed path and the scrape path meet
     // BEFORE cleanup, so every downstream stage treats both identically.
     val scraped = spark.read.parquet(conf.alertsParquet)
-    val rawAlerts = conf.rssFeedDir match {
-      case None => scraped
+    val (rawAlerts, feedFresh) = conf.rssFeedDir match {
+      case None => (scraped, false)
       case Some(feedDir) =>
         import org.apache.spark.sql.streaming.Trigger
         val sink = s"$work/rss_entries"
@@ -86,6 +93,12 @@ object CyberPipeline {
           .trigger(Trigger.AvailableNow())
           .start()
         try q.processAllAvailable() finally q.stop()
+        // did THIS run drain any new feed files? If so, the downstream
+        // alerts_clean / alert_ner checkpoints are stale (their input just
+        // changed) and must be forced — otherwise skip-if-exists would
+        // return the old parquet and the new advisories would never reach
+        // extraction, ER, or export on a re-run
+        val drained = q.recentProgress.map(_.numInputRows).sum
         // an empty feed dir produces no sink output at all — read back
         // well-typed either way (entrySchema pins the column types)
         val entries =
@@ -94,16 +107,16 @@ object CyberPipeline {
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             graft.sources.Rss.entrySchema)
-        scraped.unionByName(
+        (scraped.unionByName(
           graft.sources.Rss.entriesAsAlerts(entries)
-            .select(scraped.columns.map(col).toSeq: _*))
+            .select(scraped.columns.map(col).toSeq: _*)), drained > 0)
     }
 
     // stage C: scraped (+ feed) alerts → munge + CVE/TTP extraction
     // (c7-c18)
     val alerts = Checkpoints.checkpoint(
       Alerts.cleanAlerts(rawAlerts),
-      s"$work/alerts_clean")
+      s"$work/alerts_clean", force = feedFresh)
     val alertNodes = Alerts.alertNodes(alerts)
     val alertCve = Alerts.alertCveEdges(alerts)
     val alertTtp = Alerts.alertTtpEdges(alerts, techniques)
@@ -124,7 +137,7 @@ object CyberPipeline {
     val ner = Checkpoints.checkpoint(
       mentions.join(vocab, Seq("label", "type"))
         .select(col("alert_id"), col("id"), col("label"), col("type")),
-      s"$work/alert_ner")
+      s"$work/alert_ner", force = feedFresh)
     val (clustered, best, weights) =
       EntityResolution.resolve(ner, conf.erThresholds,
         defaultThreshold = if (conf.erScorer.isDefined) 0.5 else 0.6,
@@ -152,7 +165,7 @@ object CyberPipeline {
       }.toMap
 
     // stage F: K6 export — the named CSV set (README.md:11-22)
-    GraphExport.writeAll(
+    val counts = GraphExport.writeAll(
       Map(
         "alert_nodes" -> alertNodes,
         "alert_cve_edge" -> alertCve,
@@ -164,6 +177,12 @@ object CyberPipeline {
         "ner_node" -> nerNodes,
         "alert_ner_label_weights" -> weights) ++ ghTables,
       conf.outDir, quoteAll = conf.quoteAll)
+    // resolve() caches `clustered` for its three consumers; the exports
+    // above are the last of them, so release it — a long-lived session
+    // running the pipeline repeatedly must not accumulate corpus-sized
+    // cache residents (the 9b5934e graph-cache-leak class)
+    clustered.unpersist(blocking = false)
+    counts
   }
 
   /** args: nvdGlob mitreBundle alertsParquet workDir outDir

@@ -18,9 +18,14 @@ object Checkpoints {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  def checkpoint(df: => DataFrame, path: String)
+  /** `force = true` recomputes even when a committed dataset exists —
+    * for stages whose INPUT is known to have changed since the cached
+    * run (e.g. new feed files drained this run), where skip-if-exists
+    * would silently return stale data.
+    */
+  def checkpoint(df: => DataFrame, path: String, force: Boolean = false)
                 (implicit spark: SparkSession): DataFrame = {
-    if (!exists(spark, path))
+    if (force || !exists(spark, path))
       df.write.mode("overwrite").parquet(path)
     spark.read.parquet(path)
   }

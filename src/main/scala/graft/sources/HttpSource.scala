@@ -26,8 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * {{{
   * spark.read.format("graft.sources.HttpSource")
   *   .option("urls", "http://api/a,http://api/b")   // one row per fetch
-  *   .option("requestsPerWindow", 2)                 // RateLimiter budget
-  *   .option("windowMillis", 1000)                   //   ... per partition
+  *   .option("requestsPerWindow", 2)                 // GLOBAL budget B: each
+  *   .option("windowMillis", 1000)                   //   partition gets B/P
   *   .option("skipUrls", "http://api/a")             // resume: already done
   *   .load()
   * }}}
@@ -82,11 +82,17 @@ object HttpSource {
     StructField("body", StringType, nullable = true),
     StructField("error", StringType, nullable = true)))
 
-  /** Fetch one URL; never throws. (status, body, error). */
+  /** Fetch one URL; never throws. (status, body, error). The connection
+    * is released in a finally so a timed-out or mid-body-failed fetch
+    * can't leak a socket — at thousands of URLs per partition against a
+    * flaky endpoint, abandoned descriptors would otherwise accumulate
+    * until the executor hits its fd limit.
+    */
   private[sources] def fetchOne(url: String, timeoutMs: Int,
-                                headers: Map[String, String]): (Int, String, String) =
+                                headers: Map[String, String]): (Int, String, String) = {
+    var conn: HttpURLConnection = null
     try {
-      val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+      conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
       conn.setConnectTimeout(timeoutMs)
       conn.setReadTimeout(timeoutMs)
       headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
@@ -96,17 +102,20 @@ object HttpSource {
         if (stream == null) ""
         else {
           val r = new BufferedReader(new InputStreamReader(stream, StandardCharsets.UTF_8))
-          val sb = new StringBuilder
-          var line = r.readLine()
-          while (line != null) { sb.append(line).append('\n'); line = r.readLine() }
-          r.close()
-          sb.result()
+          try {
+            val sb = new StringBuilder
+            var line = r.readLine()
+            while (line != null) { sb.append(line).append('\n'); line = r.readLine() }
+            sb.result()
+          } finally r.close()
         }
-      conn.disconnect()
       (status, body, null)
     } catch {
       case e: Exception => (-1, null, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    } finally {
+      if (conn != null) conn.disconnect()
     }
+  }
 }
 
 private[sources] final case class HttpConf(
@@ -171,13 +180,22 @@ private[sources] class HttpTable(props: Map[String, String])
         val pageParts: Seq[InputPartition] = conf.baseUrl.toSeq.map { base =>
           HttpPagePartition(base, conf.pageParam, conf.startPage, conf.maxPages)
         }
-        // round-robin keeps per-partition request counts within ±1, so a
-        // global budget divides evenly (each partition gets B/P slots)
+        // round-robin keeps per-partition request counts within ±1, and the
+        // GLOBAL budget is divided here at plan time (each of the P planned
+        // partitions carries B/P slots) — every partition running the full
+        // budget would exceed the endpoint's limit P-fold
         val urlParts: Seq[InputPartition] =
           if (conf.urls.isEmpty) Nil
-          else conf.urls.zipWithIndex
-            .groupBy(_._2 % conf.numPartitions).toSeq.sortBy(_._1)
-            .map { case (_, us) => HttpUrlPartition(us.map(_._1)) }
+          else {
+            // a budget smaller than the partition count caps parallelism:
+            // P partitions each need ≥1 slot/window, so P > B would exceed
+            // B even at the floor
+            val nParts = math.min(conf.numPartitions, math.max(1, conf.requestsPerWindow))
+            val groups = conf.urls.zipWithIndex
+              .groupBy(_._2 % nParts).toSeq.sortBy(_._1)
+            val perPartition = math.max(1, conf.requestsPerWindow / groups.size)
+            groups.map { case (_, us) => HttpUrlPartition(us.map(_._1), perPartition) }
+          }
         (urlParts ++ pageParts).toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =
@@ -185,15 +203,15 @@ private[sources] class HttpTable(props: Map[String, String])
     }
 }
 
-private[sources] final case class HttpUrlPartition(urls: Seq[String]) extends InputPartition
+private[sources] final case class HttpUrlPartition(
+    urls: Seq[String], requestsPerWindow: Int) extends InputPartition
 private[sources] final case class HttpPagePartition(
     baseUrl: String, pageParam: String, startPage: Int, maxPages: Int) extends InputPartition
 
 private[sources] class HttpReaderFactory(conf: HttpConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val limiter = new RateLimiter(conf.requestsPerWindow, conf.windowMillis)
-    def fetch(u: String): InternalRow = {
+    def fetch(limiter: RateLimiter, u: String): InternalRow = {
       limiter.acquire()
       val (status, body, err) = HttpSource.fetchOne(u, conf.timeoutMs, conf.headers)
       InternalRow(UTF8String.fromString(u), status,
@@ -201,15 +219,20 @@ private[sources] class HttpReaderFactory(conf: HttpConf)
         if (err == null) null else UTF8String.fromString(err))
     }
     partition match {
-      case HttpUrlPartition(urls) => new PartitionReader[InternalRow] {
+      case HttpUrlPartition(urls, budget) => new PartitionReader[InternalRow] {
+        // budget is the plan-time B/P share, so P concurrent partitions
+        // together respect the endpoint's global window limit
+        private val limiter = new RateLimiter(budget, conf.windowMillis)
         private val it = urls.iterator
         private var row: InternalRow = _
-        override def next(): Boolean = { val n = it.hasNext; if (n) row = fetch(it.next()); n }
+        override def next(): Boolean = { val n = it.hasNext; if (n) row = fetch(limiter, it.next()); n }
         override def get(): InternalRow = row
         override def close(): Unit = ()
       }
       case HttpPagePartition(base, param, start, maxPages) =>
         new PartitionReader[InternalRow] {
+          // pagination is a single partition, so it owns the full budget
+          private val limiter = new RateLimiter(conf.requestsPerWindow, conf.windowMillis)
           private var page = start
           private var done = false
           private var row: InternalRow = _
@@ -229,7 +252,11 @@ private[sources] class HttpReaderFactory(conf: HttpConf)
                 if (body == null) null else UTF8String.fromString(body),
                 if (err == null) null else UTF8String.fromString(err))
               page += 1
-              if (err != null) done = true // transport error: surface row, stop walk
+              // transport error OR a persistent HTTP failure (500/403/429):
+              // surface the row, stop the walk — continuing to maxPages
+              // would hammer a failing endpoint for hours through the
+              // limiter and emit thousands of junk rows
+              if (err != null || status >= 400) done = true
               true
             }
           }

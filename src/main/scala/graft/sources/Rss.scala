@@ -151,7 +151,11 @@ object Rss {
     */
   def entriesAsAlerts(entries: DataFrame): DataFrame = {
     val idFromTitle =
-      regexp_extract(col("title"), "^(A[A-Z]\\d{2}-\\d{3}[A-Za-z]?)", 1)
+      // [A-Z]{2}: CISA advisory codes use both AA (alerts) and the older
+      // TA (technical alerts) prefixes — the golden alert data carries
+      // TA18-331A etc., and missing those would emit divergent node rows
+      // when the scrape and feed paths carry the same advisory
+      regexp_extract(col("title"), "^([A-Z]{2}\\d{2}-\\d{3}[A-Za-z]?)", 1)
     val idFromGuid = regexp_extract(coalesce(col("guid"), lit("")), "([^/]+?)/?$", 1)
     val idFromLink = regexp_extract(coalesce(col("link"), lit("")), "([^/]+?)/?$", 1)
     entries.select(
@@ -160,7 +164,7 @@ object Rss {
         nullif(idFromTitle, lit("")),
         nullif(idFromGuid, lit("")),
         nullif(idFromLink, lit(""))).as("alert_id"),
-      regexp_replace(col("title"), "^A[A-Z]\\d{2}-\\d{3}[A-Za-z]?\\s*:\\s*", "")
+      regexp_replace(col("title"), "^[A-Z]{2}\\d{2}-\\d{3}[A-Za-z]?\\s*:\\s*", "")
         .as("title"),
       date_format(col("published_ts"), "MMMM d, yyyy").as("date"),
       col("summary").as("text"))

@@ -56,8 +56,13 @@ object StatefulSessions {
       }
       cur.foreach { st =>
         state.update(st)
-        // re-arm: fire once no in-watermark event can extend the session
-        state.setTimeoutTimestamp(st.end + gapMs)
+        // re-arm: fire once no in-watermark event can extend the session.
+        // Clamped: event-time timeouts must be positive and at/after the
+        // current watermark, so a pre-epoch session (negative end+gap)
+        // would otherwise crash the query — clamping makes it fire on the
+        // next watermark advance, exactly when it becomes closable anyway
+        val fireAt = math.max(st.end + gapMs, state.getCurrentWatermarkMs() + 1L)
+        state.setTimeoutTimestamp(math.max(fireAt, 1L))
       }
       closed.reverse.iterator
     }

@@ -48,6 +48,10 @@ class EtlSpec extends AnyFunSuite with graft.SparkTestSession {
   // ---- MITRE ----
   test("MITRE techniques: revoked/deprecated dropped, phases resolved, minimd applied") {
     val objects = Mitre.readBundle(spark, res("/mitre/enterprise-attack-test.json"))
+    // the fixture also carries a LIVE attack-pattern with no mitre-attack
+    // external reference (attack-pattern--4): its filtered ref array is
+    // empty, which must yield a dropped row (try_element_at -> null), not
+    // an ANSI element_at index error
     val tech = Mitre.techniques(spark, objects).collect()
     assert(tech.length == 1)
     val t = tech(0)
@@ -106,6 +110,17 @@ class EtlSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(r1.getAs[scala.collection.Seq[String]]("cve_list").toSeq == Seq("CVE-2021-44228", "CVE-2022-0001"))
     assert(r1.getAs[scala.collection.Seq[String]]("ttp_list").toSeq == Seq("T1059", "T1486"))
     assert(a("AA20-006A").getAs[scala.collection.Seq[String]]("cve_list").toSeq.isEmpty)
+  }
+
+  test("Alerts cleanAlerts: an unparseable date yields a null row, not an ANSI failure") {
+    val junk = Seq(("/alert/aa99-999a", "AA99-999A", "Junk Date Alert",
+      "Updated March 2022", "Mentions CVE-2022-0001."))
+      .toDF("link", "alert_id", "title", "date", "text")
+    val out = Alerts.cleanAlerts(junk).collect()
+    assert(out.length == 1)
+    assert(out(0).isNullAt(out(0).fieldIndex("date")))
+    // the rest of the cleanup still ran on the null-date row
+    assert(out(0).getAs[scala.collection.Seq[String]]("cve_list").toSeq == Seq("CVE-2022-0001"))
   }
 
   test("Alerts alertCveEdges: corrected vs reference-bug mode") {

@@ -157,6 +157,43 @@ class PipelineSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(feedRow(0).getAs[String]("full_path") ==
       "https://www.cisa.gov/alert/aa22-003a")
     assert(String.valueOf(feedRow(0).getAs[Any]("date")).startsWith("2022-04-06"))
+
+    // a NEW feed file lands after the first run — the stream drains only
+    // it (checkpointed source), and the alerts_clean/alert_ner checkpoints
+    // must be invalidated (feedFresh) or the new advisory would never
+    // reach extraction/export on the re-run. The advisory uses the older
+    // TA advisory-code prefix, pinning the [A-Z]{2} id extraction: the id
+    // must come from the title code (not the link basename) and the title
+    // must have the code stripped, matching what the scrape path yields.
+    val feedXml2 =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<rss version="2.0"><channel>
+        |  <title>CISA Cybersecurity Advisories</title>
+        |  <item>
+        |    <title>TA18-331A: 3ve - Major Online Ad Fraud Operation</title>
+        |    <link>https://www.cisa.gov/ncas/alerts/TA18-331A</link>
+        |    <pubDate>Tue, 27 Nov 2018 00:00:00 GMT</pubDate>
+        |    <guid>https://www.cisa.gov/ncas/alerts/TA18-331A</guid>
+        |    <description>Ad fraud actors leverage [T1064] scripting.</description>
+        |  </item>
+        |</channel></rss>""".stripMargin
+    Files.write(java.nio.file.Paths.get(s"$feedDir/alerts2.xml"),
+      feedXml2.getBytes("UTF-8"))
+    val counts2 = CyberPipeline.run(spark, rssConf, nerFixture)
+    assert(counts2("alert_nodes") == 4, "re-run must surface the newly drained advisory")
+    val taRow = Csv.read(spark, s"${rssConf.outDir}/alert_nodes")
+      .filter(col("alert_id") === "TA18-331A").collect()
+    assert(taRow.length == 1)
+    assert(taRow(0).getAs[String]("title") == "3ve - Major Online Ad Fraud Operation")
+
+    // and with NO new feed files, a further re-run resumes from the
+    // (now-updated) checkpoints without recomputing them
+    val marker = new java.io.File(s"${rssConf.workDir}/alerts_clean/_SUCCESS")
+    val mtime = marker.lastModified
+    val counts3 = CyberPipeline.run(spark, rssConf, nerFixture)
+    assert(counts3("alert_nodes") == 4)
+    assert(marker.lastModified == mtime,
+      "alerts_clean was recomputed although no new feed files arrived")
   }
 
   test("pipeline: re-run resumes from checkpoints (stage outputs not recomputed)") {

@@ -163,4 +163,56 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll with SparkTestSe
     assert(rows.head.getAs[Int]("status") === -1)
     assert(rows.head.getAs[String]("error") != null)
   }
+
+  private def planParts(props: Map[String, String]): Array[HttpUrlPartition] = {
+    val lc = props.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    new HttpTable(lc)
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        new java.util.HashMap[String, String]()))
+      .build().toBatch.planInputPartitions()
+      .collect { case p: HttpUrlPartition => p }
+  }
+
+  test("plan divides the GLOBAL request budget across url partitions (B/P each)") {
+    val urls = (1 to 8).map(i => s"http://x/$i")
+    val parts = planParts(Map(
+      "urls" -> urls.mkString(","), "numPartitions" -> "4",
+      "requestsPerWindow" -> "8"))
+    assert(parts.length === 4)
+    assert(parts.forall(_.requestsPerWindow == 2), // 8/4, not 8 each
+      parts.map(_.requestsPerWindow).mkString(","))
+    assert(parts.flatMap(_.urls).sorted === urls.sorted.toArray)
+  }
+
+  test("plan caps partition count when the budget is smaller than P") {
+    // B=2 < requested P=6: 6 partitions at the 1-slot floor would issue
+    // 6/window against a 2/window budget — the plan must shrink to B
+    val urls = (1 to 6).map(i => s"http://x/$i")
+    val parts = planParts(Map(
+      "urls" -> urls.mkString(","), "numPartitions" -> "6",
+      "requestsPerWindow" -> "2"))
+    assert(parts.length === 2)
+    assert(parts.forall(_.requestsPerWindow == 1))
+    assert(parts.flatMap(_.urls).sorted === urls.sorted.toArray)
+  }
+
+  test("pagination stops after a persistent HTTP failure instead of walking to maxPages") {
+    seen.clear()
+    server.createContext("/broken", (ex: HttpExchange) => {
+      val q = Option(ex.getRequestURI.getQuery).map("?" + _).getOrElse("")
+      seen.add((ex.getRequestURI.getPath + q, System.currentTimeMillis()))
+      val bytes = """{"error":"internal"}""".getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(500, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    val rows = spark.read.format("graft.sources.HttpSource")
+      .option("url", s"$base/broken").option("pageParam", "page")
+      .load().collect()
+    // the failing page is surfaced as a row (error-as-row contract), then
+    // the walk stops — no second request
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Int]("status") === 500)
+    assert(requests.map(_._1) === Seq("/broken?page=1"))
+  }
 }
