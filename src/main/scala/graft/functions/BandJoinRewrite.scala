@@ -76,17 +76,6 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
 
-  private def hasEquiKey(preds: Seq[Expression], left: LogicalPlan,
-      right: LogicalPlan): Boolean = preds.exists {
-    case EqualTo(a, b) =>
-      (canEvaluate(a, left) && canEvaluate(b, right)) ||
-        (canEvaluate(b, left) && canEvaluate(a, right))
-    case EqualNullSafe(a, b) =>
-      (canEvaluate(a, left) && canEvaluate(b, right)) ||
-        (canEvaluate(b, left) && canEvaluate(a, right))
-    case _ => false
-  }
-
   private def bucket(t: Expression, tol: Long): Expression = {
     val tl = Literal(tol, LongType)
     val c = if (t.dataType == LongType) t else Cast(t, LongType)
@@ -95,7 +84,7 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint) if j.resolved &&
-        !hasEquiKey(splitConjunctivePredicates(cond), left, right) =>
+        !JoinRewriteGuards.hasEquiKey(splitConjunctivePredicates(cond), left, right) =>
       val band = splitConjunctivePredicates(cond).iterator.flatMap { p =>
         bandOf(p).flatMap { case (x, y, tol) =>
           // orient (lt from left, rt from right); subtraction order is
@@ -124,5 +113,25 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             Some(And(EqualTo(bAttr, rAlias.toAttribute), cond)), hint)
           Project(j.output, newJoin)
       }
+  }
+}
+
+/** Fixed-point-safety guard shared by the custom join rewrites
+  * ([[BandJoinRewrite]], [[SimilarityJoinRewrite]]): a join that already
+  * carries a cross-side equi key is hash-join-able as written (or is the
+  * output of a previous application of one of these rules), so the
+  * rewrites must leave it alone. One definition so a subtlety fix (e.g.
+  * treating cast-wrapped equalities as keys) cannot drift between rules.
+  */
+private[functions] object JoinRewriteGuards extends PredicateHelper {
+  def hasEquiKey(preds: Seq[Expression], left: LogicalPlan,
+      right: LogicalPlan): Boolean = preds.exists {
+    case EqualTo(a, b) =>
+      (canEvaluate(a, left) && canEvaluate(b, right)) ||
+        (canEvaluate(b, left) && canEvaluate(a, right))
+    case EqualNullSafe(a, b) =>
+      (canEvaluate(a, left) && canEvaluate(b, right)) ||
+        (canEvaluate(b, left) && canEvaluate(a, right))
+    case _ => false
   }
 }

@@ -53,17 +53,28 @@ object GraftFunctions {
     * (extensions can only be injected at session build; extraOptimizations
     * is the public hook for a live session).
     */
-  def register(spark: SparkSession): Unit = {
-    descriptors.foreach { case (ident, info, builder) =>
-      spark.sessionState.functionRegistry
-        .registerFunction(ident, info, builder)
+  // once per session: registration is idempotent but not free (seven
+  // registry writes + three optimizer-batch scans), and the column DSL
+  // calls ensureRegistered on EVERY column construction — weak keys so a
+  // stopped session doesn't pin its state here
+  private val registeredSessions =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
+  def register(spark: SparkSession): Unit =
+    if (!registeredSessions.contains(spark)) {
+      descriptors.foreach { case (ident, info, builder) =>
+        spark.sessionState.functionRegistry
+          .registerFunction(ident, info, builder)
+      }
+      Seq(VecDotRewrite, BandJoinRewrite, SimilarityJoinRewrite).foreach { rule =>
+        if (!spark.experimental.extraOptimizations.contains(rule))
+          spark.experimental.extraOptimizations =
+            spark.experimental.extraOptimizations :+ rule
+      }
+      registeredSessions.add(spark)
     }
-    Seq(VecDotRewrite, BandJoinRewrite, SimilarityJoinRewrite).foreach { rule =>
-      if (!spark.experimental.extraOptimizations.contains(rule))
-        spark.experimental.extraOptimizations =
-          spark.experimental.extraOptimizations :+ rule
-    }
-  }
 
   /** Column DSL via the public `call_function` (Spark ≥3.5): emits an
     * unresolved function call that the analyzer resolves against the

@@ -102,17 +102,6 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  private def hasEquiKey(preds: Seq[Expression], left: LogicalPlan,
-      right: LogicalPlan): Boolean = preds.exists {
-    case EqualTo(a, b) =>
-      (canEvaluate(a, left) && canEvaluate(b, right)) ||
-        (canEvaluate(b, left) && canEvaluate(a, right))
-    case EqualNullSafe(a, b) =>
-      (canEvaluate(a, left) && canEvaluate(b, right)) ||
-        (canEvaluate(b, left) && canEvaluate(a, right))
-    case _ => false
-  }
-
   /** Distinct non-null token set — the universe jaccard_sim counts.
     * array_except both dedups and drops the null element.
     */
@@ -131,7 +120,7 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, jt, Some(cond), hint)
         if (jt == Inner || jt == Cross) && j.resolved &&
-          !hasEquiKey(splitConjunctivePredicates(cond), left, right) =>
+          !JoinRewriteGuards.hasEquiKey(splitConjunctivePredicates(cond), left, right) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val sim = conjuncts.iterator.flatMap { p =>
         simOf(p).flatMap { case (x, y, t, strict) =>

@@ -25,7 +25,15 @@ class TopTerms(k: Int) extends Aggregator[TermCount, Seq[TermCount], Seq[TermCou
     xs.sortBy(t => (-t.n, t.term)).take(k)
 
   override def zero: Seq[TermCount] = Nil
-  override def reduce(b: Seq[TermCount], a: TermCount): Seq[TermCount] = trim(b :+ a)
+  override def reduce(b: Seq[TermCount], a: TermCount): Seq[TermCount] =
+    if (b.length < k) trim(b :+ a)
+    else {
+      // the buffer is trim-sorted, so b.last is the current kth (weakest)
+      // entry: reject rows that can't displace it in O(1) instead of
+      // re-sorting the whole buffer for every pre-aggregated input row
+      val w = b.last
+      if (a.n > w.n || (a.n == w.n && a.term < w.term)) trim(b :+ a) else b
+    }
   override def merge(b1: Seq[TermCount], b2: Seq[TermCount]): Seq[TermCount] = trim(b1 ++ b2)
   override def finish(r: Seq[TermCount]): Seq[TermCount] = r
   override def bufferEncoder: Encoder[Seq[TermCount]] = ExpressionEncoder()

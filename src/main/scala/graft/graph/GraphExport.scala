@@ -23,9 +23,9 @@ object GraphExport {
     tables.map { case (name, df) =>
       val path = s"$outDir/$name"
       Csv.write(df, path, quoteAll = quoteAll, shards = shards)
-      name -> df.sparkSession.read
-        .option("header", value = true).option("multiLine", value = true)
-        .option("quote", "\"").option("escape", "\"")
-        .csv(path).count()
+      // Csv.read is the documented mirror of Csv.write's quote/escape
+      // convention — reading back through it keeps the completeness count
+      // valid if that convention ever changes
+      name -> Csv.read(df.sparkSession, path).count()
     }
 }

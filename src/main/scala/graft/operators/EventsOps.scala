@@ -105,7 +105,9 @@ object EventsOps {
         .select(col("event_id"),
           regexp_extract(col("props"), "([0-9]+)", 1).cast("bigint").as("k_val"))
         .orderBy(col("event_id")),
-    Some("""SELECT event_id, CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k_val
+    // TRY_CAST: a digitless props string extracts '' — Spark's cast
+    // yields null there, but DuckDB's plain CAST('') aborts the oracle
+    Some("""SELECT event_id, TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k_val
       FROM events ORDER BY event_id"""))
 
   /** As-of join gate: each click event picks up the user's most recent

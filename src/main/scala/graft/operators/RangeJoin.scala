@@ -33,8 +33,12 @@ object RangeJoin {
     // negatives, and DIV keeps the arithmetic integral — Column `/` is
     // DOUBLE division, which loses bucket precision for |t| > 2^53
     // (epoch-nanosecond timestamps) and would silently drop edge pairs
-    def bucket(c: String) =
-      expr(s"($c - pmod($c, $tolerance)) DIV $tolerance")
+    // identifiers are backtick-quoted so column names with spaces or
+    // operator characters ("event ms", "t-1") parse as names, not SQL
+    def bucket(c: String) = {
+      val q = "`" + c.replace("`", "``") + "`"
+      expr(s"($q - pmod($q, $tolerance)) DIV $tolerance")
+    }
     val lB = left.withColumn("__bucket",
       explode(array((-1 to 1).map(d => bucket(leftTime) + d): _*)))
     val rB = right.withColumn("__bucket", bucket(rightTime))

@@ -398,7 +398,10 @@ object Relational {
       val cols = Seq("click", "error", "purchase", "signup", "view")
         .map(t => s"CAST(COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS BIGINT) AS $t")
         .mkString(", ")
-      s"""SELECT user_id % 10 AS bucket, $cols
+      // floor-mod fold: Spark's pmod has floor semantics, DuckDB % truncates
+      // — the e02/e12 double-mod idiom keeps the engines aligned if user_id
+      // is ever negative
+      s"""SELECT ((user_id % 10) + 10) % 10 AS bucket, $cols
         FROM events GROUP BY 1 ORDER BY bucket"""
     })
 

@@ -79,8 +79,14 @@ object SimilarityJoin {
               col("r_n") <= col("l_n") / threshold)
       .groupBy(col("l_id"), col("r_id"), col("l_k"), col("r_k"))
       .agg(count(lit(1)).as("overlap"))
-      // J = o/(k1+k2-o) >= t  <=>  o >= t*(k1+k2)/(1+t)
-      .filter(col("overlap") >= (col("l_k") + col("r_k")) * threshold / (1 + threshold))
+      // J = o/(k1+k2-o) >= t  <=>  o >= t*(k1+k2)/(1+t). This is a PRUNE,
+      // not the decider (the exact jaccard filter below is) — relax it by
+      // an epsilon because double rounding can push the computed bound
+      // above the exact rational and silently drop a boundary pair: at
+      // t=0.2, k1+k2=6 the exact bound is 1.0 but 6*0.2/1.2 rounds to
+      // 1.0000000000000002, excluding a pair with jaccard exactly 0.2
+      .filter(col("overlap") >=
+        (col("l_k") + col("r_k")) * threshold / (1 + threshold) - 1e-9)
 
     overlap.select(col("l_id"), col("r_id"),
       (col("overlap").cast("double") /

@@ -24,6 +24,18 @@ class ErSimSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(got == Set((1L, 10L), (2L, 11L), (3L, 12L)))
   }
 
+  test("similarity join keeps boundary pairs at thresholds inexact in binary") {
+    // t=0.2, k1=1, k2=5: the exact overlap bound is 0.2*6/1.2 = 1.0, but
+    // the double arithmetic rounds to 1.0000000000000002 — without the
+    // epsilon-relaxed prune this jaccard-exactly-0.2 pair was dropped
+    // while the declarative twin (and the final exact filter) keep it
+    val left = Seq((1L, "x")).toDF("id", "text")
+    val right = Seq((10L, "a b c d x")).toDF("id", "text")
+    val got = SimilarityJoin.join(left, "id", col("text"), right, "id", col("text"), 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 10L, 0.2)))
+  }
+
   test("qgrams and alphaTokens") {
     val g = Seq("abcd").toDF("t")
       .select(SimilarityJoin.qgrams(col("t"), 3)).as[Seq[String]].collect()(0)

@@ -28,4 +28,22 @@ class TopTermsSpec extends AnyFunSuite with graft.SparkTestSession {
       assert(got("de") == Seq(("das", 9L), ("der", 9L)))
     }
   }
+
+  test("reduce early-reject: rows tying the kth element still displace on the term tie-break") {
+    // exercises the O(1) full-buffer rejection path directly: "ant" ties
+    // the current kth ("cat", 5) and must ENTER (smaller term wins the
+    // tie), "zebra" ties and must be rejected, lower counts rejected
+    val agg = new TopTerms(2)
+    val full = agg.merge(agg.reduce(agg.reduce(agg.zero,
+      TermCount("dog", 9L)), TermCount("cat", 5L)), agg.zero)
+    assert(full.map(_.term) == Seq("dog", "cat"))
+    val afterTieWin = agg.reduce(full, TermCount("ant", 5L))
+    assert(afterTieWin.map(_.term) == Seq("dog", "ant"))
+    val afterTieLose = agg.reduce(full, TermCount("zebra", 5L))
+    assert(afterTieLose.map(_.term) == Seq("dog", "cat"))
+    val afterLower = agg.reduce(full, TermCount("aaa", 4L))
+    assert(afterLower.map(_.term) == Seq("dog", "cat"))
+    val afterHigher = agg.reduce(full, TermCount("bee", 7L))
+    assert(afterHigher.map(_.term) == Seq("dog", "bee"))
+  }
 }

@@ -46,6 +46,16 @@ class RangeJoinSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Set(2L, 4L)) // both exactly-at-tolerance pairs, not the Δ=tol+1
   }
 
+  test("banded: column names with spaces or operator characters work") {
+    // the bucket expression is built from SQL text — identifiers must be
+    // backtick-quoted or "t-1" parses as arithmetic and "event ms" errors
+    val l = Seq(("a", 1L, 100L)).toDF("k", "l_id", "event ms")
+    val r = Seq(("a", 2L, 150L), ("a", 3L, 900L)).toDF("k", "r_id", "t-1")
+    val got = RangeJoin.banded(l, r, Seq("k"), "event ms", "t-1", 100L)
+      .select("r_id").as[Long].collect().toSet
+    assert(got == Set(2L))
+  }
+
   test("banded: no duplicate pairs from the 3-bucket fan-out") {
     val got = RangeJoin.banded(left, right, Seq("k"), "l_t", "r_t", 100L)
       .select("l_id", "r_id").collect()
