@@ -90,9 +90,17 @@ object Bench {
       .map { case (name, fn) => name -> runOne(name, fn, sfDir) }
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // escape ALL control chars (not just \n\r\t): an exception message
+    // carrying e.g. an ANSI escape byte would otherwise emit invalid JSON
+    // exactly when error visibility matters most (the Verify.q convention)
+    def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    }
     val errs = results.collect { case (k, (_, Some(e))) =>
-      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\n\\r\\t]", " ") + "\"" }
+      "\"" + k + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"isolate":$isolate,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")

@@ -21,8 +21,17 @@ case class TermCount(term: String, n: Long)
 class TopTerms(k: Int) extends Aggregator[TermCount, Seq[TermCount], Seq[TermCount]] {
   require(k > 0, s"k must be positive, got $k")
 
+  // count DESC, term ASC by CODE POINT — Scala's String ordering is
+  // UTF-16 code-unit order, but the t08 oracle's ORDER BY (DuckDB UTF-8
+  // binary) and a Spark window-sort twin (UTF8String binary) both rank by
+  // code point; they diverge on non-BMP terms tying at the kth slot
+  private val ord: Ordering[TermCount] = (x: TermCount, y: TermCount) => {
+    val c = java.lang.Long.compare(y.n, x.n)
+    if (c != 0) c else graft.Tok.cpCompare(x.term, y.term)
+  }
+
   private def trim(xs: Seq[TermCount]): Seq[TermCount] =
-    xs.sortBy(t => (-t.n, t.term)).take(k)
+    xs.sorted(ord).take(k)
 
   override def zero: Seq[TermCount] = Nil
   override def reduce(b: Seq[TermCount], a: TermCount): Seq[TermCount] =
@@ -32,7 +41,7 @@ class TopTerms(k: Int) extends Aggregator[TermCount, Seq[TermCount], Seq[TermCou
       // entry: reject rows that can't displace it in O(1) instead of
       // re-sorting the whole buffer for every pre-aggregated input row
       val w = b.last
-      if (a.n > w.n || (a.n == w.n && a.term < w.term)) trim(b :+ a) else b
+      if (ord.compare(a, w) < 0) trim(b :+ a) else b
     }
   override def merge(b1: Seq[TermCount], b2: Seq[TermCount]): Seq[TermCount] = trim(b1 ++ b2)
   override def finish(r: Seq[TermCount]): Seq[TermCount] = r

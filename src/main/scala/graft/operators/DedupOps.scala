@@ -54,7 +54,7 @@ object DedupOps {
 
   /** Distinct (doc_id, 3-shingle) rows from a `documents`-shaped frame. */
   private[graft] def shingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+    docs.select(col("doc_id"), split(trim(col("text")), graft.Tok.Ws).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("sh"))
@@ -72,7 +72,7 @@ object DedupOps {
     * two rows instead of a double explode-join.
     */
   private[graft] def shingleArrs(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+    docs.select(col("doc_id"), split(trim(col("text")), graft.Tok.Ws).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), array_distinct(expr(
         "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("shArr"))
@@ -162,7 +162,7 @@ object DedupOps {
     def cntSide(alias: String) = broadcastIfUnder(cnt, nDocs, broadcastLimit).as(alias)
     val shc =
       if (hotCount == 0) sh
-      else if (hotCount < 1000000) sh.join(broadcast(hot), Seq("sh"), "left_anti")
+      else if (hotCount < broadcastLimit) sh.join(broadcast(hot), Seq("sh"), "left_anti")
       else sh.join(hot, Seq("sh"), "left_anti")
     val pairs = shc.as("a")
       .join(shc.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -288,7 +288,7 @@ object DedupOps {
       val d = Tables.load(s, dir, "documents")
       val toks = d
         .filter(length(trim(col("text"))) > 0)
-        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .select(col("doc_id"), explode(split(trim(col("text")), graft.Tok.Ws)).as("tok"))
         .distinct()
         .withColumn("h", md5(col("tok").cast("binary")))
       val sumCols = (0 until 16).map(b =>
@@ -652,7 +652,7 @@ object DedupOps {
     */
   private[graft] def duplicatedSpans(docs: DataFrame, winTok: Int = 8): DataFrame = {
     val toks = docs
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), split(trim(col("text")), graft.Tok.Ws).as("toks"))
       .filter(size(col("toks")) >= winTok)
     val wins = toks.select(col("doc_id"), explode(expr(
       s"""transform(sequence(0, size(toks)-$winTok),
@@ -769,7 +769,7 @@ object DedupOps {
     (s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val docs = Tables.load(s, dir, "documents")
-      def prefixToks = slice(split(trim(col("text")), "\\s+"), 1, 8)
+      def prefixToks = slice(split(trim(col("text")), graft.Tok.Ws), 1, 8)
       val l = docs.filter(col("doc_id") % 41 === 0)
         .select(col("doc_id").as("l_id"), prefixToks.as("l_toks"))
       val r = docs.select(col("doc_id").as("r_id"), prefixToks.as("r_toks"))

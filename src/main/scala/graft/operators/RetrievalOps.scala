@@ -65,7 +65,7 @@ object RetrievalOps {
   private def withIndex(docsDf: DataFrame)(f: Bm25Index => DataFrame): DataFrame = {
     val tf = docsDf.filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"),
-        explode(split(trim(col("text")), "\\s+")).as("w"))
+        explode(split(trim(col("text")), graft.Tok.Ws)).as("w"))
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("tf"))
       .cache() // inverted index: feeds df/dl aggregates + the probe join

@@ -74,7 +74,7 @@ object SketchOps {
   private def tokens(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
       .filter(length(trim(col("text"))) > 0)
-      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .select(explode(split(trim(col("text")), graft.Tok.Ws)).as("tok"))
 
   val t16 = QueryDef(
     "t16_cms_counts",

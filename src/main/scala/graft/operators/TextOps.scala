@@ -67,7 +67,7 @@ object TextOps {
     (s, dir) =>
       docs(s, dir)
         .filter(length(trim(col("text"))) > 0)
-        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .select(col("doc_id"), explode(split(trim(col("text")), graft.Tok.Ws)).as("tok"))
         .groupBy(col("doc_id"))
         .agg(
           count(lit(1)).as("n_tokens"),
@@ -88,7 +88,7 @@ object TextOps {
     "doc quality features: chars, words, stopword ratio",
     (s, dir) => {
       val d = docs(s, dir)
-      val words = size(split(trim(col("text")), "\\s+")).cast("bigint")
+      val words = size(split(trim(col("text")), graft.Tok.Ws)).cast("bigint")
       val stops = regexp_count(col("text"), lit("\\b(the|a|of|and|to|in|is)\\b")).cast("bigint")
       d.filter(length(trim(col("text"))) > 0)
         .select(
@@ -193,7 +193,7 @@ object TextOps {
     * quality stage.
     */
   private[graft] def topWordStats(df: DataFrame): DataFrame =
-    df.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+    df.select(col("doc_id"), explode(split(trim(col("text")), graft.Tok.Ws)).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
       .groupBy(col("doc_id"))
       .agg(max(col("n")).as("top_word_n"),
@@ -350,7 +350,7 @@ object TextOps {
     (s, dir) => {
       val counts = docs(s, dir)
         .filter(length(trim(col("text"))) > 0)
-        .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("term"))
+        .select(col("lang"), explode(split(trim(col("text")), graft.Tok.Ws)).as("term"))
         .groupBy(col("lang"), col("term"))
         .agg(count(lit(1)).as("n"))
       val topk = graft.functions.TopTerms(3)
@@ -382,7 +382,7 @@ object TextOps {
     "t09_repetition",
     "repetition filters: top-word and top-bigram token fractions",
     (s, dir) => {
-      val arr = split(trim(col("text")), "\\s+")
+      val arr = split(trim(col("text")), graft.Tok.Ws)
       val base = docs(s, dir)
         .filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"), arr.as("arr"))
@@ -475,7 +475,7 @@ object TextOps {
     (s, dir) => {
       val toks = docs(s, dir)
         .filter(length(trim(col("text"))) > 0)
-        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+        .select(col("doc_id"), explode(split(trim(col("text")), graft.Tok.Ws)).as("term"))
       val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window
@@ -512,7 +512,7 @@ object TextOps {
     "token-budget sequence packing via per-lang cumsum binning",
     (s, dir) => {
       val budget = 2000L
-      val nTok = size(split(trim(col("text")), "\\s+")).cast("bigint")
+      val nTok = size(split(trim(col("text")), graft.Tok.Ws)).cast("bigint")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang"))
         .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
@@ -589,7 +589,7 @@ object TextOps {
       val (win, stride) = (64, 48)
       docs(s, dir)
         .filter(length(trim(col("text"))) > 0)
-        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+        .select(col("doc_id"), split(trim(col("text")), graft.Tok.Ws).as("toks"))
         .select(col("doc_id"), col("toks"),
           explode(sequence(lit(0), size(col("toks")) - 1, lit(stride))).as("start"))
         .select(col("doc_id"),
@@ -630,7 +630,7 @@ object TextOps {
   def bigramLmScores(docsDf: DataFrame): DataFrame = {
     val toks = docsDf
       .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .select(col("doc_id"), split(trim(col("text")), graft.Tok.Ws).as("t"))
       .cache() // single fill: vocab scalar + the bigram stream
     val vocab = toks.select(explode(col("t")).as("w"))
       .agg(countDistinct(col("w"))).head.getLong(0)
@@ -740,7 +740,7 @@ object TextOps {
     docsDf.filter(length(trim(col("text"))) > 0)
       .select(col("source"), col("lang"),
         length(col("text")).cast("bigint").as("nc"),
-        size(split(trim(col("text")), "\\s+")).cast("bigint").as("nw"),
+        size(split(trim(col("text")), graft.Tok.Ws)).cast("bigint").as("nw"),
         md5(col("text").cast("binary")).as("h"))
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -761,7 +761,7 @@ object TextOps {
       val base = docs(s, dir).filter(length(trim(col("text"))) > 0)
         .select(col("source"), col("lang"), col("doc_id"),
           length(col("text")).cast("bigint").as("nc"),
-          size(split(trim(col("text")), "\\s+")).cast("bigint").as("nw"),
+          size(split(trim(col("text")), graft.Tok.Ws)).cast("bigint").as("nw"),
           md5(col("text").cast("binary")).as("h"))
       val ranked = base
         .withColumn("rk", row_number().over(w.orderBy(col("nc"), col("doc_id"))))
@@ -906,7 +906,7 @@ object TextOps {
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val sorted = docsDf.filter(length(trim(col("text"))) > 0)
       .select(col("doc_id").cast("long").as("doc_id"), col("source"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        size(split(trim(col("text")), graft.Tok.Ws)).cast("long").as("n_tokens"),
         md5(concat_ws(":", col("doc_id"), lit(seed))).as("k"))
       .as[(Long, String, Long, String)]
       .repartitionByRange(parts, col("source"), col("k"), col("doc_id"))
@@ -968,7 +968,7 @@ object TextOps {
         .partitionBy(col("source")).orderBy(col("k"), col("doc_id"))
       docs(s, dir).filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"), col("source"),
-          size(split(trim(col("text")), "\\s+")).cast("bigint").as("n_tokens"),
+          size(split(trim(col("text")), graft.Tok.Ws)).cast("bigint").as("n_tokens"),
           md5(concat_ws(":", col("doc_id"), lit("budget42"))).as("k"))
         .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
         .filter(col("cum_tokens") <= budget)
@@ -1155,7 +1155,7 @@ object TextOps {
   private[graft] def docLines(d: DataFrame, lineTok: Int = 3,
       boiler: String = "click here now"): DataFrame =
     d.filter(length(trim(col("text"))) > 0)
-      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("toks", split(trim(col("text")), graft.Tok.Ws))
       .select(col("doc_id"), expr(
         s"""concat(
              transform(sequence(0, cast(ceil(size(toks) / $lineTok.0) as int) - 1),
@@ -1277,7 +1277,7 @@ object TextOps {
     require(buckets == 256, "bucket family is the 2-hex-char md5 convention")
     val toks = docsDf.filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), col("source"),
-        split(trim(col("text")), "\\s+").as("t"))
+        split(trim(col("text")), graft.Tok.Ws).as("t"))
     val grams = toks.select(col("doc_id"), col("source"), explode(expr(
       """concat(t, zip_with(slice(t, 1, size(t) - 1),
                             slice(t, 2, size(t) - 1),
@@ -1426,7 +1426,7 @@ object TextOps {
     */
   private[graft] def dupNgramCoverage(d: DataFrame, n: Int = 5): DataFrame = {
     val toks = d.filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("arr"))
+      .select(col("doc_id"), split(trim(col("text")), graft.Tok.Ws).as("arr"))
     val tl = toks.select(col("doc_id"),
       posexplode(col("arr")).as(Seq("p", "w")))
       .select(col("doc_id"), col("p"), length(col("w")).as("len"))

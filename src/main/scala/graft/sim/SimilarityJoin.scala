@@ -28,7 +28,7 @@ object SimilarityJoin {
     * finding), so the empty token is filtered like [[alphaTokens]] does.
     */
   def whitespaceTokens(c: Column): Column =
-    filter(split(trim(c), "\\s+"), x => x =!= "")
+    filter(split(trim(c), graft.Tok.Ws), x => x =!= "")
   def alphaTokens(c: Column): Column =
     filter(split(c, "[^a-zA-Z]+"), x => x =!= "")
 
@@ -55,8 +55,8 @@ object SimilarityJoin {
     * so a 1-token product fails |B| ≥ t·|A| and is dropped even though
     * the SET Jaccard (1/2) clears the threshold. Golden parity
     * (cpe_product_edge) pins this. The overlap lower bound
-    * o ≥ t/(1+t)·(k1+k2) is applied on the DISTINCT set sizes, where the
-    * inequality is exact.
+    * o ≥ t/(1+t)·(k1+k2) is applied on the DISTINCT set sizes, relaxed by
+    * an epsilon for thresholds inexact in binary (see the filter note).
     */
   def join(left: DataFrame, leftId: String, leftText: Column,
            right: DataFrame, rightId: String, rightText: Column,

@@ -428,7 +428,7 @@ object StreamingOps {
     (s, dir) => {
       val src = docsStream(s, dir)
         .filter(length(trim(col("text"))) > 0)
-        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .withColumn("toks", split(trim(col("text")), graft.Tok.Ws))
         .select(col("doc_id"),
           size(col("toks")).cast("bigint").as("n_tokens"),
           length(trim(col("text"))).cast("bigint").as("n_chars"),
@@ -466,7 +466,7 @@ object StreamingOps {
         .filter(length(trim(col("text"))) > 0)
         .groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(size(split(trim(col("text")), "\\s+")).cast("bigint"))
+          sum(size(split(trim(col("text")), graft.Tok.Ws)).cast("bigint"))
             .as("n_tokens"))
       withStreamParts(s, dir, table = "documents") {
         val q = agg.writeStream

@@ -106,14 +106,17 @@ object BpeTrainer {
     val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
     val where = scala.collection.mutable
       .HashMap.empty[(String, String), scala.collection.mutable.HashSet[Int]]
-    // count DESC, then a ASC, b ASC — first() is the round winner
+    // count DESC, then a ASC, b ASC — first() is the round winner. The
+    // symbol tie-break compares CODE POINTS (Tok.cpCompare), matching
+    // trainDistributed's UTF8String-binary orderBy — String.compareTo's
+    // UTF-16 order would pick a different winner when non-BMP symbols tie
     val tree = new java.util.TreeSet[(Long, String, String)](
       new java.util.Comparator[(Long, String, String)] {
         def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
           val c = java.lang.Long.compare(y._1, x._1)
           if (c != 0) return c
-          val a = x._2.compareTo(y._2)
-          if (a != 0) a else x._3.compareTo(y._3)
+          val a = graft.Tok.cpCompare(x._2, y._2)
+          if (a != 0) a else graft.Tok.cpCompare(x._3, y._3)
         }
       })
     def bump(p: (String, String), delta: Long): Unit = {
@@ -209,8 +212,17 @@ object BpeTrainer {
       }
       if (counts.isEmpty) done = true
       else {
-        val (a, b) = counts.toSeq
-          .minBy { case ((x, y), c) => (-c, x, y) }._1
+        // count DESC, symbols ASC by CODE POINT (see the incremental
+        // path's comparator note — must match the distributed orderBy)
+        val (a, b) = counts.toSeq.min(
+          Ordering.fromLessThan[((String, String), Long)] {
+            case (((ax, ay), ac), ((bx, by), bc)) =>
+              if (ac != bc) ac > bc
+              else {
+                val c = graft.Tok.cpCompare(ax, bx)
+                if (c != 0) c < 0 else graft.Tok.cpCompare(ay, by) < 0
+              }
+          })._1
         merges += ((a, b))
         vocab = vocab.map { case (syms, freq) => (mergeWord(syms, a, b), freq) }
       }

@@ -36,7 +36,7 @@ object QualityModel {
   def features(docs: DataFrame): DataFrame = {
     val text = col("text")
     val nChars = length(text).cast("double")
-    val words = size(split(trim(text), "\\s+")).cast("double")
+    val words = size(split(trim(text), graft.Tok.Ws)).cast("double")
     def charRatio(pattern: String) =
       regexp_count(text, lit(pattern)).cast("double") / nChars
     docs.filter(length(trim(text)) > 0)

@@ -25,6 +25,14 @@ object TextClean {
   /** c27 pre-NER cleanup: literal/regex replaces (each trimmed like the
     * reference's replace_strings), printable filter, CVE/TTP removal,
     * minor-version collapse.
+    *
+    * Newline/tab become TWO spaces with no whitespace collapse — the
+    * reference's own `("\n", " "*2)` (data_integration.ipynb c27), kept
+    * verbatim even though it stops [[graft.er.HeuristicNerModel]]'s
+    * single-space span regex at line breaks ("Federal\nBureau of
+    * Investigation" → only "Bureau of Investigation"): the reference's
+    * spaCy NER saw exactly this doubled-space text, so entity extraction
+    * parity requires feeding ours the same.
     */
   def cleanForNer(c: Column): Column = {
     var t: Column = c
@@ -86,6 +94,16 @@ object TextClean {
 
   /** c35 NER-label cleanup: parenthetical strip, company suffixes, open
     * paren/bracket tails, punctuation, trim.
+    *
+    * DELIBERATELY REFERENCE-FAITHFUL, quirks included (golden ER parity
+    * depends on them — data_integration.ipynb c35 /
+    * cpe_product.ipynb c5 use these literal regexes):
+    *  - the parenthetical strip is GREEDY (`\s\(.*\)*\s*` deletes from
+    *    the first " (" to end-of-label, so "apple (aapl) holdings" →
+    *    "apple");
+    *  - the suffix strip's `\s?` makes the whitespace optional, so
+    *    "cisco" → "cis" and "anzac" → "anz" — the reference mutilates
+    *    those names the same way, and ER clusters on the mutilated keys.
     */
   def cleanNerLabel(c: Column): Column = {
     var t: Column = c

@@ -36,6 +36,14 @@ class ErSimSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(got.toSeq == Seq((1L, 10L, 0.2)))
   }
 
+  test("whitespaceTokens treats vertical tab as content, like RE2 \\s") {
+    // Java \s includes U+000B but DuckDB RE2's \s does not; the shared
+    // Tok.Ws class pins the RE2 behavior so both engines see one token
+    val toks = Seq("foo\u000Bbar").toDF("t")
+      .select(SimilarityJoin.whitespaceTokens(col("t"))).as[Seq[String]].collect()(0)
+    assert(toks == Seq("foo\u000Bbar"))
+  }
+
   test("qgrams and alphaTokens") {
     val g = Seq("abcd").toDF("t")
       .select(SimilarityJoin.qgrams(col("t"), 3)).as[Seq[String]].collect()(0)

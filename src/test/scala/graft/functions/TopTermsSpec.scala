@@ -46,4 +46,15 @@ class TopTermsSpec extends AnyFunSuite with graft.SparkTestSession {
     val afterHigher = agg.reduce(full, TermCount("bee", 7L))
     assert(afterHigher.map(_.term) == Seq("dog", "bee"))
   }
+
+  test("non-BMP ties rank by code point, matching the oracle's UTF-8 order") {
+    // U+1F600 (surrogate pair, UTF-16 units start 0xD83D) vs U+E000:
+    // Java String ordering ranks the emoji FIRST, but DuckDB's binary
+    // UTF-8 ORDER BY and Spark's UTF8String sort rank U+E000 first —
+    // the aggregator must side with the engines, not the JVM
+    val agg = new TopTerms(1)
+    val out = agg.reduce(agg.reduce(agg.zero,
+      TermCount("\uD83D\uDE00", 5L)), TermCount("\uE000", 5L))
+    assert(out.map(_.term) == Seq("\uE000"))
+  }
 }

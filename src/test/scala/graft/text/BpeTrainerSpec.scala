@@ -32,6 +32,23 @@ class BpeTrainerSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(viaCluster == viaDriver)
   }
 
+  test("non-BMP count ties break by CODE POINT on every path") {
+    import spark.implicits._
+    // U+E000 (private use, one UTF-16 unit 0xE000) vs U+1F600 (emoji,
+    // surrogate pair starting 0xD83D): both words appear twice, so their
+    // (sym, </w>) pairs tie at 2 and the tie-break decides. Code-point
+    // order (the distributed orderBy's UTF8String binary order) puts
+    // U+E000 < U+1F600; Java String.compareTo's UTF-16 order says the
+    // opposite — the driver-local loops must agree with the cluster
+    val docs = Seq((1L, "\uD83D\uDE00 \uE000 \uD83D\uDE00 \uE000"))
+      .toDF("doc_id", "text")
+    val local = BpeTrainer.train(docs, nMerges = 2)
+    val cluster = BpeTrainer.train(docs, nMerges = 2, driverLimit = 0)
+    assert(local == cluster, s"local $local vs cluster $cluster")
+    assert(local.head == ("\uE000", "</w>"),
+      s"tie must resolve to the smaller CODE POINT, got ${local.head}")
+  }
+
   test("incremental loop == naive loop on randomized corpora (full drain)") {
     // the production driver path maintains pair counts incrementally with
     // an ordered winner index; pin its merge sequence against the naive
