@@ -167,7 +167,11 @@ object MediaCodecs {
           samples = new Array[Short](n)
           var i = 0
           while (i < n) { samples(i) = buf.getShort; i += 1 }
-          buf.position(math.min(buf.limit(), buf.position() + (size & 1)))
+          // an odd-sized data chunk leaves ONE unread data byte plus the
+          // pad byte — skipping only the pad would land every following
+          // chunk walk one byte short of its boundary
+          buf.position(math.min(buf.limit(),
+            buf.position() + (size - 2 * n) + (size & 1)))
         case _ =>
           buf.position(math.min(buf.limit(), buf.position() + size + (size & 1)))
       }
@@ -263,10 +267,16 @@ object MediaCodecs {
         val next = math.min(end, buf.position() + size + (size & 1))
         t match {
           case "LIST" =>
-            val kind = tag() // consumes 4 of the size
-            if (kind == "hdrl" || kind == "movi" || kind == "strl")
-              walkList(buf.position() + size - 4)
-            buf.position(next)
+            // a LIST declaring size < 4 has no room for its kind tag —
+            // reading it unguarded would BufferUnderflow out of the
+            // "None when not parseable" contract; skip it as malformed
+            if (size < 4) buf.position(next)
+            else {
+              val kind = tag() // consumes 4 of the size
+              if (kind == "hdrl" || kind == "movi" || kind == "strl")
+                walkList(buf.position() + size - 4)
+              buf.position(next)
+            }
           case "avih" =>
             if (size < 40) return
             uspf = buf.getInt

@@ -110,7 +110,11 @@ object Multimodal {
     media.select(col("media_id"), col("kind"), col("payload"))
       .mapPartitions { rows =>
         rows.map { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
+          // the schema declares payload nullable (a failed fetch row):
+          // treat null as empty bytes so the chain stays TOTAL and lands
+          // in the stub branch instead of NPE-ing the task
+          val payload = Option(r.getAs[Array[Byte]]("payload"))
+            .getOrElse(Array.emptyByteArray)
           val (codec, feats) =
             MediaCodecs.decodePpm(payload)
               .map(img => "ppm" -> MediaCodecs.imageFeatures(img))
@@ -139,7 +143,10 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
-          val out = MediaCodecs.decodePpm(payload) match {
+          // null payload (nullable by schema) passes through unchanged —
+          // decodePpm(null) would NPE the task
+          val out = if (payload == null) payload
+          else MediaCodecs.decodePpm(payload) match {
             case Some(img) if img.width > maxSide || img.height > maxSide =>
               val scale = maxSide.toDouble / math.max(img.width, img.height)
               val tw = math.max(1, math.round(img.width * scale).toInt)
@@ -209,7 +216,8 @@ object Multimodal {
         .as("n_chunks"))
       .withColumn("n_sampled",
         expr(s"CAST((n_chunks + ${everyK - 1}) DIV $everyK AS BIGINT)"))
-      .orderBy(col("media_id"))
+      // no orderBy here: the op itself is narrow (pure column math); the
+      // m01 gate wiring sorts for its oracle
 
   /** m01 — the multimodal family's driver gate. Decode itself is not
     * SQL-expressible (DuckDB has no PPM/WAV/AVI codec) and stays pinned
@@ -220,7 +228,8 @@ object Multimodal {
   val m01 = graft.QueryDef(
     "m01_media_meta",
     "multimodal payload plumbing: binary column, chunk + frame-sample math",
-    (s, dir) => payloadStats(mediaFromDocs(graft.Tables.load(s, dir, "documents"))),
+    (s, dir) => payloadStats(mediaFromDocs(graft.Tables.load(s, dir, "documents")))
+      .orderBy(col("media_id")),
     Some("""SELECT doc_id AS media_id,
         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
           ELSE 'video' END AS kind,

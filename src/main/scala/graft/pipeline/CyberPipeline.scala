@@ -189,14 +189,8 @@ object CyberPipeline {
     * [languagesParquet contributorsParquet]
     */
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = Tables.requiredConf.foldLeft(SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")) { case (b, (k, v)) => b.config(k, v) }
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.tools.ToolSession.local(
+      defaultCpus = "4", shuffleFromCpus = true)
     val conf = PipelineConfig(
       nvdGlob = args(0), mitreBundle = args(1), alertsParquet = args(2),
       workDir = args(3), outDir = args(4),

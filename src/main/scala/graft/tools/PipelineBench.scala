@@ -111,6 +111,9 @@ object PipelineBench {
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/graft_pipe")
+    // golden ER training fixtures: arg 2 overrides the repo-root-relative
+    // default so the tool can run from a packaged jar / different cwd
+    val goldenDir = args.lift(1).getOrElse("src/test/resources/golden")
     new java.io.File(s"$base/nvd").mkdirs()
     val spark = ToolSession.local()
     import spark.implicits._
@@ -200,7 +203,7 @@ object PipelineBench {
     val (_, tTrain) = timed {
       Seq("ORG", "GPE", "PERSON", "PRODUCT").foreach { tpe =>
         val df = spark.read.option("multiLine", value = true)
-          .json(s"src/test/resources/golden/ner_training_$tpe.json")
+          .json(s"$goldenDir/ner_training_$tpe.json")
         def pairs(c: String): Seq[(String, String)] =
           if (!df.columns.contains(c)) Seq.empty
           else df.select(explode(col(c)).as("p"))

@@ -66,7 +66,7 @@ object ScaleData {
     "doc_id" -> "documents", "vec_id" -> "embeddings")
 
   def scaleTable(spark: SparkSession, srcDir: String, name: String,
-                 copies: Int, strides: Map[String, Long]): DataFrame = {
+                 copies: Int, strides: String => Long): DataFrame = {
     val base = Tables.load(spark, srcDir, name)
     if (name == "region" || name == "nation") return base
     val shifted = (0 until copies).map { i =>
@@ -89,14 +89,20 @@ object ScaleData {
       args.lift(3).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val spark = ToolSession.local()
 
-    // one stride per key-owning table: max key + 1, so copies are disjoint
-    val strides: Map[String, Long] = keyCols.keys.map { t =>
+    // one stride per key-owning table: max key + 1, so copies are
+    // disjoint. Computed LAZILY and memoized — a subset run must not pay
+    // max-scans over tables it never copies. The key is cast to long
+    // first: the generator's physical key types drift (SchemaDriftSpec
+    // accepts int32/int64), and getLong on a boxed Integer throws.
+    val strideCache = scala.collection.mutable.Map.empty[String, Long]
+    def stride(t: String): Long = strideCache.getOrElseUpdate(t, {
       val k = keyCols(t).head
-      t -> (Tables.load(spark, srcDir, t).agg(max(col(k))).head().getLong(0) + 1L)
-    }.toMap
+      val r = Tables.load(spark, srcDir, t).agg(max(col(k).cast("long"))).head()
+      if (r.isNullAt(0)) 1L else r.getLong(0) + 1L // empty table: any stride works
+    })
 
     Tables.names.filter(n => tableSubset.forall(_.contains(n))).foreach { name =>
-      scaleTable(spark, srcDir, name, copies, strides)
+      scaleTable(spark, srcDir, name, copies, stride)
         .write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
       println(s"scaled $name -> $dstDir/$name.parquet")
     }

@@ -13,10 +13,17 @@ import graft.Tables
   * config change now lands in exactly one place.
   */
 object ToolSession {
-  def local(logLevel: String = "WARN"): SparkSession = {
+  /** `defaultCpus` is the fallback when SPARK_GRAFT_CPUS is unset;
+    * `shuffleFromCpus = true` sizes shuffle partitions to the core count
+    * (the driver-contract mains' convention — Verify/Bench/CyberPipeline
+    * run narrow local sessions where 32-wide shuffles just add overhead).
+    */
+  def local(logLevel: String = "WARN", defaultCpus: String = "32",
+            shuffleFromCpus: Boolean = false): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
     val spark = Tables.requiredConf.foldLeft(SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", if (shuffleFromCpus) cpus else "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()

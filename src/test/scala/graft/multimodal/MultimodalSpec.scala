@@ -87,6 +87,48 @@ class MultimodalSpec extends AnyFunSuite with graft.SparkTestSession {
     // truncated mid-movi: decodable prefix may yield frames or None,
     // but must not throw
     MediaCodecs.decodeAvi(rawAvi.dropRight(7).toArray)
+
+    // a LIST chunk declaring size 0 at end-of-buffer has no room for its
+    // kind tag: must be treated as malformed, not BufferUnderflow
+    val tinyList = java.nio.ByteBuffer.allocate(20)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tinyList.put("RIFF".getBytes).putInt(12).put("AVI ".getBytes)
+      .put("LIST".getBytes).putInt(0)
+    assert(MediaCodecs.decodeAvi(tinyList.array()).isEmpty)
+  }
+
+  test("wav codec: odd-sized data chunk stays aligned for following chunks") {
+    // data size 3 = one 16-bit sample + one odd remainder byte + one pad
+    // byte; the walk must consume all of them or the trailing LIST tag
+    // reads one byte short and a fully-parsed file comes back None
+    val b = java.nio.ByteBuffer.allocate(12 + 24 + 8 + 4 + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(52).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    b.put("data".getBytes).putInt(3)
+      .putShort(1234).put(7.toByte).put(0.toByte) // sample, odd byte, pad
+    b.put("LIST".getBytes).putInt(4).put("INFO".getBytes)
+    val got = MediaCodecs.decodeWav(b.array())
+    assert(got.isDefined, "odd data chunk misaligned the walk")
+    assert(got.get.sampleRate == 8000 && got.get.channels == 1)
+    assert(got.get.samples.toSeq == Seq(1234.toShort))
+  }
+
+  test("null payloads fall to the stub/passthrough paths, not NPE") {
+    import spark.implicits._
+    val img = MediaCodecs.PpmImage(2, 1, Array[Byte](1, 2, 3, 4, 5, 6))
+    val df = Seq(
+      (1L, "image", null.asInstanceOf[Array[Byte]]),
+      (2L, "image", MediaCodecs.encodePpm(img)))
+      .toDF("media_id", "kind", "payload")
+    val codecs = Multimodal.decodeFeatures(df).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(codecs(1L) == "stub" && codecs(2L) == "ppm")
+    val resized = Multimodal.resizeImages(df, 1).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(resized(1L) == null)          // null passes through unchanged
+    assert(resized(2L) != null)
   }
 
   test("codecs: ppm and wav round-trip; features are exact on known fixtures") {
@@ -212,9 +254,11 @@ class MultimodalSpec extends AnyFunSuite with graft.SparkTestSession {
       (2L, "b" * 257),           // 5 chunks -> ceil(5/4) = 2 sampled
       (3L, "   ")                // blank: excluded
     ).toDF("doc_id", "text")
+    // sort locally: payloadStats is narrow and no longer orders (the m01
+    // gate wiring adds the orderBy its oracle needs)
     val got = Multimodal.payloadStats(Multimodal.mediaFromDocs(d))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
-        r.getLong(4), r.getLong(5))).toList
+        r.getLong(4), r.getLong(5))).toList.sortBy(_._1)
     assert(got == List(
       (0L, "image", 130L, 3L, 1L),
       (1L, "audio", 64L, 1L, 1L),
