@@ -293,12 +293,7 @@ object AnnOps {
     */
   private def ivfCandidates(e: DataFrame, cents: DataFrame,
                             nProbes: Int): DataFrame = {
-    val assign = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("c_id"),
-        (vecDot(col("emb"), col("c_emb")) / (col("norm") * col("c_norm")))
-          .as("csim"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("c_id"), struct(col("csim"), -col("c_id"))).as("c_id"))
+    val assign = CentroidAssign.nearest(e, cents)
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("psim").desc, col("c_id"))
     val probes = e.filter(col("vec_id") < 5)
@@ -811,4 +806,38 @@ object AnnOps {
       WHERE rank <= 10 ORDER BY q_id, rank"""))
 
   val all: Seq[QueryDef] = Seq(a01, a02, a03, a04, a05, a06, a07)
+}
+
+/** The ONE nearest-centroid argmax for the whole centroid family —
+  * AnnOps' IVF candidate generation (a03/a06/a07) AND DedupOps' SemDeDup
+  * / diverse-sample assignment (d11/d14): cosine against a broadcast
+  * centroid table (`c_id, c_emb, c_norm`), ties to the smallest c_id.
+  * All five gates' oracles assume this single convention, so a change to
+  * the tie-break / norm handling made here reaches every consumer by
+  * construction — the r10 review found the definition duplicated across
+  * the two modules, one as max_by, one as a window, silently free to
+  * drift.
+  *
+  * `carry` names input columns to keep on the assigned rows (the dedup
+  * consumers need emb+norm for their within-cluster pairwise pass). The
+  * aggregate form (max_by over a carrying struct) gets map-side partial
+  * aggregation — one shuffle of pre-reduced groups instead of the window
+  * form's full sort.
+  */
+private[operators] object CentroidAssign {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+  import graft.functions.GraftFunctions.vecDot
+
+  def nearest(e: DataFrame, cents: DataFrame,
+              carry: Seq[String] = Nil): DataFrame = {
+    val kept = "c_id" +: carry
+    e.crossJoin(broadcast(cents))
+      .withColumn("__csim",
+        vecDot(col("emb"), col("c_emb")) / (col("norm") * col("c_norm")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(kept.map(col): _*),
+        struct(col("__csim"), -col("c_id"))).as("__best"))
+      .select(col("vec_id") +: kept.map(c => col(s"__best.$c").as(c)): _*)
+  }
 }

@@ -817,19 +817,12 @@ object DedupOps {
     * pair at or above `tau` cosine.
     */
   /** Nearest-centroid argmax assignment (broadcast centroid side, ties to
-    * the smallest c_id) — ONE definition shared by the SemDeDup core and
-    * [[diverseSample]], carrying emb+norm for pairwise consumers.
+    * the smallest c_id), carrying emb+norm for pairwise consumers — the
+    * family-wide [[CentroidAssign]] convention shared with the AnnOps IVF
+    * gates, so the d11/d14 and a03/a06/a07 assignments cannot drift.
     */
-  private def assignToCentroids(e: DataFrame, cents: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("c_id"))
-    e.crossJoin(broadcast(cents))
-      .withColumn("sim",
-        vecDot(col("emb"), col("c_emb")) / (col("norm") * col("c_norm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_id"), col("emb"), col("norm"))
-  }
+  private def assignToCentroids(e: DataFrame, cents: DataFrame): DataFrame =
+    CentroidAssign.nearest(e, cents, carry = Seq("emb", "norm"))
 
   /** Norm-decorated, cached-and-filled embedding frame (single fill:
     * seeds + assignment both read it) — shared prep for the centroid

@@ -80,8 +80,8 @@ object CyberPipeline {
     // c1-c11) per SURVEY §7: the feed path and the scrape path meet
     // BEFORE cleanup, so every downstream stage treats both identically.
     val scraped = spark.read.parquet(conf.alertsParquet)
-    val (rawAlerts, feedFresh) = conf.rssFeedDir match {
-      case None => (scraped, false)
+    val (rawAlerts, feedFresh, recordFeedState) = conf.rssFeedDir match {
+      case None => (scraped, false, () => ())
       case Some(feedDir) =>
         import org.apache.spark.sql.streaming.Trigger
         val sink = s"$work/rss_entries"
@@ -93,12 +93,6 @@ object CyberPipeline {
           .trigger(Trigger.AvailableNow())
           .start()
         try q.processAllAvailable() finally q.stop()
-        // did THIS run drain any new feed files? If so, the downstream
-        // alerts_clean / alert_ner checkpoints are stale (their input just
-        // changed) and must be forced — otherwise skip-if-exists would
-        // return the old parquet and the new advisories would never reach
-        // extraction, ER, or export on a re-run
-        val drained = q.recentProgress.map(_.numInputRows).sum
         // an empty feed dir produces no sink output at all — read back
         // well-typed either way (entrySchema pins the column types)
         val entries =
@@ -107,9 +101,30 @@ object CyberPipeline {
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             graft.sources.Rss.entrySchema)
+        // Are the alerts_clean / alert_ner checkpoints stale against the
+        // feed? The signal must be DURABLE, not "drained > 0 this run":
+        // the stream's own source checkpoint commits before the forced
+        // rewrites below, so a crash in between would leave drained == 0
+        // forever and the new advisories would never reach extraction.
+        // Instead compare the sink's total entry count with the count
+        // recorded (by recordFeedState, AFTER both dependents rewrote)
+        // when alerts_clean was last built — any mismatch re-forces until
+        // every write has landed, which is idempotent.
+        val entryCount = entries.count()
+        val marker = java.nio.file.Paths.get(s"$work/alerts_clean_feed_count")
+        val recorded =
+          if (java.nio.file.Files.exists(marker))
+            scala.util.Try(new String(java.nio.file.Files.readAllBytes(marker),
+              "UTF-8").trim.toLong).getOrElse(-1L)
+          else -1L
         (scraped.unionByName(
           graft.sources.Rss.entriesAsAlerts(entries)
-            .select(scraped.columns.map(col).toSeq: _*)), drained > 0)
+            .select(scraped.columns.map(col).toSeq: _*)),
+         entryCount != recorded,
+         () => {
+           java.nio.file.Files.write(marker,
+             entryCount.toString.getBytes("UTF-8")); ()
+         })
     }
 
     // stage C: scraped (+ feed) alerts → munge + CVE/TTP extraction
@@ -138,6 +153,9 @@ object CyberPipeline {
       mentions.join(vocab, Seq("label", "type"))
         .select(col("alert_id"), col("id"), col("label"), col("type")),
       s"$work/alert_ner", force = feedFresh)
+    // both feed-dependent checkpoints are durably rewritten — record the
+    // feed state so the next run's staleness check sees them as current
+    recordFeedState()
     val (clustered, best, weights) =
       EntityResolution.resolve(ner, conf.erThresholds,
         defaultThreshold = if (conf.erScorer.isDefined) 0.5 else 0.6,

@@ -177,25 +177,31 @@ private[sources] class HttpTable(props: Map[String, String])
       override def readSchema(): StructType = HttpSource.schema
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] = {
-        val pageParts: Seq[InputPartition] = conf.baseUrl.toSeq.map { base =>
-          HttpPagePartition(base, conf.pageParam, conf.startPage, conf.maxPages)
-        }
-        // round-robin keeps per-partition request counts within ±1, and the
-        // GLOBAL budget is divided here at plan time (each of the P planned
-        // partitions carries B/P slots) — every partition running the full
-        // budget would exceed the endpoint's limit P-fold
-        val urlParts: Seq[InputPartition] =
+        // The GLOBAL budget B is divided at plan time across EVERY
+        // consumer — each url partition AND (when both modes are set) the
+        // page-walk partition get B/C slots; any consumer running the
+        // full budget would exceed the endpoint's limit C-fold.
+        val pageSlots = conf.baseUrl.size // 0 or 1
+        val urlGroups: Seq[Seq[String]] =
           if (conf.urls.isEmpty) Nil
           else {
-            // a budget smaller than the partition count caps parallelism:
-            // P partitions each need ≥1 slot/window, so P > B would exceed
-            // B even at the floor
-            val nParts = math.min(conf.numPartitions, math.max(1, conf.requestsPerWindow))
-            val groups = conf.urls.zipWithIndex
-              .groupBy(_._2 % nParts).toSeq.sortBy(_._1)
-            val perPartition = math.max(1, conf.requestsPerWindow / groups.size)
-            groups.map { case (_, us) => HttpUrlPartition(us.map(_._1), perPartition) }
+            // a budget smaller than the consumer count caps parallelism:
+            // each consumer needs ≥1 slot/window, so more consumers than
+            // B would exceed B even at the floor (the page partition, if
+            // any, reserves one slot)
+            val nParts = math.min(conf.numPartitions,
+              math.max(1, conf.requestsPerWindow - pageSlots))
+            conf.urls.zipWithIndex.groupBy(_._2 % nParts).toSeq.sortBy(_._1)
+              .map(_._2.map(_._1))
           }
+        val consumers = math.max(1, urlGroups.size + pageSlots)
+        val perPartition = math.max(1, conf.requestsPerWindow / consumers)
+        val urlParts: Seq[InputPartition] =
+          urlGroups.map(us => HttpUrlPartition(us, perPartition))
+        val pageParts: Seq[InputPartition] = conf.baseUrl.toSeq.map { base =>
+          HttpPagePartition(base, conf.pageParam, conf.startPage,
+            conf.maxPages, perPartition)
+        }
         (urlParts ++ pageParts).toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =
@@ -206,7 +212,8 @@ private[sources] class HttpTable(props: Map[String, String])
 private[sources] final case class HttpUrlPartition(
     urls: Seq[String], requestsPerWindow: Int) extends InputPartition
 private[sources] final case class HttpPagePartition(
-    baseUrl: String, pageParam: String, startPage: Int, maxPages: Int) extends InputPartition
+    baseUrl: String, pageParam: String, startPage: Int, maxPages: Int,
+    requestsPerWindow: Int) extends InputPartition
 
 private[sources] class HttpReaderFactory(conf: HttpConf)
     extends PartitionReaderFactory {
@@ -229,10 +236,11 @@ private[sources] class HttpReaderFactory(conf: HttpConf)
         override def get(): InternalRow = row
         override def close(): Unit = ()
       }
-      case HttpPagePartition(base, param, start, maxPages) =>
+      case HttpPagePartition(base, param, start, maxPages, budget) =>
         new PartitionReader[InternalRow] {
-          // pagination is a single partition, so it owns the full budget
-          private val limiter = new RateLimiter(conf.requestsPerWindow, conf.windowMillis)
+          // plan-time B/C share: the full budget when pagination is the
+          // only consumer, one slice of it when url-list mode also runs
+          private val limiter = new RateLimiter(budget, conf.windowMillis)
           private var page = start
           private var done = false
           private var row: InternalRow = _

@@ -194,6 +194,20 @@ class PipelineSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(counts3("alert_nodes") == 4)
     assert(marker.lastModified == mtime,
       "alerts_clean was recomputed although no new feed files arrived")
+
+    // crash-safety of the staleness signal: the feed-count marker is
+    // written only AFTER the dependent checkpoints rewrite, so a run that
+    // died in between leaves a mismatch — simulated here by deleting the
+    // marker — and the next run must re-force (idempotently) rather than
+    // serve the stale parquet forever
+    val feedMarker = new java.io.File(s"${rssConf.workDir}/alerts_clean_feed_count")
+    assert(feedMarker.exists, "feed-count marker missing after a feed run")
+    assert(feedMarker.delete())
+    val counts4 = CyberPipeline.run(spark, rssConf, nerFixture)
+    assert(counts4("alert_nodes") == 4)
+    assert(marker.lastModified != mtime,
+      "interrupted-run recovery did not re-force the alerts checkpoint")
+    assert(feedMarker.exists, "marker not re-recorded after the recovery run")
   }
 
   test("pipeline: re-run resumes from checkpoints (stage outputs not recomputed)") {

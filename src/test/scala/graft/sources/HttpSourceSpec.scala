@@ -196,6 +196,29 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll with SparkTestSe
     assert(parts.flatMap(_.urls).sorted === urls.sorted.toArray)
   }
 
+  test("plan splits the budget across BOTH modes when urls and url are combined") {
+    // 8 urls + a paginated endpoint under B=4: the page walk is one more
+    // consumer, so url partitions shrink to 3 and everyone gets 4/4 = 1
+    // slot — url partitions each running B/P(urls) while the page walk
+    // ALSO ran the full B would issue 2B against the endpoint
+    val lc = Map(
+      "urls" -> (1 to 8).map(i => s"http://x/$i").mkString(","),
+      "url" -> "http://x/paged", "numpartitions" -> "4",
+      "requestsperwindow" -> "4")
+    val parts = new HttpTable(lc)
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        new java.util.HashMap[String, String]()))
+      .build().toBatch.planInputPartitions()
+    val urlParts = parts.collect { case p: HttpUrlPartition => p }
+    val pageParts = parts.collect { case p: HttpPagePartition => p }
+    assert(urlParts.length === 3 && pageParts.length === 1)
+    val totalSlots = urlParts.map(_.requestsPerWindow).sum +
+      pageParts.map(_.requestsPerWindow).sum
+    assert(totalSlots <= 4, s"combined modes exceed the global budget: $totalSlots")
+    assert(urlParts.forall(_.requestsPerWindow == 1))
+    assert(pageParts.head.requestsPerWindow == 1)
+  }
+
   test("pagination stops after a persistent HTTP failure instead of walking to maxPages") {
     seen.clear()
     server.createContext("/broken", (ex: HttpExchange) => {
