@@ -211,9 +211,15 @@ class GraphAlgsSpec extends AnyFunSuite with graft.SparkTestSession {
     val got = GraphAlgs.labelPropagation(g, iters = 10).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // triangle A vertices agree on a community; triangle B likewise
+    // (the bridge endpoints 3/10 may be pulled either way, hence <= 2)
     assert(Set(got(1L), got(2L)).size == 1 || Set(got(1L), got(2L), got(3L)).size <= 2)
     assert(got(10L) == got(11L) && got(11L) == got(12L) ||
            Set(got(10L), got(11L), got(12L)).size <= 2)
+    // the split itself: the algorithm must NOT collapse everything into
+    // one community (the vacuous-pass the old assertions allowed), and
+    // the triangle interiors (farthest from the bridge) must disagree
+    assert(got.values.toSet.size >= 2, s"all one community: $got")
+    assert(got(1L) != got(12L), s"triangles collapsed across the bridge: $got")
     // deterministic across runs
     val again = GraphAlgs.labelPropagation(
       GraphAlgs.buildGraph(

@@ -141,7 +141,8 @@ class MultimodalSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(math.abs(feats(0) - 0.5f) < 1e-6) // mean r = (0+255)/2/255
     assert(feats(3) == 0.5f && feats(10) == 0.5f) // lum bins 0 and 7
 
-    // square wave at half amplitude: rms = 0.5, peak = 0.5, zcr = 0.5
+    // square wave at half amplitude: rms = 0.5, peak = 0.5; zcr ≈ 0.999
+    // (alternating signs cross zero between EVERY consecutive pair)
     val wav = MediaCodecs.WavAudio(8000, 1,
       Array.tabulate(1000)(i => if (i % 2 == 0) 16384 else -16384).map(_.toShort))
     val wback = MediaCodecs.decodeWav(MediaCodecs.encodeWav(wav)).get

@@ -192,8 +192,9 @@ class AnnRecallSpec extends AnyFunSuite with graft.SparkTestSession {
     val rows = AnnOps.recallAtK(approx, AnnOps.a01.run(spark, dir)).collect()
     assert(rows.map(_.getLong(0)).toSet == (0L to 4L).toSet)
     val perQuery = rows.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val approxTop = topK(approx.collect()) // once, not one IVF run per query
     val local = exact.map { case (q, ex) =>
-      q -> topK(approx.collect()).getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+      q -> approxTop.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
     }
     local.foreach { case (q, r) =>
       assert(math.abs(perQuery(q) - r) < 1e-12, s"q$q: ${perQuery(q)} vs $r")

@@ -101,7 +101,8 @@ class TrainPrepRandomSpec extends AnyFunSuite with graft.SparkTestSession {
         (id, src, Seq.fill(1 + rnd.nextInt(20))("w").mkString(" "))
       }
       // scramble physical layout: the scalable form must not depend on it
-      val docsDf = scala.util.Random.shuffle(docsLocal)
+      // (seeded rnd, not the global Random — a failing subset must replay)
+      val docsDf = rnd.shuffle(docsLocal)
         .toDF("doc_id", "source", "text").repartition(7)
       val budget = 40L + rnd.nextInt(60)
       val viaWindow = {
@@ -129,7 +130,7 @@ class TrainPrepRandomSpec extends AnyFunSuite with graft.SparkTestSession {
   test("t20 parity: positions replay the seeded md5 order on random id sets") {
     import spark.implicits._
     for (trial <- 1 to 3) {
-      val ids = scala.util.Random.shuffle((0L until 500L).toList)
+      val ids = rnd.shuffle((0L until 500L).toList)
         .take(100 + rnd.nextInt(200))
       val docsDf = ids.map(i => (i, s"d$i")).toDF("doc_id", "text")
       def md5hex(s: String): String =

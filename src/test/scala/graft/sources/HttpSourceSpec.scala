@@ -143,14 +143,15 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll with SparkTestSe
   test("urlsPath: newline-delimited file plans the same fetch set") {
     seen.clear()
     val f = java.nio.file.Files.createTempFile("graft-urls", ".txt")
-    java.nio.file.Files.write(f,
-      s"$base/repos/pa\n$base/repos/pb\n".getBytes(StandardCharsets.UTF_8))
-    val rows = spark.read.format("graft.sources.HttpSource")
-      .option("urlsPath", f.toString)
-      .load().collect()
-    assert(rows.map(_.getAs[String]("url")).sorted ===
-      Array(s"$base/repos/pa", s"$base/repos/pb"))
-    java.nio.file.Files.delete(f)
+    try {
+      java.nio.file.Files.write(f,
+        s"$base/repos/pa\n$base/repos/pb\n".getBytes(StandardCharsets.UTF_8))
+      val rows = spark.read.format("graft.sources.HttpSource")
+        .option("urlsPath", f.toString)
+        .load().collect()
+      assert(rows.map(_.getAs[String]("url")).sorted ===
+        Array(s"$base/repos/pa", s"$base/repos/pb"))
+    } finally java.nio.file.Files.delete(f)
   }
 
   test("transport error surfaces as a row, not a failed task") {

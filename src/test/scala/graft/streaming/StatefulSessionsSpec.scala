@@ -69,7 +69,10 @@ class StatefulSessionsSpec extends AnyFunSuite {
     val out = sessionize(1000L)(1L, Iterator(ev(1, 1, preEpoch)), st)
     assert(out.isEmpty)
     assert(st.stateOpt.contains(SessState(preEpoch, preEpoch, 1)))
-    assert(st.armedTimeout.exists(t => t > 0 && t >= 0L + 1))
+    // the clamp contract is watermark + 1 (= 1 here), not merely "some
+    // positive value" — an arbitrary positive arm would defer the
+    // session's emission indefinitely
+    assert(st.armedTimeout.contains(1L), st.armedTimeout)
   }
 
   test("timeout clamps to just past an advanced watermark") {
