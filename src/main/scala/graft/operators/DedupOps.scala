@@ -564,15 +564,20 @@ object DedupOps {
     * normal ingestion batch is orders of magnitude smaller than the
     * corpus — with the usual shuffle fallback above it.
     */
-  private[graft] def incrementalDedupAdmit(docs: DataFrame, batchMod: Long = 3L,
-      minJac: Double = 0.3, broadcastLimit: Long = broadcastRowLimit): DataFrame = {
-    val isNew = pmod(col("doc_id"), lit(batchMod)) === 0
-    val arr = shingleArrs(docs).cache()
-    arr.count() // single cache fill (see d01)
-    val nNew = docs.filter(isNew).count() // bounds the batch-side broadcasts
-    val bands = bandsFromArrs(arr)
-    val newBands = bands.filter(isNew)
-    val oldBands = bands.filter(!isNew)
+  /** Bipartite admit core shared by d08 and the streaming st09 gate:
+    * (band, sig) equi-join candidates of NEW against OLD only,
+    * candidate-driven exact-Jaccard verify, left-anti admit. `newIds` is
+    * the full incoming id set (docs too short to shingle admit
+    * trivially); `nNew` bounds the batch-side broadcasts; `newArr` /
+    * `oldArr` are [[shingleArrs]] frames (the old side is the
+    * precomputed corpus index — st09 caches it once across every
+    * micro-batch).
+    */
+  private[graft] def admitNewAgainstOld(newIds: DataFrame, nNew: Long,
+      newArr: DataFrame, oldArr: DataFrame, minJac: Double = 0.3,
+      broadcastLimit: Long = broadcastRowLimit): DataFrame = {
+    val newBands = bandsFromArrs(newArr)
+    val oldBands = bandsFromArrs(oldArr)
     val cand = broadcastIfUnder(newBands, nNew * 8, broadcastLimit).as("a")
       .join(oldBands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
@@ -582,9 +587,9 @@ object DedupOps {
     // array_intersect per candidate, work linear in |cand|, never the
     // bipartite all-pairs product
     val matched = cand
-      .join(arr.select(col("doc_id").as("new_id"), col("shArr").as("sa")),
+      .join(newArr.select(col("doc_id").as("new_id"), col("shArr").as("sa")),
         Seq("new_id"))
-      .join(arr.select(col("doc_id").as("old_id"), col("shArr").as("sb")),
+      .join(oldArr.select(col("doc_id").as("old_id"), col("shArr").as("sb")),
         Seq("old_id"))
       .select(col("new_id"),
         size(array_intersect(col("sa"), col("sb"))).cast("double").as("inter"),
@@ -593,8 +598,17 @@ object DedupOps {
       .filter(col("inter") > 0 &&
         col("inter") / (col("na") + col("nb") - col("inter")) >= minJac)
       .select(col("new_id")).distinct()
-    docs.filter(isNew).select(col("doc_id")).distinct()
-      .join(matched, col("doc_id") === col("new_id"), "left_anti")
+    newIds.join(matched, col("doc_id") === col("new_id"), "left_anti")
+  }
+
+  private[graft] def incrementalDedupAdmit(docs: DataFrame, batchMod: Long = 3L,
+      minJac: Double = 0.3, broadcastLimit: Long = broadcastRowLimit): DataFrame = {
+    val isNew = pmod(col("doc_id"), lit(batchMod)) === 0
+    val arr = shingleArrs(docs).cache()
+    arr.count() // single cache fill (see d01)
+    val nNew = docs.filter(isNew).count() // bounds the batch-side broadcasts
+    admitNewAgainstOld(docs.filter(isNew).select(col("doc_id")).distinct(),
+      nNew, arr.filter(isNew), arr.filter(!isNew), minJac, broadcastLimit)
       .orderBy(col("doc_id"))
   }
 
@@ -719,8 +733,49 @@ object DedupOps {
         coalesce(col("component"), col("doc_id")).as("canonical_id"))
   }
 
+  /** Consume-once handoff of the d06 canonical map among its three gates
+    * (d06 → d13 → d16 in registry order) — the GraphQueries Louvain-memo
+    * discipline applied to the LSH + transitive-closure run: ONE closure
+    * computation feeds all three when they run as a suite, while an
+    * isolated gate (refloor, bench rep: `producer == gate`, or an already
+    * consumed entry) still computes its own, keeping isolated timings
+    * honest. Unlike the Louvain memo this entry holds a corpus-sized
+    * CACHED frame, not scalars, so release is deferred: a frame leaving
+    * the memo (fully consumed or replaced) is PARKED, not unpersisted —
+    * the departing consumer's action has not run yet and an immediate
+    * unpersist would force the closure to recompute — and freed on the
+    * next production. Lingering cache is bounded to one map (≤ one row
+    * per doc: doc_id, canonical_id).
+    */
+  private final case class CmEntry(producer: String, dir: String,
+      cm: DataFrame, consumed: Set[String])
+  private val cmGates = Set("d06_dedup_resolve", "d13_leakage_safe_split",
+    "d16_soft_dedup_weights")
+  private val cmMemo =
+    new java.util.concurrent.atomic.AtomicReference[Option[CmEntry]](None)
+  private var cmParked: List[DataFrame] = Nil
+
+  private[graft] def canonicalMapFor(s: SparkSession, dir: String,
+      gate: String): DataFrame = cmMemo.synchronized {
+    cmMemo.get() match {
+      case Some(e) if e.dir == dir && e.producer != gate && !e.consumed(gate) =>
+        val c = e.consumed + gate
+        if (cmGates.subsetOf(c + e.producer)) {
+          cmMemo.set(None); cmParked ::= e.cm
+        } else cmMemo.set(Some(e.copy(consumed = c)))
+        e.cm
+      case prev =>
+        val cm = canonicalMap(Tables.load(s, dir, "documents")).cache()
+        cm.count() // materialize inside the producing gate
+        cmParked.foreach(_.unpersist(blocking = false))
+        cmParked = prev.map(_.cm).toList
+        cmMemo.set(Some(CmEntry(gate, dir, cm, Set.empty)))
+        cm
+    }
+  }
+
   /** DuckDB replay of [[canonicalMap]] (d06's oracle body, shared with
-    * d13): CTE prologue defining `comp(node, canonical)`, plus the
+    * d13/d16): CTE prologue defining `comp(node, canonical)`, plus the
     * canonical-id expression to select from the `d LEFT JOIN comp c`
     * closing join.
     */
@@ -741,7 +796,7 @@ object DedupOps {
   val d06 = QueryDef(
     "d06_dedup_resolve",
     "near-dup clusters -> canonical doc map (LSH pairs + transitive closure)",
-    (s, dir) => canonicalMap(Tables.load(s, dir, "documents"))
+    (s, dir) => canonicalMapFor(s, dir, "d06_dedup_resolve")
       .orderBy(col("doc_id")),
     Some(s"""$canonicalMapSqlCtes
       SELECT d.doc_id, $canonicalIdSql AS canonical_id
@@ -1047,7 +1102,7 @@ object DedupOps {
   val d13 = QueryDef(
     "d13_leakage_safe_split",
     "near-dup-cluster-aware 80/10/10 split (t06 rule on d06 canonical ids)",
-    (s, dir) => canonicalMap(Tables.load(s, dir, "documents"))
+    (s, dir) => canonicalMapFor(s, dir, "d13_leakage_safe_split")
       .select(col("doc_id"), col("canonical_id"),
         TextOps.trainSplitColOn(col("canonical_id")).as("split"))
       .orderBy(col("doc_id")),
@@ -1058,6 +1113,140 @@ object DedupOps {
       LEFT JOIN comp c ON d.doc_id = c.node
       ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- d15
+  /** d15 core: duplicate-SPAN REMOVAL — the rewrite step of exact-substring
+    * dedup (the published recipe d09 only measures: remove every copy of a
+    * repeated substring but one, rebuild the text). Span model identical to
+    * d09's (8-token sliding windows, stride 1), but duplication here is
+    * >= 2 occurrences CORPUS-WIDE rather than d09's >= 2 DISTINCT DOCS:
+    * a removal pass that kept within-document copies would leave exactly
+    * the repetition t09/t28 penalize, so in-doc repeats dedup too.
+    *
+    * Keep rule (total, deterministic, partitioning-independent): each
+    * duplicated window's CANONICAL occurrence is the lexicographically
+    * smallest (doc_id, start); a token position is removed iff it is
+    * covered by at least one NON-canonical occurrence. A run of repeated
+    * text longer than the window is wholly canonical in the first doc
+    * (all its windows take their minimum there) and wholly removed
+    * everywhere else; a canonical window overlapping a different gram's
+    * non-canonical window can lose boundary tokens — the window-granularity
+    * edge effect the exact-substring recipe accepts.
+    *
+    * Scale shape: linear everywhere — |tokens| window rows hashed and
+    * shuffled ONCE keyed by window hash (d09's inverted-index shape; the
+    * canonical pick rides the same aggregation that counts occurrences,
+    * as a min over a (doc_id, start) struct); removal positions explode
+    * from the match-bounded non-canonical set and collapse with a
+    * per-(doc, pos) DISTINCT (the t28 coverage idiom — no interval fold,
+    * no window function); the rebuild is one doc-keyed aggregation whose
+    * state is the doc's own tokens (the d12 rebuild idiom). Nothing
+    * pairwise, nothing corpus-global.
+    */
+  private[graft] def removeDupSpans(d: DataFrame, winTok: Int = 8): DataFrame = {
+    val toks = d.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(trim(col("text")), graft.Tok.Ws).as("arr"))
+    val tl = toks.select(col("doc_id"), posexplode(col("arr")).as(Seq("p", "w")))
+    val occ = toks.filter(size(col("arr")) >= winTok)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(arr) - $winTok),
+            i -> md5(cast(concat_ws(' ', slice(arr, i + 1, $winTok)) as binary)))"""))
+        .as(Seq("s", "h")))
+    val dupCanon = occ.groupBy(col("h"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("s"))).as("cn"))
+      .filter(col("c") >= 2)
+      .select(col("h"), col("cn"))
+    val removed = occ.join(dupCanon, Seq("h"))
+      .filter(col("doc_id") =!= col("cn.doc_id") || col("s") =!= col("cn.s"))
+      .select(col("doc_id"), explode(expr(s"sequence(s, s + ${winTok - 1})")).as("p"))
+      .distinct()
+    tl.join(removed.withColumn("rm", lit(1L)), Seq("doc_id", "p"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_tokens"),
+        sum(when(col("rm").isNull, 1L).otherwise(0L)).cast("bigint").as("n_kept"),
+        collect_list(when(col("rm").isNull, struct(col("p"), col("w")))).as("kept"))
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+        (col("n_tokens") - col("n_kept")).as("n_removed"),
+        md5(expr("concat_ws(' ', transform(array_sort(kept), x -> x.w))")
+          .cast("binary")).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d15 = QueryDef(
+    "d15_dup_span_removal",
+    "exact-substring dedup rewrite: non-canonical dup 8-token spans removed",
+    (s, dir) => removeDupSpans(Tables.load(s, dir, "documents")),
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+              FROM documents WHERE length(trim(text)) > 0),
+      tl AS (SELECT doc_id, i AS p, arr[CAST(i AS INT) + 1] AS w
+             FROM (SELECT doc_id, arr, unnest(range(len(arr))) AS i FROM t) x),
+      occ AS (SELECT doc_id, i AS s,
+                md5(array_to_string(arr[CAST(i AS INT) + 1 : CAST(i AS INT) + 8], ' ')) AS h
+              FROM (SELECT doc_id, arr, unnest(range(len(arr) - 7)) AS i
+                    FROM t WHERE len(arr) >= 8) x),
+      dup AS (SELECT h FROM occ GROUP BY h HAVING COUNT(*) >= 2),
+      cd AS (SELECT o.h, MIN(o.doc_id) AS cdoc
+             FROM occ o JOIN dup USING (h) GROUP BY o.h),
+      cn AS (SELECT o.h, o.doc_id AS cdoc, MIN(o.s) AS cs
+             FROM occ o JOIN cd ON cd.h = o.h AND cd.cdoc = o.doc_id
+             GROUP BY o.h, o.doc_id),
+      rm AS (SELECT DISTINCT doc_id, s + j AS p
+             FROM (SELECT o.doc_id, o.s, unnest(range(8)) AS j
+                   FROM occ o JOIN dup USING (h)
+                   LEFT JOIN cn ON cn.h = o.h AND cn.cdoc = o.doc_id
+                     AND cn.cs = o.s
+                   WHERE cn.h IS NULL) y),
+      fl AS (SELECT tl.doc_id, tl.p, tl.w, rm.p IS NOT NULL AS isrm
+             FROM tl LEFT JOIN rm ON rm.doc_id = tl.doc_id AND rm.p = tl.p)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN isrm THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN isrm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        md5(COALESCE(string_agg(w, ' ' ORDER BY p) FILTER (WHERE NOT isrm),
+          '')) AS kept_md5
+      FROM fl GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- d16
+  /** Soft dedup — the published alternative to hard-dropping near-dups:
+    * keep every document but down-weight duplicated clusters so a
+    * training run sees each cluster with total mass 1 (per-doc sampling
+    * weight = 1 / |near-dup cluster|, clusters from d06's LSH +
+    * transitive closure). Dropping (d06's keep-list) loses the
+    * highest-quality copy's formatting variants; weighting preserves them
+    * while removing the over-representation that makes models memorize.
+    *
+    * Scale shape: d06's shapes plus ONE cluster-keyed count aggregation
+    * and one join back on the canonical id — no new corpus-sized shuffle
+    * beyond the map itself. The cluster-size side is match-bounded
+    * (one row per cluster), AQE broadcasts it when small.
+    */
+  /** d16 core over any (doc_id, canonical_id) map — factored for the
+    * spec's hand fixture.
+    */
+  private[graft] def softDedupWeights(cm: DataFrame): DataFrame = {
+    val sizes = cm.groupBy(col("canonical_id"))
+      .agg(count(lit(1)).cast("bigint").as("cluster_size"))
+    cm.join(sizes, Seq("canonical_id"))
+      .select(col("doc_id"), col("canonical_id"), col("cluster_size"),
+        (lit(1.0) / col("cluster_size").cast("double")).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d16 = QueryDef(
+    "d16_soft_dedup_weights",
+    "soft dedup: per-doc weight 1/|near-dup cluster| (cluster mass = 1)",
+    (s, dir) =>
+      softDedupWeights(canonicalMapFor(s, dir, "d16_soft_dedup_weights")),
+    Some(s"""$canonicalMapSqlCtes,
+      cm AS (SELECT d.doc_id, $canonicalIdSql AS canonical_id
+             FROM (SELECT DISTINCT doc_id FROM documents) d
+             LEFT JOIN comp c ON d.doc_id = c.node),
+      sz AS (SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+             FROM cm GROUP BY canonical_id)
+      SELECT cm.doc_id, cm.canonical_id, sz.cluster_size,
+        CAST(1.0 AS DOUBLE) / sz.cluster_size AS weight
+      FROM cm JOIN sz USING (canonical_id) ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
+      d15, d16)
 }

@@ -487,5 +487,73 @@ object StreamingOps {
       FROM documents WHERE length(trim(text)) > 0
       GROUP BY 1, 2 ORDER BY source, lang"""))
 
-  val all: Seq[QueryDef] = Seq(st01, st02, st03, st04, st05, st06, st07, st08)
+  /** st09: CONTINUOUS-INGEST dedup — d08's batch-vs-corpus admit run as a
+    * stream, in the production pattern for curation against mutable
+    * corpus state: `foreachBatch`. The corpus-side index (shingle
+    * arrays; bands derive from them as narrow column functions) is
+    * STATIC, computed once and cached across every micro-batch — exactly
+    * the precomputed (doc_id, band, sig) index the d08 doc names for
+    * scale. Each micro-batch runs the full batch admit plan (band
+    * equi-join candidates → candidate-driven exact-Jaccard verify →
+    * left-anti) of its docs against that index and writes the admitted
+    * ids to a parquet dir KEYED BY BATCH ID with overwrite — a retried
+    * batch rewrites its own dir, which is the idempotence recipe that
+    * makes foreachBatch file output exactly-once. No watermark and no
+    * state store: admit depends only on the static side, so the result
+    * is micro-batch-partitioning INVARIANT (the spec pins a forced
+    * two-batch split), and d08's batch oracle applies verbatim however
+    * the file source slices the stream.
+    */
+  val st09 = QueryDef(
+    "st09_stream_ingest_dedup",
+    "foreachBatch continuous-ingest dedup vs a static corpus LSH index",
+    (s, dir) => {
+      import graft.operators.DedupOps
+      // band signatures analyze against the session OWNING each frame:
+      // the corpus index against `s`, the batch side against the
+      // micro-batch CLONE — register the expression family in both
+      graft.functions.GraftFunctions.register(s)
+      val docsAll = graft.Tables.load(s, dir, "documents")
+      val isNew = pmod(col("doc_id"), lit(3)) === 0
+      val oldArr = DedupOps.shingleArrs(docsAll.filter(!isNew)).cache()
+      oldArr.count() // one corpus-index build, reused by every micro-batch
+      try {
+        val tmp = java.nio.file.Files.createTempDirectory(tmpRoot, "st09")
+        val out = s"$tmp/data"
+        val src = docsStream(s, dir).filter(isNew)
+        withStreamParts(s, dir, table = "documents") {
+          val q = src.writeStream
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              // the micro-batch frame belongs to a CLONED session with its
+              // own function registry — register the codegen'd expression
+              // family there or minhash_sig fails to resolve (idempotent)
+              graft.functions.GraftFunctions.register(batch.sparkSession)
+              val nNew = batch.count()
+              DedupOps.admitNewAgainstOld(
+                  batch.select(col("doc_id")).distinct(), nNew,
+                  DedupOps.shingleArrs(batch), oldArr)
+                .select(col("doc_id"))
+                .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+              ()
+            }
+            .option("checkpointLocation", s"$tmp/chk")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          try q.processAllAvailable()
+          finally {
+            sinkDescriptions("st09") =
+              Option(q.lastProgress).map(_.sink.description).getOrElse("")
+            q.stop()
+          }
+        }
+        if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(out)))
+          s.range(0).select(col("id").as("doc_id")) // empty stream: no batch ran
+        else
+          s.read.parquet(out).select(col("doc_id")).orderBy(col("doc_id"))
+      } finally oldArr.unpersist(blocking = false)
+    },
+    graft.operators.DedupOps.d08.oracle)
+
+  val all: Seq[QueryDef] =
+    Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09)
 }

@@ -253,4 +253,48 @@ class DedupOpsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(byCluster(100L).count(_._3) == 2, s"dominant cluster capped: ${got.toSeq}")
     assert(byCluster(101L).forall(_._3), s"tail cluster kept whole: ${got.toSeq}")
   }
+
+  test("d16: soft-dedup weights give every cluster total mass 1") {
+    import spark.implicits._
+    // same shape as the d13 fixture: {0,1} one exact-dup cluster, 7 solo
+    val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val fix = Seq(
+      (0L, dup), (1L, dup),
+      (7L, "completely different singleton content with its own words only here")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.softDedupWeights(DedupOps.canonicalMap(fix)).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      0L -> ((0L, 2L, 0.5)), 1L -> ((0L, 2L, 0.5)),
+      7L -> ((7L, 1L, 1.0))))
+    // cluster-mass invariant: weights inside each cluster sum to 1
+    got.toSeq.groupBy(_._2._1).foreach { case (_, ms) =>
+      assert(math.abs(ms.map(_._2._3).sum - 1.0) < 1e-12)
+    }
+  }
+
+  test("canonical-map memo: one closure run feeds d06/d13/d16, reps recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val a = DedupOps.canonicalMapFor(spark, dir, "d06_dedup_resolve")
+    val b = DedupOps.canonicalMapFor(spark, dir, "d13_leakage_safe_split")
+    val c = DedupOps.canonicalMapFor(spark, dir, "d16_soft_dedup_weights")
+    assert((b eq a) && (c eq a), "suite consumers share the produced frame")
+    // fully consumed -> cleared: the next call produces a FRESH frame
+    val d = DedupOps.canonicalMapFor(spark, dir, "d06_dedup_resolve")
+    assert(!(d eq a), "post-consumption rep recomputes")
+    // a bench rep by the producer itself must not consume its own entry
+    val e = DedupOps.canonicalMapFor(spark, dir, "d06_dedup_resolve")
+    assert(!(e eq d), "producer rep recomputes (isolated floors stay honest)")
+    // and the values are the real canonical map either way
+    val viaMemo = e.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val direct = DedupOps.canonicalMap(
+      graft.Tables.load(spark, dir, "documents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(viaMemo.sameElements(direct))
+    // leave the memo clean for other suites: consume the live entry out
+    DedupOps.canonicalMapFor(spark, dir, "d13_leakage_safe_split")
+    DedupOps.canonicalMapFor(spark, dir, "d16_soft_dedup_weights")
+  }
 }

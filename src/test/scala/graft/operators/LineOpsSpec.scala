@@ -115,4 +115,48 @@ class LineOpsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert((g2.getLong(1), g2.getLong(2)) == ((13L, 10L)))
     assert(math.abs(g2.getDouble(3) - 10.0 / 13.0) < 1e-15)
   }
+
+  test("d15: non-canonical dup spans removed, canonical copy and unique text kept") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // winTok=3. Dup grams corpus-wide: "a b c" @ (1,0)(2,1)(3,0)(3,3) —
+    // canonical (1,0); "b c d" @ (1,1)(2,2) — canonical (1,1). Doc 1 is
+    // all-canonical (kept whole); doc 2 loses positions 1-4 (both
+    // non-canonical windows), keeping "x y"; doc 3's two in-doc copies are
+    // BOTH non-canonical (canonical lives in doc 1) — fully removed.
+    val d = Seq(
+      (1L, "a b c d e"),
+      (2L, "x a b c d y"),
+      (3L, "a b c a b c")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.removeDupSpans(d, winTok = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) == ((5L, 5L, 0L, md5hex("a b c d e"))))
+    assert(got(2L) == ((6L, 2L, 4L, md5hex("x y"))))
+    assert(got(3L) == ((6L, 0L, 6L, md5hex(""))))
+    // short docs (no window) pass through whole; blanks are filtered
+    val short = Seq((4L, "solo pair"), (5L, "   ")).toDF("doc_id", "text")
+    val g2 = DedupOps.removeDupSpans(short, winTok = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(g2 == Map(4L -> 2L))
+    // deterministic under repartition (canonical pick is a total order)
+    val base = DedupOps.removeDupSpans(d, winTok = 3).collect().toSeq
+    val rep = DedupOps.removeDupSpans(d.repartition(5), winTok = 3)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(rep == base)
+  }
+
+  test("d15: within-doc repetition dedups against the doc's own first copy") {
+    import spark.implicits._
+    // one doc, span repeated twice with a unique tail: windows of the
+    // second copy are non-canonical vs the first — removed; the first
+    // copy stays (its windows are canonical).
+    val d = Seq((0L, "a b c d a b c d z")).toDF("doc_id", "text")
+    // winTok=4: grams "a b c d"@{0,4} dup (canonical s=0); straddling
+    // grams ("b c d a", "c d a b", "d a b c", "b c d z") are unique.
+    val got = DedupOps.removeDupSpans(d, winTok = 4).collect().head
+    assert((got.getLong(1), got.getLong(2), got.getLong(3)) == ((9L, 5L, 4L)))
+    assert(got.getString(4) == md5hex("a b c d z"))
+  }
 }

@@ -122,4 +122,56 @@ class StreamingSpec extends AnyFunSuite with graft.SparkTestSession {
     // blank doc 3 excluded; (sA,en): docs 0+1 = 31+5 tokens; (sB,de): doc 2
     assert(got == Set(("sA", "en", 2L, 36L), ("sB", "de", 1L, 30L)), s"got=$got")
   }
+
+  // own dir: the shared `base` docs have no near-dup pair to exercise a drop
+  private lazy val st09dir: String = {
+    val dir = Files.createTempDirectory("graft_st09_spec").toString
+    val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq(
+      (0L, dup, "en", "s", 0L), // new (id%3==0), exact dup of old 1: dropped
+      (1L, dup, "en", "s", 0L), // old corpus copy
+      (3L, "completely different words entirely fresh content here",
+        "en", "s", 0L),         // new, unique: admitted
+      (2L, "other old corpus text goes here", "en", "s", 0L), // old
+      (6L, "   ", "en", "s", 0L) // new, blank (no shingles): admits trivially
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("st09: foreachBatch ingest dedup admits exactly the d08 batch relation") {
+    val got = StreamingOps.st09.run(spark, st09dir).collect()
+      .map(_.getLong(0)).toSeq
+    assert(got == Seq(3L, 6L), s"got=$got")
+    // the production sink here IS foreachBatch (state lives in the corpus
+    // index, the per-batch write is overwrite-by-batch-id idempotent)
+    assert(StreamingOps.sinkDescriptions.get("st09")
+        .exists(_.contains("ForeachBatchSink")),
+      s"st09 sink was '${StreamingOps.sinkDescriptions.get("st09")}'")
+    // stream/batch parity: the batch gate on the same dir agrees
+    val batch = graft.operators.DedupOps.d08.run(spark, st09dir).collect()
+      .map(_.getLong(0)).toSeq
+    assert(got == batch, s"stream=$got batch=$batch")
+  }
+
+  test("st09 invariance: micro-batch splits cannot change the admit set") {
+    import graft.operators.DedupOps
+    // admit depends only on the static corpus side, so the union of
+    // per-batch admits over ANY partition of the incoming docs equals the
+    // one-shot admit — the property that lets the d08 batch oracle gate a
+    // stream however the file source slices it into micro-batches.
+    val docs = spark.read.parquet(s"$st09dir/documents.parquet")
+    val isNew = pmod(col("doc_id"), lit(3)) === 0
+    val oldArr = DedupOps.shingleArrs(docs.filter(!isNew))
+    def admit(nd: org.apache.spark.sql.DataFrame): Set[Long] =
+      DedupOps.admitNewAgainstOld(nd.select(col("doc_id")).distinct(),
+          nd.count(), DedupOps.shingleArrs(nd), oldArr)
+        .collect().map(_.getLong(0)).toSet
+    val newDocs = docs.filter(isNew)
+    val oneShot = admit(newDocs)
+    val split = admit(newDocs.filter(col("doc_id") < 3)) ++
+      admit(newDocs.filter(col("doc_id") >= 3))
+    assert(split == oneShot, s"split=$split oneShot=$oneShot")
+    assert(oneShot == Set(3L, 6L))
+  }
 }
