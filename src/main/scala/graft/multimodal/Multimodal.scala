@@ -240,5 +240,76 @@ object Multimodal {
           AS n_sampled
       FROM documents WHERE length(trim(text)) > 0 ORDER BY media_id"""))
 
-  val all: Seq[graft.QueryDef] = Seq(m01)
+  /** [[mediaFromDocs]] plus a deterministic synthetic `meta` struct (the
+    * t10 decoration convention again — the corpus ships no real media
+    * dimensions): width/height/n_frames derived from the payload byte
+    * length by integer modulo, so the metadata-level ops ([[resizePlan]],
+    * [[sampleFrames]]) have an oracle-replayable input. Ranges are chosen
+    * so a 64-px resize target genuinely mixes scaled and pass-through
+    * rows (width 16..214, height 16..142), and n_frames reuses m01's
+    * chunk rule (chunks-as-frames stand-in).
+    */
+  def mediaMetaFromDocs(docsDf: DataFrame): DataFrame =
+    mediaFromDocs(docsDf)
+      .withColumn("byte_len", length(col("payload")).cast("bigint"))
+      .withColumn("meta", struct(
+        (col("byte_len") % 199 + 16).cast("int").as("width"),
+        (col("byte_len") % 127 + 16).cast("int").as("height"),
+        lit(16000).as("sample_rate"),
+        expr("CAST((byte_len + 63) DIV 64 AS INT)").as("n_frames")))
+      .drop("byte_len")
+
+  /** m02 — [[resizePlan]]'s aspect-preserving target geometry under the
+    * oracle. The scale factor and rounding run as DOUBLE math in BOTH
+    * engines in the same operation order (least of two divisions and 1.0,
+    * multiply, round): IEEE doubles make the intermediate bit-identical,
+    * and Spark's HALF_UP round agrees with DuckDB's away-from-zero round
+    * for positive values, so the integer targets hash-match exactly.
+    * Narrow plan — pure column math over the scan, no shuffle but the
+    * gate's own ORDER BY.
+    */
+  val m02 = graft.QueryDef(
+    "m02_resize_plan",
+    "multimodal resize planning: aspect-preserving 64-px target dims",
+    (s, dir) => resizePlan(
+        mediaMetaFromDocs(graft.Tables.load(s, dir, "documents"))
+          .filter(col("kind") === "image"), maxSide = 64)
+      .select(col("media_id"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("target_w"), col("target_h"))
+      .orderBy(col("media_id")),
+    Some("""WITH m AS (SELECT doc_id AS media_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS bl
+            FROM documents WHERE length(trim(text)) > 0 AND doc_id % 3 = 0),
+      d AS (SELECT media_id, CAST(bl % 199 + 16 AS INT) AS width,
+              CAST(bl % 127 + 16 AS INT) AS height FROM m),
+      sc AS (SELECT *, least(64 / CAST(width AS DOUBLE),
+                             64 / CAST(height AS DOUBLE), 1.0) AS scale
+             FROM d)
+      SELECT media_id, width, height,
+        CAST(greatest(1, round(width * scale)) AS INT) AS target_w,
+        CAST(greatest(1, round(height * scale)) AS INT) AS target_h
+      FROM sc ORDER BY media_id"""))
+
+  /** m03 — [[sampleFrames]]' every-k frame selection under the oracle:
+    * the video rows explode `sequence(0, n_frames-1, 4)` (n_frames =
+    * m01's chunk count standing in for the container's frame count).
+    * The explode is the gate's only row expansion and is bounded by
+    * n_frames/4 per video — the relational form a frame-level pipeline
+    * stage (decode, embed, dedup) consumes downstream.
+    */
+  val m03 = graft.QueryDef(
+    "m03_frame_sample",
+    "multimodal frame sampling: every-4th frame index per video",
+    (s, dir) => sampleFrames(
+        mediaMetaFromDocs(graft.Tables.load(s, dir, "documents")), everyK = 4)
+      .select(col("media_id"), col("frame_idx").cast("bigint").as("frame_idx"))
+      .orderBy(col("media_id"), col("frame_idx")),
+    Some("""WITH m AS (SELECT doc_id AS media_id,
+              CAST((octet_length(encode(text)) + 63) // 64 AS BIGINT) AS nf
+            FROM documents WHERE length(trim(text)) > 0 AND doc_id % 3 = 2)
+      SELECT media_id, CAST(unnest(range(0, nf, 4)) AS BIGINT) AS frame_idx
+      FROM m WHERE nf > 0 ORDER BY media_id, frame_idx"""))
+
+  val all: Seq[graft.QueryDef] = Seq(m01, m02, m03)
 }

@@ -554,6 +554,78 @@ object StreamingOps {
     },
     graft.operators.DedupOps.d08.oracle)
 
+  /** st10: STREAMING DECONTAMINATION — the d05/d07 benchmark guard run on
+    * the ingest stream, in the production shape: every arriving document
+    * is admitted iff it shares NO 3-shingle with the static held-out
+    * benchmark set. Two stateless stages, no watermark, no state store:
+    *
+    *  1. a broadcast BLOOM prefilter ([[graft.functions.BloomMightContain]],
+    *     codegen'd) runs as an `exists()` HOF over the doc's own shingle
+    *     array — a narrow map that clears ~all clean docs without any
+    *     join (a doc too short to shingle admits trivially);
+    *  2. the surviving suspects (Bloom false positives + real hits, a
+    *     match-bounded trickle) are exact-verified by a stream-static
+    *     LEFT ANTI join on `arrays_overlap` against the broadcast bench
+    *     arrays — the join mode the streaming family didn't cover yet
+    *     (st06 is stream-static INNER). The anti side is batch/static,
+    *     so the join is stateless and append-safe.
+    *
+    * Exact verify removes Bloom false positives, so the admit set — and
+    * the batch DuckDB oracle — is FP-independent and micro-batch-
+    * partitioning invariant. At 100 TB the bench side is an eval suite
+    * (KBs–MBs, the d05 size contract, broadcast only under
+    * [[graft.operators.DedupOps.broadcastIfUnder]]'s limit) while the
+    * corpus streams through map-side work: no corpus-sized shuffle
+    * anywhere.
+    */
+  val st10 = QueryDef(
+    "st10_stream_decontam",
+    "streaming decontamination: Bloom prefilter + stream-static anti verify",
+    (s, dir) => {
+      import graft.operators.DedupOps
+      graft.functions.GraftFunctions.register(s)
+      val docsAll = graft.Tables.load(s, dir, "documents")
+      val isBench = pmod(col("doc_id"), lit(97)) === 0
+      val benchArr = DedupOps.shingleArrs(docsAll.filter(isBench))
+        .select(col("doc_id").as("bench_id"), col("shArr").as("benchArr"))
+        .cache()
+      val nBenchDocs = benchArr.count() // cache fill + size contract probe
+      try {
+        val benchSh = benchArr.select(explode(col("benchArr")).as("sh")).distinct()
+        val bfBytes = {
+          val bf = benchSh.select(xxhash64(col("sh")).as("h"))
+            .stat.bloomFilter("h", math.max(benchSh.count(), 1L), 0.01)
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          bos.toByteArray
+        }
+        val src = docsStream(s, dir)
+          .filter(pmod(col("doc_id"), lit(97)) =!= 0)
+          .withColumn("toks", split(trim(col("text")), graft.Tok.Ws))
+          .withColumn("shArr", when(size(col("toks")) >= 3, array_distinct(expr(
+            "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
+            .otherwise(array().cast("array<string>")))
+          .select(col("doc_id"), col("shArr"))
+          .withColumn("hit", exists(col("shArr"), x =>
+            graft.functions.GraftFunctions.bloomMightContain(xxhash64(x), bfBytes)))
+        val clean = src.filter(!col("hit")).select(col("doc_id"))
+        val verified = src.filter(col("hit"))
+          .join(DedupOps.broadcastIfUnder(benchArr, nBenchDocs),
+            arrays_overlap(col("shArr"), col("benchArr")), "left_anti")
+          .select(col("doc_id"))
+        runAppendToFiles(s, clean.union(verified), "st10", dir,
+            table = "documents")
+          .orderBy(col("doc_id"))
+      } finally benchArr.unpersist(blocking = false)
+    },
+    Some(s"""WITH ${graft.operators.DedupOps.shingleSqlFrom("documents")},
+      bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+      hit AS (SELECT DISTINCT doc_id FROM sh
+              WHERE doc_id % 97 <> 0 AND sh IN (SELECT sh FROM bench))
+      SELECT doc_id FROM documents
+      WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hit)
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09)
+    Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09, st10)
 }

@@ -271,4 +271,33 @@ class MultimodalSpec extends AnyFunSuite with graft.SparkTestSession {
       .filter($"media_id" === 1L).collect().head
     assert(row1.getString(3) == md5hex)
   }
+
+  test("m02 core: synthetic meta dims + resize targets, hand-computed") {
+    import spark.implicits._
+    // doc_id % 3 == 0 -> image. byte_len 150: width = 150%199+16 = 166,
+    // height = 150%127+16 = 39; scale = 64/166; targets
+    // (round(166*64/166)=64, round(39*64/166)=round(15.0361...)=15).
+    // byte_len 10: dims (26, 26) both <= 64 -> scale 1.0, pass-through.
+    val d = Seq((0L, "x" * 150), (3L, "y" * 10)).toDF("doc_id", "text")
+    val got = Multimodal.resizePlan(
+        Multimodal.mediaMetaFromDocs(d).filter($"kind" === "image"), maxSide = 64)
+      .select($"media_id", $"meta.width", $"meta.height", $"target_w", $"target_h")
+      .collect().map(r => (r.getLong(0),
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(got == Map(
+      0L -> ((166, 39, 64, 15)),
+      3L -> ((26, 26, 26, 26))), s"got=$got")
+  }
+
+  test("m03 core: every-4th frame over the chunk-count frame stand-in") {
+    import spark.implicits._
+    // doc_id % 3 == 2 -> video. 150 bytes -> 3 chunks/frames -> idx [0];
+    // 400 bytes -> 7 frames -> [0, 4]. Image row contributes nothing.
+    val d = Seq((2L, "a" * 150), (5L, "b" * 400), (0L, "c" * 999))
+      .toDF("doc_id", "text")
+    val got = Multimodal.sampleFrames(
+        Multimodal.mediaMetaFromDocs(d), everyK = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == Set((2L, 0), (5L, 0), (5L, 4)), s"got=$got")
+  }
 }

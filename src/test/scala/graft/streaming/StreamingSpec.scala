@@ -174,4 +174,22 @@ class StreamingSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(split == oneShot, s"split=$split oneShot=$oneShot")
     assert(oneShot == Set(3L, 6L))
   }
+
+  test("st10: streaming decontam admits exactly the clean corpus docs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_st10_spec").toString
+    Seq(
+      (0L, "alpha beta gamma delta epsilon", "en", "s", 0L), // bench (0%97==0)
+      (1L, "prefix words then beta gamma delta inside", "en", "s", 0L), // hit: dropped
+      (2L, "totally clean corpus content with many safe words", "en", "s", 0L),
+      (3L, "one two", "en", "s", 0L),  // < 3 tokens: admits trivially
+      (4L, "   ", "en", "s", 0L)       // blank: admits trivially
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = StreamingOps.st10.run(spark, dir).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L, 3L, 4L), s"got=$got")
+    // append-mode production sink: files, never driver memory
+    assert(StreamingOps.sinkDescriptions.get("st10").exists(_.contains("FileSink")),
+      s"st10 sink was '${StreamingOps.sinkDescriptions.get("st10")}'")
+  }
 }
