@@ -560,9 +560,13 @@ object StreamingOps {
     * benchmark set. Two stateless stages, no watermark, no state store:
     *
     *  1. a broadcast BLOOM prefilter ([[graft.functions.BloomMightContain]],
-    *     codegen'd) runs as an `exists()` HOF over the doc's own shingle
+    *     codegen'd) runs as a `filter()` HOF over the doc's own shingle
     *     array — a narrow map that clears ~all clean docs without any
-    *     join (a doc too short to shingle admits trivially);
+    *     join (a doc too short to shingle admits trivially), and leaves
+    *     each suspect carrying ONLY its Bloom-positive shingles: a true
+    *     overlap can never fail the Bloom (no false negatives), so the
+    *     exact verify needs nothing else, and the per-pair work below is
+    *     bounded by the suspect's MATCHING shingles, not its text length;
     *  2. the surviving suspects (Bloom false positives + real hits, a
     *     match-bounded trickle) are exact-verified by a stream-static
     *     LEFT ANTI join on `arrays_overlap` against the broadcast bench
@@ -599,19 +603,34 @@ object StreamingOps {
           bf.writeTo(bos)
           bos.toByteArray
         }
+        // The whole text->tokens->shingles->bloom chain is ONE expression
+        // with `toks` bound as a lambda variable (the transform-over-
+        // singleton let-binding idiom): the size(shPos) predicates below
+        // push down past this projection by INLINING it, and a plain
+        // `withColumn("toks", split(...))` chain would inline the split
+        // into every toks[i]/toks[i+1]/toks[i+2] access — re-tokenizing
+        // the document once per shingle ELEMENT (measured 5.5x the whole
+        // gate at sf0.1). Lambda binding keeps the split evaluated once
+        // per row no matter how often the optimizer substitutes the
+        // expression. (Batch gates sidestep this with .cache() on the
+        // shingle frame — a stream has no cache to hide behind.)
+        val shPosCol = element_at(transform(
+          array(split(trim(col("text")), graft.Tok.Ws)), toks =>
+            filter(
+              when(size(toks) >= 3, array_distinct(
+                transform(sequence(lit(0), size(toks) - 3), i =>
+                  concat_ws(" ", element_at(toks, i + 1),
+                    element_at(toks, i + 2), element_at(toks, i + 3)))))
+                .otherwise(array().cast("array<string>")),
+              x => graft.functions.GraftFunctions.bloomMightContain(
+                xxhash64(x), bfBytes))), 1)
         val src = docsStream(s, dir)
           .filter(pmod(col("doc_id"), lit(97)) =!= 0)
-          .withColumn("toks", split(trim(col("text")), graft.Tok.Ws))
-          .withColumn("shArr", when(size(col("toks")) >= 3, array_distinct(expr(
-            "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
-            .otherwise(array().cast("array<string>")))
-          .select(col("doc_id"), col("shArr"))
-          .withColumn("hit", exists(col("shArr"), x =>
-            graft.functions.GraftFunctions.bloomMightContain(xxhash64(x), bfBytes)))
-        val clean = src.filter(!col("hit")).select(col("doc_id"))
-        val verified = src.filter(col("hit"))
+          .select(col("doc_id"), shPosCol.as("shPos"))
+        val clean = src.filter(size(col("shPos")) === 0).select(col("doc_id"))
+        val verified = src.filter(size(col("shPos")) > 0)
           .join(DedupOps.broadcastIfUnder(benchArr, nBenchDocs),
-            arrays_overlap(col("shArr"), col("benchArr")), "left_anti")
+            arrays_overlap(col("shPos"), col("benchArr")), "left_anti")
           .select(col("doc_id"))
         runAppendToFiles(s, clean.union(verified), "st10", dir,
             table = "documents")
