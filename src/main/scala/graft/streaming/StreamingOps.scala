@@ -426,14 +426,22 @@ object StreamingOps {
     "st07_stream_curate",
     "stateless streaming curation filter (row-local HOF metrics, file sink)",
     (s, dir) => {
+      // toks is lambda-BOUND (the st10 let-binding idiom): the keep-rule
+      // filter below pushes past this projection by inlining it, and a
+      // withColumn("toks", split(...)) chain re-tokenizes the text once
+      // per toks reference (3 in the metrics + again per output column).
+      // A stream has no cache to absorb that, so bind once.
+      val m = element_at(transform(
+        array(split(trim(col("text")), graft.Tok.Ws)), toks =>
+          struct(size(toks).cast("bigint").as("n_tokens"),
+            (size(filter(toks, x => length(x) < 4)).cast("double")
+              / size(toks).cast("double")).as("short_frac"))), 1)
       val src = docsStream(s, dir)
         .filter(length(trim(col("text"))) > 0)
-        .withColumn("toks", split(trim(col("text")), graft.Tok.Ws))
-        .select(col("doc_id"),
-          size(col("toks")).cast("bigint").as("n_tokens"),
-          length(trim(col("text"))).cast("bigint").as("n_chars"),
-          (size(expr("filter(toks, x -> length(x) < 4)")).cast("double")
-            / size(col("toks")).cast("double")).as("short_frac"))
+        .select(col("doc_id"), m.as("m"),
+          length(trim(col("text"))).cast("bigint").as("n_chars"))
+        .select(col("doc_id"), col("m.n_tokens").as("n_tokens"),
+          col("n_chars"), col("m.short_frac").as("short_frac"))
         .filter(col("n_tokens") >= 30 && col("short_frac") < 0.8)
       runAppendToFiles(s, src, "st07", dir, table = "documents")
         .orderBy(col("doc_id"))
