@@ -571,13 +571,19 @@ object DedupOps {
     * trivially); `nNew` bounds the batch-side broadcasts; `newArr` /
     * `oldArr` are [[shingleArrs]] frames (the old side is the
     * precomputed corpus index — st09 caches it once across every
-    * micro-batch).
+    * micro-batch). `oldBandsPre`: the PRECOMPUTED (doc_id, band, sig)
+    * index of the old side — a continuous-ingest caller (st09) caches
+    * this beside `oldArr`, or every micro-batch would replay the
+    * corpus-sized minhash projection just to rebuild the same band rows;
+    * `oldArr` itself still backs the exact-Jaccard verify (its probe is
+    * candidate-bounded, so the cached arrays ARE the index there).
     */
   private[graft] def admitNewAgainstOld(newIds: DataFrame, nNew: Long,
       newArr: DataFrame, oldArr: DataFrame, minJac: Double = 0.3,
-      broadcastLimit: Long = broadcastRowLimit): DataFrame = {
+      broadcastLimit: Long = broadcastRowLimit,
+      oldBandsPre: Option[DataFrame] = None): DataFrame = {
     val newBands = bandsFromArrs(newArr)
-    val oldBands = bandsFromArrs(oldArr)
+    val oldBands = oldBandsPre.getOrElse(bandsFromArrs(oldArr))
     val cand = broadcastIfUnder(newBands, nNew * 8, broadcastLimit).as("a")
       .join(oldBands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))

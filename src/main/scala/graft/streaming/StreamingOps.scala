@@ -525,6 +525,12 @@ object StreamingOps {
       val isNew = pmod(col("doc_id"), lit(3)) === 0
       val oldArr = DedupOps.shingleArrs(docsAll.filter(!isNew)).cache()
       oldArr.count() // one corpus-index build, reused by every micro-batch
+      // the (doc_id, band, sig) index is ALSO cached: band signatures are
+      // a corpus-sized minhash projection, and deriving them from oldArr
+      // inside the admit plan would replay that projection every
+      // micro-batch — the precomputed-index contract the d08 doc names
+      val oldBands = DedupOps.bandsFromArrs(oldArr).cache()
+      oldBands.count()
       try {
         val tmp = java.nio.file.Files.createTempDirectory(tmpRoot, "st09")
         val out = s"$tmp/data"
@@ -539,7 +545,8 @@ object StreamingOps {
               val nNew = batch.count()
               DedupOps.admitNewAgainstOld(
                   batch.select(col("doc_id")).distinct(), nNew,
-                  DedupOps.shingleArrs(batch), oldArr)
+                  DedupOps.shingleArrs(batch), oldArr,
+                  oldBandsPre = Some(oldBands))
                 .select(col("doc_id"))
                 .write.mode("overwrite").parquet(s"$out/batch=$batchId")
               ()
@@ -558,7 +565,10 @@ object StreamingOps {
           s.range(0).select(col("id").as("doc_id")) // empty stream: no batch ran
         else
           s.read.parquet(out).select(col("doc_id")).orderBy(col("doc_id"))
-      } finally oldArr.unpersist(blocking = false)
+      } finally {
+        oldBands.unpersist(blocking = false)
+        oldArr.unpersist(blocking = false)
+      }
     },
     graft.operators.DedupOps.d08.oracle)
 
