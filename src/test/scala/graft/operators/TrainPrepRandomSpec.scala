@@ -143,4 +143,46 @@ class TrainPrepRandomSpec extends AnyFunSuite with graft.SparkTestSession {
       assert(got == expected, s"trial $trial")
     }
   }
+
+  test("d15 parity: dup-span removal matches a plain-Scala reference on random corpora") {
+    import spark.implicits._
+    // small vocab + short docs force plenty of window collisions, both
+    // cross-doc and within-doc, so the canonical tie-break and the
+    // overlap-collapse paths all fire
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for (trial <- 1 to 3) {
+      val vocabPool = Vector("a", "b", "c")
+      val docsLocal = (1L to 30L).map { id =>
+        val n = rnd.nextInt(16) // 0..15 tokens: below-window docs included
+        (id, Seq.fill(n)(vocabPool(rnd.nextInt(vocabPool.size))).mkString(" "))
+      }
+      val win = 8
+      // reference: windows keyed by CONTENT (the md5 key is a stand-in for
+      // it), canonical = lexicographically smallest (doc_id, start), a
+      // position is removed iff covered by >= 1 non-canonical occurrence
+      val toks = docsLocal.filter(_._2.trim.nonEmpty)
+        .map { case (id, t) => id -> t.trim.split("\\s+").toVector }
+      val occ = toks.flatMap { case (id, ws) =>
+        (0 to ws.size - win).map(s => (ws.slice(s, s + win).mkString(" "), id, s))
+      }
+      val canon = occ.groupBy(_._1).filter(_._2.size >= 2)
+        .map { case (h, os) => h -> os.map(o => (o._2, o._3)).min }
+      val removedPos: Set[(Long, Int)] = occ
+        .filter(o => canon.get(o._1).exists(_ != ((o._2, o._3))))
+        .flatMap(o => (o._3 until o._3 + win).map(p => (o._2, p))).toSet
+      val expected = toks.map { case (id, ws) =>
+        val kept = ws.zipWithIndex.collect {
+          case (w, p) if !removedPos((id, p)) => w }
+        id -> ((ws.size.toLong, kept.size.toLong, (ws.size - kept.size).toLong,
+          md5hex(kept.mkString(" "))))
+      }.toMap
+
+      val got = DedupOps.removeDupSpans(docsLocal.toDF("doc_id", "text"), win)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
 }
