@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -18,6 +18,78 @@ import org.apache.spark.util.sketch.BloomFilter
   * serialization boundary, no interpreted fallback in the hot path.
   */
 object ExpressionHelpers {
+  /** Distinct word k-shingle SET of a document in ONE compiled pass — the
+    * codegen replacement for the interpreted HOF chain
+    * `array_distinct(transform(sequence(0, size(toks)-k), i ->
+    * concat_ws(' ', toks[i], ..., toks[i+k-1])))` over
+    * `toks = split(trim(text), "[ \t\n\f\r]+", -1)`, whose per-window
+    * lambda evaluation (interpreted, boxing every element) dominates the
+    * shingle-frame build across the dedup family.
+    *
+    * Replicated semantics, bit-exact:
+    *  - SQL `trim` strips U+0020 ONLY (SPARK-17299) — tabs/newlines at the
+    *    ends survive into the split;
+    *  - Java `split(re, -1)` keeps leading/trailing EMPTY tokens (a text
+    *    starting or ending on a separator run yields "" tokens, and
+    *    `concat_ws` then produces shingles with doubled/edge spaces);
+    *  - the separator class is the repo's explicit [[graft.Tok.Ws]]
+    *    (U+000B is token CONTENT, not a separator);
+    *  - `array_distinct` keeps first-occurrence order — so does the
+    *    LinkedHashSet here;
+    *  - fewer than k tokens → EMPTY array (the old form's callers filtered
+    *    on token count before shingling; they now filter equivalently).
+    * Separators are single-byte ASCII, so the byte-level scan is
+    * UTF-8-safe (continuation bytes are >= 0x80).
+    */
+  def shingleArr(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.trim().getBytes
+    val n = bytes.length
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nt = 0
+    def push(a: Int, b: Int): Unit = {
+      if (nt == starts.length) {
+        starts = java.util.Arrays.copyOf(starts, nt * 2)
+        ends = java.util.Arrays.copyOf(ends, nt * 2)
+      }
+      starts(nt) = a; ends(nt) = b; nt += 1
+    }
+    def isSep(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == '\f' || b == '\r'
+    var st = 0
+    var i = 0
+    while (i < n) {
+      if (isSep(bytes(i))) {
+        var j = i + 1
+        while (j < n && isSep(bytes(j))) j += 1
+        push(st, i); st = j; i = j
+      } else i += 1
+    }
+    push(st, n)
+    if (nt < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[AnyRef](0))
+    val seen = new java.util.LinkedHashSet[UTF8String]((nt - k + 1) * 2)
+    var w = 0
+    while (w <= nt - k) {
+      var len = k - 1
+      var t = 0
+      while (t < k) { len += ends(w + t) - starts(w + t); t += 1 }
+      val out = new Array[Byte](len)
+      var pos = 0
+      t = 0
+      while (t < k) {
+        if (t > 0) { out(pos) = ' '; pos += 1 }
+        val l = ends(w + t) - starts(w + t)
+        System.arraycopy(bytes, starts(w + t), out, pos, l)
+        pos += l; t += 1
+      }
+      seen.add(UTF8String.fromBytes(out))
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray(new Array[AnyRef](seen.size())))
+  }
+
   /** Jaccard similarity of two string arrays treated as sets.
     * Both empty → 1.0 (identical sets; the `array_intersect`/`array_union`
     * composition yields NaN there — this is the deliberate divergence that
@@ -349,6 +421,52 @@ case class MinhashSig(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `shingle_arr(string, int) -> array<string>`: see
+  * [[ExpressionHelpers.shingleArr]] — the dedup family's shingle-set
+  * build as one compiled pass instead of the interpreted
+  * split/transform/concat_ws/array_distinct HOF chain. `k` must be a
+  * foldable positive int literal. Null text → null (callers that need
+  * the admit-trivially semantics coalesce to an empty array).
+  */
+case class ShingleArr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string document, got ${left.dataType.catalogString}")
+    else if (right.dataType != IntegerType || !right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a foldable int shingle width")
+    else if (right.eval(null) == null || right.eval(null).asInstanceOf[Int] < 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a positive shingle width")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = left.nullable
+  override def prettyName: String = "shingle_arr"
+
+  @transient private lazy val k: Int = right.eval(null).asInstanceOf[Int]
+
+  /** Codegen/interpreted shared body (addReferenceObj handle, so the
+    * folded k is read once per generated class, not per row).
+    */
+  def compute(s: UTF8String): ArrayData = ExpressionHelpers.shingleArr(s, k)
+
+  override def nullSafeEval(s: Any, _k: Any): Any =
+    compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleExpr", this, classOf[ShingleArr].getName)
+    nullSafeCodeGen(ctx, ev, (s, _) => s"${ev.value} = $ref.compute($s);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `vec_dot(array<double>, array<double>) -> double`, null-safe at the

@@ -46,7 +46,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => StopwordCascade(args(0), args(1))),
     (FunctionIdentifier("bpe_encode"),
       new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
-      (args: Seq[Expression]) => BpeEncode(args(0), args(1))))
+      (args: Seq[Expression]) => BpeEncode(args(0), args(1))),
+    (FunctionIdentifier("shingle_arr"),
+      new ExpressionInfo(classOf[ShingleArr].getName, "shingle_arr"),
+      (args: Seq[Expression]) => ShingleArr(args(0), args(1))))
 
   /** Idempotent registration into an existing session: SQL functions into
     * the registry, [[VecDotRewrite]] into the experimental optimizer batch
@@ -131,6 +134,15 @@ object GraftFunctions {
         merges.map { case (a, b) =>
           org.apache.spark.sql.functions.lit(a + " " + b) }: _*)
     call_function("bpe_encode", word, tbl)
+  }
+
+  /** Distinct word k-shingle set of a document column in one compiled
+    * pass (see [[ShingleArr]]); fewer than k tokens → empty array.
+    */
+  def shingleArr(text: Column, k: Int): Column = {
+    ensureRegistered()
+    call_function("shingle_arr", text,
+      org.apache.spark.sql.functions.lit(k))
   }
 
   /** Probe a serialized sketch BloomFilter with a pre-hashed long column

@@ -52,30 +52,34 @@ object DedupOps {
       limit: Long = broadcastRowLimit): DataFrame =
     if (rows <= limit) broadcast(df) else df
 
-  /** Distinct (doc_id, 3-shingle) rows from a `documents`-shaped frame. */
+  /** Distinct (doc_id, 3-shingle) rows from a `documents`-shaped frame —
+    * exploded from [[shingleArrs]]: the per-doc arrays are already
+    * distinct SETS, so (doc_id, sh) rows are unique WITHOUT the
+    * corpus-sized distinct() shuffle the historical row-form build paid.
+    */
   private[graft] def shingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(trim(col("text")), graft.Tok.Ws).as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("sh"))
-      .distinct()
+    shingleArrs(docs).select(col("doc_id"), explode(col("shArr")).as("sh"))
 
   /** The ARRAY form of [[shingles]]: one (doc_id, shArr) row per doc with
-    * the distinct 3-shingle SET as a column — same doc universe (>= 3
-    * tokens), same set per doc (`array_distinct` over the same transform;
-    * exploding this frame reproduces [[shingles]] exactly). This is the
-    * at-scale representation for the MinHash pipeline: signatures become
-    * a narrow per-row [[graft.functions.MinhashSig]] projection (NO
-    * corpus-sized shingle-row shuffle — neither the distinct() nor the
-    * 16-way MIN groupBy of the row form), per-doc set sizes are `size()`
-    * calls, and candidate verification is an `array_intersect` on the
-    * two rows instead of a double explode-join.
+    * the distinct 3-shingle SET as a column — doc universe = >= 3 tokens.
+    * This is the at-scale representation for the MinHash pipeline:
+    * signatures become a narrow per-row [[graft.functions.MinhashSig]]
+    * projection (NO corpus-sized shingle-row shuffle — neither a
+    * distinct() nor the 16-way MIN groupBy of a row form), per-doc set
+    * sizes are `size()` calls, and candidate verification is an
+    * `array_intersect` on the two rows instead of a double explode-join.
+    *
+    * The build itself is the codegen'd [[graft.functions.ShingleArr]]
+    * expression — one compiled pass per row replacing the interpreted
+    * split/transform/concat_ws/array_distinct HOF chain (bit-exact
+    * differential: ExpressionsSpec). The `size(split(...))` pre-filter
+    * keeps the historical universe rule in codegen'd builtins without
+    * evaluating the shingle build in the pushed-down predicate.
     */
   private[graft] def shingleArrs(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(trim(col("text")), graft.Tok.Ws).as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("shArr"))
+    docs.filter(size(split(trim(col("text")), graft.Tok.Ws)) >= 3)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.shingleArr(col("text"), 3).as("shArr"))
 
   private def shingleDf(s: SparkSession, dir: String): DataFrame =
     shingles(Tables.load(s, dir, "documents"))

@@ -621,27 +621,22 @@ object StreamingOps {
           bf.writeTo(bos)
           bos.toByteArray
         }
-        // The whole text->tokens->shingles->bloom chain is ONE expression
-        // with `toks` bound as a lambda variable (the transform-over-
-        // singleton let-binding idiom): the size(shPos) predicates below
-        // push down past this projection by INLINING it, and a plain
-        // `withColumn("toks", split(...))` chain would inline the split
-        // into every toks[i]/toks[i+1]/toks[i+2] access — re-tokenizing
-        // the document once per shingle ELEMENT (measured 5.5x the whole
-        // gate at sf0.1). Lambda binding keeps the split evaluated once
-        // per row no matter how often the optimizer substitutes the
-        // expression. (Batch gates sidestep this with .cache() on the
-        // shingle frame — a stream has no cache to hide behind.)
-        val shPosCol = element_at(transform(
-          array(split(trim(col("text")), graft.Tok.Ws)), toks =>
-            filter(
-              when(size(toks) >= 3, array_distinct(
-                transform(sequence(lit(0), size(toks) - 3), i =>
-                  concat_ws(" ", element_at(toks, i + 1),
-                    element_at(toks, i + 2), element_at(toks, i + 3)))))
-                .otherwise(array().cast("array<string>")),
-              x => graft.functions.GraftFunctions.bloomMightContain(
-                xxhash64(x), bfBytes))), 1)
+        // The shingle build is the codegen'd shingle_arr expression — one
+        // compiled pass per row. That ALSO disarms the predicate-inlining
+        // hazard this gate once measured at 5.5x: the size(shPos)
+        // predicates below push down past this projection by inlining the
+        // expression, and an HOF chain (withColumn toks + transform with
+        // toks[i] element accesses) re-tokenized the text once per
+        // shingle ELEMENT when substituted; a single compiled call just
+        // evaluates twice per row at worst. A stream has no cache to hide
+        // the build behind, which is why the batch gates never saw this.
+        // coalesce: null text must admit trivially like a short doc (the
+        // expression is null-on-null by SQL convention).
+        val shPosCol = filter(
+          coalesce(graft.functions.GraftFunctions.shingleArr(col("text"), 3),
+            array().cast("array<string>")),
+          x => graft.functions.GraftFunctions.bloomMightContain(
+            xxhash64(x), bfBytes))
         val src = docsStream(s, dir)
           .filter(pmod(col("doc_id"), lit(97)) =!= 0)
           .select(col("doc_id"), shPosCol.as("shPos"))

@@ -247,4 +247,58 @@ class ExpressionsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
     assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan)
   }
+
+  test("shingle_arr: bit-exact differential vs the HOF formula, edges + random") {
+    import spark.implicits._
+    // the formula shingle_arr replaces (DedupOps' historical form): SQL
+    // trim + Java split(-1) + per-window concat_ws + array_distinct. The
+    // <k-token docs that the old callers filtered out map to empty arrays
+    // here, so the differential guards size semantics too.
+    def oldForm(k: Int) = {
+      val toksC = split(trim(col("text")), graft.Tok.Ws)
+      when(size(toksC) >= k, array_distinct(expr(
+        s"""transform(sequence(0, size(split(trim(text), '${graft.Tok.Ws.replace("\\", "\\\\")}')) - $k),
+            i -> concat_ws(' ', ${(0 until k).map(j => s"split(trim(text), '${graft.Tok.Ws.replace("\\", "\\\\")}')[i + $j]").mkString(", ")}))""")))
+        .otherwise(array().cast("array<string>"))
+    }
+    val edge = Seq(
+      "",                       // split("") = [""]: 1 token -> empty
+      "   ",                    // trims to "": same
+      "a b",                    // 2 tokens -> empty
+      "a b c",                  // exactly one shingle
+      "a  b\t\tc\nd",           // mixed separator runs
+      "\ta b c\t",              // SQL trim keeps tabs: leading/trailing "" tokens
+      " \ta b c\t ",            // spaces trimmed, tabs survive
+      "a\u000Bb c d e",    // U+000B is CONTENT, not a separator
+      "x y x y x y x y",        // duplicate shingles -> distinct, first-occurrence order
+      "café naïve 😀 tok",  // multibyte + non-BMP
+      "a\rb\fc d e",            // CR and FF are separators
+      "  a b c"                 // leading spaces trimmed fully
+    )
+    val rnd = new scala.util.Random(0xD15)
+    val pool = Vector("aa", "b", "", " ", "\t", "\n", "cc", "é", "😀")
+    val random = (1 to 60).map(_ =>
+      (1 to (1 + rnd.nextInt(20))).map(_ => pool(rnd.nextInt(pool.size))).mkString(
+        if (rnd.nextBoolean()) " " else ""))
+    for (k <- Seq(3, 8)) {
+      val df = (edge ++ random).toDF("text")
+        .select(col("text"), oldForm(k).as("old"),
+          GraftFunctions.shingleArr(col("text"), k).as("nw"))
+      val bad = df.filter(not(col("old") <=> col("nw"))).collect()
+      assert(bad.isEmpty, s"k=$k first divergence: ${bad.take(3).mkString("; ")}")
+    }
+    // null text -> null (SQL semantics; callers needing admit-trivially
+    // coalesce); and the compiled call stays inside codegen
+    val nulls = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "text")
+      .select(GraftFunctions.shingleArr(col("text"), 3).as("s")).collect()
+    assert(nulls.head.isNullAt(0))
+    val cg = spark.range(3)
+      .select(concat_ws(" ", lit("a"), col("id"), lit("b c")).as("text"))
+      .select(GraftFunctions.shingleArr(col("text"), 3).as("s"))
+    assert(cg.collect().map(_.getSeq[String](0).head).toSeq ==
+      Seq("a 0 b", "a 1 b", "a 2 b"))
+    val plan = cg.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan)
+  }
 }
