@@ -47,9 +47,10 @@ class ExpressionsSpec extends AnyFunSuite with graft.SparkTestSession {
     GraftFunctions.register(spark)
     val rows = spark.sql(
       """SELECT jaccard_sim(array('a','b'), array('b','c')) AS j,
-                ascii_fold('Ünïcødé') AS f""").collect()
+                ascii_fold('Ünïcødé') AS f,
+                shingle_arr('a b c d', 3) AS s""").collect()
     // ø has no NFD decomposition — it survives the fold (unidecode-lite)
-    assert(rows(0) == Row(1.0 / 3.0, "unicøde"))
+    assert(rows(0) == Row(1.0 / 3.0, "unicøde", Seq("a b c", "b c d")))
   }
 
   test("vec_dot: exact aggregate(zip_with) semantics incl. null algebra") {
