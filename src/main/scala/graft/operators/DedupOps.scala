@@ -1256,7 +1256,71 @@ object DedupOps {
         CAST(1.0 AS DOUBLE) / sz.cluster_size AS weight
       FROM cm JOIN sz USING (canonical_id) ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- d17
+  /** Fraction-threshold contamination severity — the published DECISION
+    * RULE on top of d05's raw counts: a corpus doc is judged by the
+    * FRACTION of its own distinct 3-shingles found anywhere in the
+    * held-out benchmark (the C4/GPT-3-family form: drop above a high
+    * threshold, flag a partial band, keep clean), not by any-overlap.
+    * Bucket cuts here: high >= 0.8, partial >= 0.2.
+    *
+    * Determinism across engines: n_hit/n_sh is ONE double division of two
+    * exact integers (identical bit pattern both engines), and the bucket
+    * comparisons reuse that exact quotient — no accumulated float math.
+    *
+    * Scale shape: d05's — the benchmark shingle set is tiny (eval-suite
+    * contract) and broadcast under the usual limit; corpus shingles
+    * stream through the compiled [[graft.functions.ShingleArr]] build and
+    * one map-side hash join; the per-doc aggregate is match-bounded on
+    * the hit side and one corpus-linear count on the size side (no
+    * corpus-sized shuffle beyond the doc-keyed combine).
+    */
+  private[graft] def contaminationSeverity(docs: DataFrame, benchMod: Long = 97L,
+      thHigh: Double = 0.8, thPart: Double = 0.2,
+      broadcastLimit: Long = broadcastRowLimit): DataFrame = {
+    val arr = shingleArrs(docs).cache()
+    arr.count() // single cache fill (see d01)
+    val isBench = pmod(col("doc_id"), lit(benchMod)) === 0
+    val benchSh = arr.filter(isBench)
+      .select(explode(col("shArr")).as("sh")).distinct().cache()
+    val nBenchSh = benchSh.count() // cache fill + size contract probe
+    val corp = arr.filter(!isBench)
+    val hits = corp.select(col("doc_id"), explode(col("shArr")).as("sh"))
+      .join(broadcastIfUnder(benchSh, nBenchSh, broadcastLimit), Seq("sh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    val out = corp
+      .select(col("doc_id"), size(col("shArr")).cast("bigint").as("n_sh"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("frac", col("n_hit").cast("double") / col("n_sh"))
+      .withColumn("severity",
+        when(col("frac") >= thHigh, "high")
+          .when(col("frac") >= thPart, "partial")
+          .otherwise("clean"))
+      .orderBy(col("doc_id"))
+    benchSh.unpersist(blocking = false)
+    out
+  }
+
+  val d17 = QueryDef(
+    "d17_contamination_severity",
+    "fraction-threshold decontamination: per-doc bench-overlap severity",
+    (s, dir) => contaminationSeverity(Tables.load(s, dir, "documents")),
+    Some(s"""WITH $shingleSql,
+      b AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+      c AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh,
+              CAST(COUNT(CASE WHEN sh IN (SELECT sh FROM b) THEN 1 END)
+                AS BIGINT) AS n_hit
+            FROM sh WHERE doc_id % 97 <> 0 GROUP BY doc_id)
+      SELECT doc_id, n_sh, n_hit,
+        CAST(n_hit AS DOUBLE) / n_sh AS frac,
+        CASE WHEN CAST(n_hit AS DOUBLE) / n_sh >= 0.8 THEN 'high'
+             WHEN CAST(n_hit AS DOUBLE) / n_sh >= 0.2 THEN 'partial'
+             ELSE 'clean' END AS severity
+      FROM c ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d15, d16)
+      d15, d16, d17)
 }

@@ -275,6 +275,24 @@ class DedupOpsSpec extends AnyFunSuite with graft.SparkTestSession {
     }
   }
 
+  test("d17: fraction-threshold severity buckets, hand-computed") {
+    import spark.implicits._
+    val fix = Seq(
+      (0L, "alpha beta gamma delta"),       // bench (0 % 97 == 0): 2 shingles
+      (1L, "alpha beta gamma delta"),       // 2/2 hit -> 1.0 -> high
+      (2L, "alpha beta gamma x y z"),       // 1/4 hit -> 0.25 -> partial
+      (3L, "p q r s"),                      // 0/2 -> clean
+      (4L, "one two")                       // < 3 tokens: not in the universe
+    ).toDF("doc_id", "text")
+    val got = DedupOps.contaminationSeverity(fix).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 2L, 1.0, "high")),
+      2L -> ((4L, 1L, 0.25, "partial")),
+      3L -> ((2L, 0L, 0.0, "clean"))), s"got=$got")
+  }
+
   test("canonical-map memo: one closure run feeds d06/d13/d16, reps recompute") {
     val dir = "/root/testdata/sf0.001"
     val a = DedupOps.canonicalMapFor(spark, dir, "d06_dedup_resolve")
