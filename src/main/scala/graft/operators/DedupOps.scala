@@ -1288,6 +1288,11 @@ object DedupOps {
     val hits = corp.select(col("doc_id"), explode(col("shArr")).as("sh"))
       .join(broadcastIfUnder(benchSh, nBenchSh, broadcastLimit), Seq("sh"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    // materialize BEFORE releasing: an early unpersist would mean the
+    // cache filled by the contract counts never serves the actual
+    // execution (r10 ADVICE) — and eagerness lets BOTH caches go,
+    // including arr, so a long-lived session (RepeatCheck's double
+    // sweep) accumulates nothing from this gate
     val out = corp
       .select(col("doc_id"), size(col("shArr")).cast("bigint").as("n_sh"))
       .join(hits, Seq("doc_id"), "left")
@@ -1299,7 +1304,8 @@ object DedupOps {
           .when(col("frac") >= thPart, "partial")
           .otherwise("clean"))
       .orderBy(col("doc_id"))
-    benchSh.unpersist(blocking = false)
+      .localCheckpoint(true)
+    Seq(arr, benchSh).foreach(_.unpersist(blocking = false))
     out
   }
 
