@@ -247,7 +247,7 @@ object AnnOps {
     * (vec_id, emb double[], norm), cached and materialized — assignment,
     * probes and scoring all reuse it.
     */
-  private def embTable(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def embTable(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x AS double))").as("emb"))
@@ -292,11 +292,22 @@ object AnnOps {
     * probe conventions, so a fix here reaches both by construction.
     */
   private def ivfCandidates(e: DataFrame, cents: DataFrame,
-                            nProbes: Int): DataFrame = {
-    val assign = CentroidAssign.nearest(e, cents)
+                            nProbes: Int): DataFrame =
+    broadcast(ivfProbes(e, cents, nProbes))
+      .join(CentroidAssign.nearest(e, cents), Seq("c_id"))
+      .filter(col("vec_id") >= 5)
+      .select(col("q_id"), col("vec_id"))
+
+  /** The per-query probe pick alone (q_id, c_id) — factored from
+    * [[ivfCandidates]] so the [[IndexStore]] query path can join it
+    * against a PERSISTED assignment table instead of recomputing the
+    * corpus assignment (the whole point of the at-rest index).
+    */
+  private[operators] def ivfProbes(e: DataFrame, cents: DataFrame,
+                                   nProbes: Int): DataFrame = {
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("psim").desc, col("c_id"))
-    val probes = e.filter(col("vec_id") < 5)
+    e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("norm").as("q_norm"))
       .crossJoin(broadcast(cents))
@@ -306,9 +317,6 @@ object AnnOps {
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nProbes)
       .select(col("q_id"), col("c_id"))
-    broadcast(probes).join(assign, Seq("c_id"))
-      .filter(col("vec_id") >= 5)
-      .select(col("q_id"), col("vec_id"))
   }
 
   /** Deterministic-structure Lloyd (k-means) refinement for the IVF
@@ -665,34 +673,68 @@ object AnnOps {
     */
   private def ivfPqAdcScored(e: DataFrame, kCells: Int,
                              nProbes: Int): DataFrame = {
-    val cents = e.filter(col("vec_id") < kCells)
+    val cents = seededCents(e, kCells)
+    val cand = ivfCandidates(e, cents, nProbes)
+    val subs = subvectors(e)
+    val cb = seededCodebook(subs)
+    val enc = pqEncode(subs.filter(col("vec_id") >= 5), cb)
+      .select(col("vec_id"), col("s"), col("cs"))
+    adcScore(cand, enc, querySubs(subs))
+  }
+
+  // ---- factored IVF-PQ building blocks, shared verbatim with the
+  // [[IndexStore]] persisted-index build + query paths (a11's parity
+  // contract: the at-rest index must hold exactly what this in-memory
+  // chain computes).
+
+  /** a03/a06/a07 seeded-centroid convention: `vec_id < kCells`. */
+  private[operators] def seededCents(e: DataFrame, kCells: Int): DataFrame =
+    e.filter(col("vec_id") < kCells)
       .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
         col("norm").as("c_norm"))
-    val cand = ivfCandidates(e, cents, nProbes)
-    val subs = e
-      .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("s"),
+
+  /** The 8×8-dim subvector explode of an (vec_id, emb) frame. */
+  private[operators] def subvectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("s"),
         col("emb"))
       .select(col("vec_id"), col("s"),
         expr("slice(emb, s * 8 + 1, 8)").as("xs"))
-    val cb = subs.filter(col("vec_id") < 16)
+
+  /** a06's seeded codebook: subvectors of `vec_id < 16` as the 16 codes. */
+  private[operators] def seededCodebook(subs: DataFrame): DataFrame =
+    subs.filter(col("vec_id") < 16)
       .select(col("vec_id").as("j"), col("s"), col("xs").as("cs"))
-    val enc = subs.filter(col("vec_id") >= 5)
-      .join(broadcast(cb), Seq("s"))
+
+  /** PQ-encode each (vec_id, s, xs) row against broadcast codebook `cb`:
+    * argmin L2, ties to the smallest code j. Keeps BOTH the code id `j`
+    * (what an at-rest index stores — the 64×-compression story) and the
+    * decoded centroid `cs` (what ADC consumes directly).
+    */
+  private[operators] def pqEncode(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), Seq("s"))
       .withColumn("d2",
         vecDot(col("xs"), col("xs")) - lit(2) * vecDot(col("xs"), col("cs"))
           + vecDot(col("cs"), col("cs")))
       .withColumn("rn", row_number().over(Window
         .partitionBy(col("vec_id"), col("s")).orderBy(col("d2"), col("j"))))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("s"), col("cs"))
-    val qsubs = subs.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("s"), col("j"), col("cs"))
+
+  /** Query-side subvectors (vec_id < 5, the gate query convention). */
+  private[operators] def querySubs(subs: DataFrame): DataFrame =
+    subs.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("s"), col("xs").as("qs"))
+
+  /** ADC over candidates: Σ_s qs·cs per (q_id, vec_id), ROUND 6 (the a06
+    * float convention) before any rank window.
+    */
+  private[operators] def adcScore(cand: DataFrame, enc: DataFrame,
+                                  qsubs: DataFrame): DataFrame =
     cand.join(enc, Seq("vec_id"))
       .join(broadcast(qsubs), Seq("q_id", "s"))
       .withColumn("term", vecDot(col("qs"), col("cs")))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(round(sum(col("term")), 6).as("adc"))
-  }
 
   /** IVF-PQ with the standard REFINE step — the production retrieval
     * quality path (r9 VERDICT item 4): ADC ranks the probed candidates,
@@ -720,7 +762,18 @@ object AnnOps {
                       nProbes: Int = 4, topK: Int = 10,
                       refineFactor: Int = 8): DataFrame = {
     val e = embTable(s, dir)
-    val scored = ivfPqAdcScored(e, kCells, nProbes)
+    val out = refineAdcShortlist(ivfPqAdcScored(e, kCells, nProbes), e,
+      topK, refineFactor)
+    e.unpersist(blocking = false)
+    out
+  }
+
+  /** The refine back half shared with the [[IndexStore]] query path:
+    * top `refineFactor × topK` ADC candidates per query point-fetch their
+    * full-precision vectors from `e` for an exact-cosine re-rank.
+    */
+  private[operators] def refineAdcShortlist(scored: DataFrame, e: DataFrame,
+      topK: Int, refineFactor: Int): DataFrame = {
     val wAdc = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").desc, col("vec_id"))
     val shortlist = scored.withColumn("rn", row_number().over(wAdc))
@@ -731,7 +784,7 @@ object AnnOps {
         col("norm").as("q_norm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    val out = shortlist.join(e, Seq("vec_id"))
+    shortlist.join(e, Seq("vec_id"))
       .join(broadcast(q), Seq("q_id"))
       .withColumn("cos", round(
         vecDot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm")), 6))
@@ -740,8 +793,6 @@ object AnnOps {
       .select(col("q_id"), col("vec_id"), col("rank"), col("cos"))
       .orderBy(col("q_id"), col("rank"))
       .localCheckpoint(true)
-    e.unpersist(blocking = false)
-    out
   }
 
   val a07 = QueryDef(

@@ -1079,6 +1079,42 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** [[dropCommonLines]] as a REWRITE stage for the curation pipeline:
+    * returns the input frame with `text` replaced by the kept lines
+    * re-joined in position order (and `n_chars` recomputed when present);
+    * all other columns pass through. Docs the line model skips
+    * (blank/whitespace) pass through unchanged. Same scale shapes as the
+    * gate; the only addition is one doc-keyed join back onto the input.
+    */
+  private[graft] def dropCommonLinesRewrite(d: DataFrame, minDocs: Int = 4,
+      lineTok: Int = 3): DataFrame = {
+    val lines = TextOps.docLines(d, lineTok)
+    val common = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("line"), lit(1L).as("isb"))
+    val rebuilt = lines.join(common, Seq("line"), "left")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(when(col("isb").isNull, struct(col("pos"), col("line"))))
+        .as("kept"))
+      .select(col("doc_id"),
+        expr("concat_ws(' ', transform(array_sort(kept), x -> x.line))")
+          .as("__newtext"))
+    rewriteText(d, rebuilt)
+  }
+
+  /** Replace `text` (and `n_chars` when present) from a (doc_id,
+    * __newtext) frame — the shared tail of the rewrite stages.
+    */
+  private def rewriteText(d: DataFrame, rebuilt: DataFrame): DataFrame = {
+    val joined = d.join(rebuilt, Seq("doc_id"), "left")
+      .withColumn("text", coalesce(col("__newtext"), col("text")))
+      .drop("__newtext")
+    if (d.columns.contains("n_chars"))
+      joined.withColumn("n_chars", length(col("text")))
+    else joined
+  }
+
   val d12 = QueryDef(
     "d12_line_boilerplate",
     "cross-doc boilerplate-line removal (>=4-doc lines dropped, text rebuilt)",
@@ -1182,6 +1218,39 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** [[removeDupSpans]] as a REWRITE stage for the curation pipeline:
+    * the input frame with non-canonical duplicated-span tokens removed
+    * from `text` (`n_chars` recomputed when present), other columns
+    * untouched. Same plan shapes as the d15 gate plus one doc-keyed join.
+    */
+  private[graft] def removeDupSpansRewrite(d: DataFrame,
+      winTok: Int = 8): DataFrame = {
+    val toks = d.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(trim(col("text")), graft.Tok.Ws).as("arr"))
+    val tl = toks.select(col("doc_id"), posexplode(col("arr")).as(Seq("p", "w")))
+    val occ = toks.filter(size(col("arr")) >= winTok)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(arr) - $winTok),
+            i -> md5(cast(concat_ws(' ', slice(arr, i + 1, $winTok)) as binary)))"""))
+        .as(Seq("s", "h")))
+    val dupCanon = occ.groupBy(col("h"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("s"))).as("cn"))
+      .filter(col("c") >= 2)
+      .select(col("h"), col("cn"))
+    val removed = occ.join(dupCanon, Seq("h"))
+      .filter(col("doc_id") =!= col("cn.doc_id") || col("s") =!= col("cn.s"))
+      .select(col("doc_id"), explode(expr(s"sequence(s, s + ${winTok - 1})")).as("p"))
+      .distinct()
+    val rebuilt = tl.join(removed.withColumn("rm", lit(1L)), Seq("doc_id", "p"), "left")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(when(col("rm").isNull, struct(col("p"), col("w")))).as("kept"))
+      .select(col("doc_id"),
+        expr("concat_ws(' ', transform(array_sort(kept), x -> x.w))")
+          .as("__newtext"))
+    rewriteText(d, rebuilt)
+  }
+
   val d15 = QueryDef(
     "d15_dup_span_removal",
     "exact-substring dedup rewrite: non-canonical dup 8-token spans removed",
@@ -1206,6 +1275,134 @@ object DedupOps {
                    LEFT JOIN cn ON cn.h = o.h AND cn.cdoc = o.doc_id
                      AND cn.cs = o.s
                    WHERE cn.h IS NULL) y),
+      fl AS (SELECT tl.doc_id, tl.p, tl.w, rm.p IS NOT NULL AS isrm
+             FROM tl LEFT JOIN rm ON rm.doc_id = tl.doc_id AND rm.p = tl.p)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN isrm THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN isrm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        md5(COALESCE(string_agg(w, ' ' ORDER BY p) FILTER (WHERE NOT isrm),
+          '')) AS kept_md5
+      FROM fl GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- d18
+  /** MAXIMAL-span exact-substring dedup — the Lee et al. 2021 semantics
+    * at ≥ `winTok`-token matches, without a suffix array (r10 VERDICT
+    * "What's missing" #1). [[removeDupSpans]] (d15) elects a canonical
+    * occurrence PER 8-TOKEN WINDOW, so a long duplicated passage whose
+    * windows take their minima in different documents keeps interleaved
+    * fragments — the passage can survive intact NOWHERE. Here the unit of
+    * election is the maximal span:
+    *
+    *   1. duplicated windows (corpus-wide count ≥ 2, d15's rule — within-
+    *      doc repeats dedup too) are CHAINED per document: consecutive
+    *      dup-window starts with gap ≤ winTok (overlapping or exactly
+    *      adjacent coverage) join one run; a run covers [s0, smax+winTok−1];
+    *   2. runs are grouped by their CONTENT (md5 of the covered tokens)
+    *      and each group elects ONE canonical occurrence — the
+    *      lexicographically smallest (doc_id, s0);
+    *   3. only non-canonical runs are removed (whole, contiguous); the
+    *      rebuild is d15's.
+    *
+    * Invariant d15 lacks (pinned in DedupOpsSpec): every removed span has
+    * a surviving byte-identical copy — its group's canonical run is kept
+    * WHOLE. Residual approximation, documented: a stretch of text that is
+    * a maximal run in one doc but sits INSIDE a longer maximal run
+    * elsewhere forms a separate content group, so up to one extra copy
+    * per distinct containing-span content can survive (conservative —
+    * never removes the last copy, unlike per-window fragmentation which
+    * can destroy all intact copies).
+    *
+    * Scale shape: everything linear or match-bounded — dup detection is
+    * d09/d15's one window-hash shuffle; chaining is a lag + running-sum
+    * window PARTITIONED BY doc (bounded by the doc's dup-window count,
+    * never corpus-global); span content hashes come from one doc-keyed
+    * join back to the token arrays (the same arrays the rebuild needs);
+    * the canonical election is one aggregation keyed by span content
+    * (match-bounded); removal positions explode per removed span and
+    * collapse with the t28 per-(doc,pos) DISTINCT idiom. Nothing
+    * pairwise, nothing corpus-global.
+    */
+  private[graft] def removeDupSpansMaximal(d: DataFrame,
+      winTok: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val toks = d.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(trim(col("text")), graft.Tok.Ws).as("arr"))
+    val tl = toks.select(col("doc_id"), posexplode(col("arr")).as(Seq("p", "w")))
+    val occ = toks.filter(size(col("arr")) >= winTok)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(arr) - $winTok),
+            i -> md5(cast(concat_ws(' ', slice(arr, i + 1, $winTok)) as binary)))"""))
+        .as(Seq("s", "h")))
+    val dup = occ.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+    val docc = occ.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("s"))
+    val wOrd = w.partitionBy(col("doc_id")).orderBy(col("s"))
+    val runs = docc
+      .withColumn("prev", lag(col("s"), 1).over(wOrd))
+      .withColumn("brk",
+        when(col("prev").isNull || col("s") - col("prev") > winTok, 1L)
+          .otherwise(0L))
+      .withColumn("rid", sum(col("brk")).over(wOrd))
+    val spans = runs.groupBy(col("doc_id"), col("rid"))
+      .agg(min(col("s")).as("s0"),
+        (max(col("s")) + lit(winTok - 1)).as("e0"))
+    val spanKeyed = spans.join(toks, Seq("doc_id"))
+      .select(col("doc_id"), col("s0"), col("e0"),
+        md5(expr("concat_ws(' ', slice(arr, s0 + 1, e0 - s0 + 1))")
+          .cast("binary")).as("key"))
+    val canon = spanKeyed.groupBy(col("key"))
+      .agg(min(struct(col("doc_id"), col("s0"))).as("cn"))
+    val removed = spanKeyed.join(canon, Seq("key"))
+      .filter(col("doc_id") =!= col("cn.doc_id") || col("s0") =!= col("cn.s0"))
+      .select(col("doc_id"), explode(expr("sequence(s0, e0)")).as("p"))
+      .distinct()
+    tl.join(removed.withColumn("rm", lit(1L)), Seq("doc_id", "p"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_tokens"),
+        sum(when(col("rm").isNull, 1L).otherwise(0L)).cast("bigint").as("n_kept"),
+        collect_list(when(col("rm").isNull, struct(col("p"), col("w")))).as("kept"))
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+        (col("n_tokens") - col("n_kept")).as("n_removed"),
+        md5(expr("concat_ws(' ', transform(array_sort(kept), x -> x.w))")
+          .cast("binary")).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d18 = QueryDef(
+    "d18_max_span_dedup",
+    "maximal-span exact-substring dedup: chained dup windows, span-level canonicals",
+    (s, dir) => removeDupSpansMaximal(Tables.load(s, dir, "documents")),
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+              FROM documents WHERE length(trim(text)) > 0),
+      tl AS (SELECT doc_id, i AS p, arr[CAST(i AS INT) + 1] AS w
+             FROM (SELECT doc_id, arr, unnest(range(len(arr))) AS i FROM t) x),
+      occ AS (SELECT doc_id, i AS s,
+                md5(array_to_string(arr[CAST(i AS INT) + 1 : CAST(i AS INT) + 8], ' ')) AS h
+              FROM (SELECT doc_id, arr, unnest(range(len(arr) - 7)) AS i
+                    FROM t WHERE len(arr) >= 8) x),
+      dup AS (SELECT h FROM occ GROUP BY h HAVING COUNT(*) >= 2),
+      docc AS (SELECT o.doc_id, o.s FROM occ o SEMI JOIN dup d ON d.h = o.h),
+      runs AS (SELECT doc_id, s,
+                 SUM(CASE WHEN prev IS NULL OR s - prev > 8 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s) AS rid
+               FROM (SELECT doc_id, s,
+                       lag(s) OVER (PARTITION BY doc_id ORDER BY s) AS prev
+                     FROM docc) y),
+      spans AS (SELECT doc_id, rid, MIN(s) AS s0, MAX(s) + 7 AS e0
+                FROM runs GROUP BY 1, 2),
+      spk AS (SELECT sp.doc_id, sp.s0, sp.e0,
+                md5(array_to_string(
+                  t.arr[CAST(sp.s0 AS INT) + 1 : CAST(sp.e0 AS INT) + 1], ' ')) AS key
+              FROM spans sp JOIN t USING (doc_id)),
+      cn AS (SELECT key, doc_id AS cdoc, s0 AS cs FROM (
+               SELECT key, doc_id, s0,
+                      row_number() OVER (PARTITION BY key ORDER BY doc_id, s0) AS rn
+               FROM spk) z WHERE rn = 1),
+      rm AS (SELECT DISTINCT doc_id, s0 + j AS p
+             FROM (SELECT k.doc_id, k.s0, unnest(range(k.e0 - k.s0 + 1)) AS j
+                   FROM spk k JOIN cn ON cn.key = k.key
+                   WHERE k.doc_id <> cn.cdoc OR k.s0 <> cn.cs) y),
       fl AS (SELECT tl.doc_id, tl.p, tl.w, rm.p IS NOT NULL AS isrm
              FROM tl LEFT JOIN rm ON rm.doc_id = tl.doc_id AND rm.p = tl.p)
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
@@ -1328,5 +1525,5 @@ object DedupOps {
 
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d15, d16, d17)
+      d15, d16, d17, d18)
 }

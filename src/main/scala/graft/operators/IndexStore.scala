@@ -1,0 +1,332 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** AT-REST retrieval indexes — the gap between "operators" and "a
+  * retrieval system" (r10 VERDICT item 1): every a-family gate used to
+  * rebuild its signatures/codebooks/inverted index per invocation, but at
+  * 100 TB the index is built ONCE, persisted as parquet, and
+  * queried/updated many times. This module persists the two retrieval
+  * families' state under a `Tables`-style parquet layout and serves
+  * queries from it through the SAME scoring cores as the in-memory paths
+  * (value-identical by construction — the tables are exact integers /
+  * round-tripped doubles, and parity is pinned in IndexStoreSpec plus the
+  * a10/a11 oracle gates, which reuse a08/a07's DuckDB SQL verbatim).
+  *
+  * Layout (all splittable parquet — at cluster scale each table is a
+  * plain distributed scan with pushdown):
+  *
+  *   <loc>/bm25/
+  *     postings.parquet  (doc_id, w, tf)   — the inverted index
+  *     doclen.parquet    (doc_id, dl)      — length normalization table
+  *     dfreq.parquet     (w, df)           — document frequencies
+  *     stats.parquet     one row: (n_docs, sum_tf, sig_count, sig_sum,
+  *                       sig_chars) — corpus scalars + source fingerprint
+  *   <loc>/ivfpq/
+  *     centroids.parquet (c_id, c_emb, c_norm) — the coarse quantizer
+  *     codebooks.parquet (j, s, cs)             — 16 codes × 8 subspaces
+  *     assign.parquet    (vec_id, c_id)         — cell assignment
+  *     codes.parquet     (vec_id, s, j)         — 4-BIT CODES ONLY for the
+  *                       corpus side: the 64×-compression story — full
+  *                       vectors never enter the search path; ADC decodes
+  *                       through the broadcast codebook at query time
+  *     stats.parquet     one row: (n_vecs, sig_count, sig_sum, sig_dims)
+  *
+  * Incremental maintenance (the st09 static-corpus-index discipline
+  * applied to retrieval state): [[appendBm25]] computes postings/doclen
+  * for the NEW batch only and appends them, then MERGES dfreq and the
+  * scalar stats (never a corpus re-tokenization); [[appendIvfPq]]
+  * assigns + encodes new vectors against the FROZEN quantizer/codebooks
+  * and appends — the standard production contract (re-train is a rebuild,
+  * not an append). Batch doc/vec ids must be disjoint from the indexed
+  * ones (upstream dedup's admit contract, d08/st09). Equivalence to a
+  * full rebuild is pinned in IndexStoreSpec.
+  *
+  * Freshness guard: gates must stay correct when the driver regenerates
+  * testdata, so [[ensureBm25]]/[[ensureIvfPq]] fingerprint the source
+  * table with cheap EXACT-integer aggregates (count + key sum + size sum
+  * — no float sums, which are summation-order dependent) and rebuild on
+  * mismatch. A production deployment would version by snapshot id instead
+  * of scanning; the scan guard is the skip-if-exists checkpoint
+  * discipline (reference: data_integration.ipynb c23:33-48) made safe for
+  * a regenerating corpus.
+  */
+object IndexStore {
+  /** Root for gate/dev index state; override with SPARK_GRAFT_INDEX_DIR.
+    * Under target/ so `sbt clean` clears it and nothing escapes the repo.
+    */
+  def indexRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR", "target/graft-index")
+
+  private def slug(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Serializes concurrent ensure-builds in one JVM (parallel test suites
+    * / notebook threads racing on the same loc); cross-process callers
+    * coordinate externally, as with any shared parquet dataset.
+    */
+  private val buildLock = new Object
+
+  // -------------------------------------------------------------- shared
+
+  private def fs(s: SparkSession, path: String) =
+    new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def exists(s: SparkSession, path: String): Boolean =
+    fs(s, path).exists(new Path(path))
+
+  /** Atomic-ish table replacement for merge-maintained tables (dfreq,
+    * stats): the merged frame is fully WRITTEN to a sibling tmp dir
+    * (which executes the read of the old table) before the old dir is
+    * swapped out — overwriting a path that the plan is still reading
+    * would corrupt the source mid-scan.
+    */
+  private def replaceParquet(s: SparkSession, df: DataFrame, path: String): Unit = {
+    val f = fs(s, path)
+    val tmp = new Path(path + ".tmp")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    f.delete(new Path(path), true)
+    if (!f.rename(tmp, new Path(path)))
+      throw new java.io.IOException(s"rename ${tmp} -> $path failed")
+  }
+
+  // ---------------------------------------------------------------- BM25
+
+  /** Exact-integer fingerprint of a documents frame. */
+  private def docSig(docs: DataFrame): (Long, Long, Long) = {
+    val charCol =
+      if (docs.columns.contains("n_chars")) col("n_chars").cast("long")
+      else length(col("text")).cast("long")
+    val r = docs.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
+      coalesce(sum(charCol), lit(0L))).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** Build the BM25 index tables from `docs` and persist them at `loc`
+    * (overwrite). ONE corpus tokenization — the same
+    * [[RetrievalOps.buildIndexTables]] the in-memory gates score from.
+    */
+  def buildBm25(docs: DataFrame, loc: String): Unit = {
+    val s = docs.sparkSession
+    val (sc, ss, sch) = docSig(docs)
+    val ix = RetrievalOps.buildIndexTables(docs) // tf cached by the build
+    ix.tf.write.mode("overwrite").parquet(s"$loc/postings.parquet")
+    ix.dl.write.mode("overwrite").parquet(s"$loc/doclen.parquet")
+    ix.dfreq.write.mode("overwrite").parquet(s"$loc/dfreq.parquet")
+    statsDf(s, ix.nDocs, ix.sumTf, sc, ss, sch)
+      .write.mode("overwrite").parquet(s"$loc/stats.parquet")
+    ix.tf.unpersist(blocking = false)
+  }
+
+  private def statsDf(s: SparkSession, nDocs: Long, sumTf: Long,
+      sigCount: Long, sigSum: Long, sigChars: Long): DataFrame = {
+    import s.implicits._
+    Seq((nDocs, sumTf, sigCount, sigSum, sigChars))
+      .toDF("n_docs", "sum_tf", "sig_count", "sig_sum", "sig_chars")
+  }
+
+  /** The persisted tables as a [[RetrievalOps.Bm25Index]] — every query
+    * core ([[RetrievalOps.hotTermsTopK]], [[RetrievalOps.docQueryTopK]],
+    * [[RetrievalOps.scoreProbes]]) runs on it unchanged. Tables are LAZY
+    * parquet scans (pushdown applies); a caller issuing many queries in
+    * one session may cache `tf` itself.
+    */
+  private[operators] def loadBm25(s: SparkSession, loc: String): RetrievalOps.Bm25Index = {
+    val st = s.read.parquet(s"$loc/stats.parquet").head()
+    val nDocs = st.getAs[Long]("n_docs")
+    val sumTf = st.getAs[Long]("sum_tf")
+    RetrievalOps.Bm25Index(
+      tf = s.read.parquet(s"$loc/postings.parquet"),
+      dl = s.read.parquet(s"$loc/doclen.parquet"),
+      dfreq = s.read.parquet(s"$loc/dfreq.parquet"),
+      nDocs = nDocs,
+      avgdl = if (nDocs == 0) 1.0 else sumTf.toDouble / nDocs,
+      sumTf = sumTf)
+  }
+
+  /** BM25 top-k from the PERSISTED index (hot-terms probe derivation —
+    * a08's semantics, served build-once/query-many).
+    */
+  def bm25TopKHotTermsFromIndex(s: SparkSession, loc: String, nProbes: Int = 3,
+      k: Int = 10): DataFrame =
+    RetrievalOps.hotTermsTopK(loadBm25(s, loc), nProbes, k)
+
+  /** Build-if-absent (fingerprint-guarded) BM25 index for the `documents`
+    * table of a testdata dir; returns the index location. The guard makes
+    * repeated gate invocations query-only — the build cost is paid once
+    * per distinct corpus state.
+    */
+  def ensureBm25(s: SparkSession, dir: String,
+      root: String = indexRoot): String = buildLock.synchronized {
+    val loc = s"$root/${slug(dir)}/bm25"
+    val docs = Tables.load(s, dir, "documents")
+    val fresh = exists(s, s"$loc/stats.parquet") && {
+      val st = s.read.parquet(s"$loc/stats.parquet").head()
+      val (sc, ss, sch) = docSig(docs)
+      st.getAs[Long]("sig_count") == sc && st.getAs[Long]("sig_sum") == ss &&
+        st.getAs[Long]("sig_chars") == sch
+    }
+    if (!fresh) buildBm25(docs, loc)
+    loc
+  }
+
+  /** Incrementally admit a new document batch into a persisted BM25
+    * index: batch postings/doclen APPEND (no corpus re-tokenization),
+    * dfreq and the corpus scalars MERGE. `newDocs` ids must be disjoint
+    * from the indexed corpus (the d08/st09 admit contract — violating it
+    * double-counts the shared ids in every table).
+    */
+  def appendBm25(newDocs: DataFrame, loc: String): Unit = {
+    val s = newDocs.sparkSession
+    val (sc, ss, sch) = docSig(newDocs)
+    val nix = RetrievalOps.buildIndexTables(newDocs) // batch-sized, cached
+    nix.tf.write.mode("append").parquet(s"$loc/postings.parquet")
+    nix.dl.write.mode("append").parquet(s"$loc/doclen.parquet")
+    val merged = s.read.parquet(s"$loc/dfreq.parquet")
+      .unionByName(nix.dfreq)
+      .groupBy(col("w")).agg(sum(col("df")).cast("long").as("df"))
+    replaceParquet(s, merged, s"$loc/dfreq.parquet")
+    val st = s.read.parquet(s"$loc/stats.parquet").head()
+    replaceParquet(s, statsDf(s,
+      st.getAs[Long]("n_docs") + nix.nDocs,
+      st.getAs[Long]("sum_tf") + nix.sumTf,
+      st.getAs[Long]("sig_count") + sc,
+      st.getAs[Long]("sig_sum") + ss,
+      st.getAs[Long]("sig_chars") + sch), s"$loc/stats.parquet")
+    nix.tf.unpersist(blocking = false)
+  }
+
+  /** a08's query served from the at-rest index: build-if-absent, then
+    * query-only — the bench's min-of-N reps therefore read the QUERY
+    * latency (build is paid on the first rep / by an earlier gate), which
+    * is exactly the build-vs-query separation the at-rest design is for.
+    * Same DuckDB oracle as a08 verbatim: the persisted tables hold the
+    * identical integer relations, so scores are bit-equal.
+    */
+  val a10 = QueryDef(
+    "a10_bm25_index_query",
+    "BM25 top-10 served from the persisted parquet inverted index",
+    (s, dir) => bm25TopKHotTermsFromIndex(s, ensureBm25(s, dir)),
+    RetrievalOps.a08.oracle)
+
+  // -------------------------------------------------------------- IVF-PQ
+
+  /** Exact-integer fingerprint of an (vec_id, emb) frame. */
+  private def embSig(e: DataFrame): (Long, Long, Long) = {
+    val r = e.agg(count(lit(1)), coalesce(sum(col("vec_id")), lit(0L)),
+      coalesce(sum(size(col("emb")).cast("long")), lit(0L))).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** Build + persist the seeded IVF-PQ index (a06/a07 conventions: 16
+    * seeded cells = `vec_id < 16`, 16 seeded codes per 8-dim subspace,
+    * corpus side = `vec_id >= 5`) from a normed embedding frame
+    * `(vec_id, emb, norm)`. Doubles round-trip parquet bit-exactly, so
+    * query-from-index is value-identical to the in-memory chain.
+    */
+  def buildIvfPq(e: DataFrame, loc: String): Unit = {
+    val (sc, ss, sd) = embSig(e)
+    val cents = AnnOps.seededCents(e, 16)
+    cents.write.mode("overwrite").parquet(s"$loc/centroids.parquet")
+    val subs = AnnOps.subvectors(e)
+    val cb = AnnOps.seededCodebook(subs)
+    cb.write.mode("overwrite").parquet(s"$loc/codebooks.parquet")
+    CentroidAssign.nearest(e, cents)
+      .write.mode("overwrite").parquet(s"$loc/assign.parquet")
+    AnnOps.pqEncode(subs.filter(col("vec_id") >= 5), cb)
+      .select(col("vec_id"), col("s"), col("j"))
+      .write.mode("overwrite").parquet(s"$loc/codes.parquet")
+    val s = e.sparkSession
+    import s.implicits._
+    Seq((sc, ss, sd)).toDF("sig_count", "sig_sum", "sig_dims")
+      .write.mode("overwrite").parquet(s"$loc/stats.parquet")
+  }
+
+  /** Build-if-absent (fingerprint-guarded) IVF-PQ index for a testdata
+    * dir's `embeddings` table; returns the location.
+    */
+  def ensureIvfPq(s: SparkSession, dir: String,
+      root: String = indexRoot): String = buildLock.synchronized {
+    val loc = s"$root/${slug(dir)}/ivfpq"
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("emb"))
+    val fresh = exists(s, s"$loc/stats.parquet") && {
+      val st = s.read.parquet(s"$loc/stats.parquet").head()
+      val (sc, ss, sd) = embSig(e)
+      st.getAs[Long]("sig_count") == sc && st.getAs[Long]("sig_sum") == ss &&
+        st.getAs[Long]("sig_dims") == sd
+    }
+    if (!fresh)
+      buildIvfPq(e.withColumn("norm",
+        sqrt(graft.functions.GraftFunctions.vecDot(col("emb"), col("emb")))), loc)
+    loc
+  }
+
+  /** IVF-PQ + refine served from the at-rest index: cell assignment and
+    * 4-bit codes come from parquet (the search path touches NO
+    * full-precision corpus vector until the refine point-fetch); queries
+    * and the refine fetch read the embeddings table. Same chain as
+    * [[AnnOps.ivfPqKnnRefined]] with the persisted tables substituted —
+    * probes/ADC/refine are the SAME factored cores.
+    */
+  def ivfPqRefinedFromIndex(s: SparkSession, dir: String, loc: String,
+      nProbes: Int = 4, topK: Int = 10, refineFactor: Int = 8): DataFrame = {
+    val e = AnnOps.embTable(s, dir) // cached: probes + qsubs + refine fetch
+    val cents = s.read.parquet(s"$loc/centroids.parquet")
+    val assign = s.read.parquet(s"$loc/assign.parquet")
+    val cand = broadcast(AnnOps.ivfProbes(e, cents, nProbes))
+      .join(assign, Seq("c_id"))
+      .filter(col("vec_id") >= 5)
+      .select(col("q_id"), col("vec_id"))
+    val cb = s.read.parquet(s"$loc/codebooks.parquet")
+    val enc = s.read.parquet(s"$loc/codes.parquet")
+      .join(broadcast(cb), Seq("s", "j"))
+      .select(col("vec_id"), col("s"), col("cs"))
+    val qsubs = AnnOps.querySubs(
+      AnnOps.subvectors(e.filter(col("vec_id") < 5)))
+    val out = AnnOps.refineAdcShortlist(
+      AnnOps.adcScore(cand, enc, qsubs), e, topK, refineFactor)
+    e.unpersist(blocking = false)
+    out
+  }
+
+  /** Incrementally admit new vectors into a persisted IVF-PQ index:
+    * assign + PQ-encode the batch against the FROZEN centroids/codebooks
+    * (the production contract — re-training the quantizer is a rebuild)
+    * and append. Batch vec_ids must be disjoint from the indexed corpus
+    * and ≥ the seed/query id range (a real corpus appends fresh ids).
+    */
+  def appendIvfPq(newE: DataFrame, loc: String): Unit = {
+    val s = newE.sparkSession
+    val (sc, ss, sd) = embSig(newE)
+    val cents = s.read.parquet(s"$loc/centroids.parquet")
+    val cb = s.read.parquet(s"$loc/codebooks.parquet")
+    CentroidAssign.nearest(newE, cents)
+      .write.mode("append").parquet(s"$loc/assign.parquet")
+    AnnOps.pqEncode(AnnOps.subvectors(newE), cb)
+      .select(col("vec_id"), col("s"), col("j"))
+      .write.mode("append").parquet(s"$loc/codes.parquet")
+    val st = s.read.parquet(s"$loc/stats.parquet").head()
+    import s.implicits._
+    replaceParquet(s, Seq((st.getAs[Long]("sig_count") + sc,
+      st.getAs[Long]("sig_sum") + ss, st.getAs[Long]("sig_dims") + sd))
+      .toDF("sig_count", "sig_sum", "sig_dims"), s"$loc/stats.parquet")
+  }
+
+  /** a07's search served from the at-rest index — same oracle verbatim
+    * (the persisted assignment/codes are the deterministic seeded chain's
+    * output, round-tripped exactly).
+    */
+  val a11 = QueryDef(
+    "a11_ivfpq_index_query",
+    "IVF-PQ + exact refine served from the persisted cell/code tables",
+    (s, dir) => ivfPqRefinedFromIndex(s, dir, ensureIvfPq(s, dir)),
+    AnnOps.a07.oracle)
+
+  val all: Seq[QueryDef] = Seq(a10, a11)
+}

@@ -49,20 +49,33 @@ object RetrievalOps {
     */
   def bm25TopKHotTerms(docsDf: DataFrame, nProbes: Int = 3,
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    withIndex(docsDf) { ix =>
-      val probe = ix.dfreq.orderBy(col("df").desc, col("w")).limit(nProbes)
-        .select(col("w"))
-      rankTopK(scoreProbes(ix, probe, k1, b), k)
-    }
+    withIndex(docsDf)(hotTermsTopK(_, nProbes, k, k1, b))
+
+  /** Hot-terms search core over ANY index source (the freshly-built
+    * in-memory tables or the [[IndexStore]]-persisted parquet ones — the
+    * parity the a10 gate pins): probe derivation + scoring + top-k from
+    * the SAME definitions as the gate path.
+    */
+  private[operators] def hotTermsTopK(ix: Bm25Index, nProbes: Int = 3,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val probe = ix.dfreq.orderBy(col("df").desc, col("w")).limit(nProbes)
+      .select(col("w"))
+    rankTopK(scoreProbes(ix, probe, k1, b), k)
+  }
 
   /** The corpus inverted index and its model tables — ONE shared build
     * for every BM25 entry point. `tf` is cached; [[withIndex]] releases
     * it after the caller's (eagerly materialized) result.
     */
-  private final case class Bm25Index(tf: DataFrame, dl: DataFrame,
-      dfreq: DataFrame, nDocs: Long, avgdl: Double)
+  private[operators] final case class Bm25Index(tf: DataFrame, dl: DataFrame,
+      dfreq: DataFrame, nDocs: Long, avgdl: Double, sumTf: Long)
 
-  private def withIndex(docsDf: DataFrame)(f: Bm25Index => DataFrame): DataFrame = {
+  /** The index-table build from a documents frame — the ONE tokenization
+    * + (doc, term) aggregation every BM25 consumer derives from; exposed
+    * so [[IndexStore]] persists exactly what the in-memory path scores.
+    * `tf` comes back CACHED (caller releases).
+    */
+  private[operators] def buildIndexTables(docsDf: DataFrame): Bm25Index = {
     val tf = docsDf.filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"),
         explode(split(trim(col("text")), graft.Tok.Ws)).as("w"))
@@ -76,17 +89,22 @@ object RetrievalOps {
     // empty/all-blank corpus: SUM is null and nDocs 0 — every downstream
     // frame is empty anyway, so any finite avgdl yields the correct
     // empty result instead of an NPE / division by zero
-    val avgdl =
-      if (nDocs == 0) 1.0 else scal.getLong(0).toDouble / nDocs
-    val out = f(Bm25Index(tf, dl, dfreq, nDocs, avgdl))
-    tf.unpersist(blocking = false)
+    val sumTf = if (nDocs == 0) 0L else scal.getLong(0)
+    val avgdl = if (nDocs == 0) 1.0 else sumTf.toDouble / nDocs
+    Bm25Index(tf, dl, dfreq, nDocs, avgdl, sumTf)
+  }
+
+  private def withIndex(docsDf: DataFrame)(f: Bm25Index => DataFrame): DataFrame = {
+    val ix = buildIndexTables(docsDf)
+    val out = f(ix)
+    ix.tf.unpersist(blocking = false)
     out
   }
 
   /** The per-(posting, probe-term) BM25 contribution — THE scoring
     * formula, written once: idf(df) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)).
     */
-  private def termScore(ix: Bm25Index, k1: Double, b: Double): Column = {
+  private[operators] def termScore(ix: Bm25Index, k1: Double, b: Double): Column = {
     val idf = log(lit(1.0) + (lit(ix.nDocs.toDouble) - col("df") + lit(0.5))
       / (col("df") + lit(0.5)))
     idf * col("tf").cast("double") * lit(k1 + 1.0) /
@@ -97,7 +115,7 @@ object RetrievalOps {
   /** Score a broadcast term-probe frame against the index: one posting
     * equi-join, per-row ROUND-6 term score.
     */
-  private def scoreProbes(ix: Bm25Index, probe: DataFrame, k1: Double,
+  private[operators] def scoreProbes(ix: Bm25Index, probe: DataFrame, k1: Double,
       b: Double): DataFrame =
     ix.tf
       .join(broadcast(probe), Seq("w"))
@@ -106,7 +124,7 @@ object RetrievalOps {
       .select(col("w").as("q"), col("doc_id"), col("tf"),
         round(termScore(ix, k1, b), 6).as("score"))
 
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("q")).orderBy(col("score").desc, col("doc_id"))))
@@ -154,22 +172,28 @@ object RetrievalOps {
     */
   private[graft] def bm25DocQuery(docsDf: DataFrame, nQuery: Int = 5,
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    withIndex(docsDf) { ix =>
-      val qterms = ix.tf.filter(col("doc_id") < nQuery)
-        .select(col("doc_id").as("q_id"), col("w"))
-      ix.tf.filter(col("doc_id") >= nQuery)
-        .join(broadcast(qterms), Seq("w"))
-        .join(ix.dfreq, Seq("w"))
-        .join(ix.dl, Seq("doc_id"))
-        .groupBy(col("q_id"), col("doc_id"))
-        .agg(round(sum(termScore(ix, k1, b)), 6).as("score"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))))
-        .filter(col("rk") <= k)
-        .select(col("q_id"), col("doc_id"), col("rk").cast("bigint").as("rk"),
-          col("score"))
-        .localCheckpoint(true)
-    }
+    withIndex(docsDf)(docQueryTopK(_, nQuery, k, k1, b))
+
+  /** Doc-as-query search core over ANY index source (fresh tables or the
+    * [[IndexStore]] parquet ones — a09 consumes the persisted form).
+    */
+  private[operators] def docQueryTopK(ix: Bm25Index, nQuery: Int = 5,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qterms = ix.tf.filter(col("doc_id") < nQuery)
+      .select(col("doc_id").as("q_id"), col("w"))
+    ix.tf.filter(col("doc_id") >= nQuery)
+      .join(broadcast(qterms), Seq("w"))
+      .join(ix.dfreq, Seq("w"))
+      .join(ix.dl, Seq("doc_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(round(sum(termScore(ix, k1, b)), 6).as("score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("doc_id"), col("rk").cast("bigint").as("rk"),
+        col("score"))
+      .localCheckpoint(true)
+  }
 
   /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):
     * fuse the dense cosine top-k (a01's exact ranking over the embedding
@@ -192,7 +216,14 @@ object RetrievalOps {
       s"fused k=$k exceeds per-modality depth=$depth: the tail would fuse truncated lists")
     val dense = AnnOps.denseTopK(s, dir, depth)
       .select(col("q_id"), col("vec_id").as("doc_id"), col("rank").as("rd"))
-    val sparse = bm25DocQuery(Tables.load(s, dir, "documents"), k = depth)
+    // the sparse ranking comes FROM THE PERSISTED INDEX (r10 VERDICT item
+    // 1: build-once/query-many): ensureBm25 builds the parquet postings/
+    // model tables on first use (fingerprint-guarded skip-if-exists
+    // thereafter) and docQueryTopK scores from them — value-identical to
+    // the in-memory build (same integer tables), pinned in IndexStoreSpec
+    val sparse = RetrievalOps.docQueryTopK(
+        IndexStore.loadBm25(s, IndexStore.ensureBm25(s, dir)), nQuery = 5,
+        k = depth)
       .select(col("q_id"), col("doc_id"), col("rk").as("rs"))
     dense.join(sparse, Seq("q_id", "doc_id"), "full_outer")
       .select(col("q_id"), col("doc_id"),

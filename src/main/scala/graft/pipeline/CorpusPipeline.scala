@@ -27,12 +27,29 @@ import graft.operators.{DedupOps, TextOps}
   * until the final projection.
   */
 object CorpusPipeline {
+  /** The optional flags (all off by default — [[curate]] is the gated t12
+    * chain exactly) wire the round-10 curation operators in as stages:
+    *  - `dropBoilerplateMinDocs` (d12): lines in ≥ n distinct docs are
+    *    removed from every doc, text REWRITTEN, before near-dup;
+    *  - `removeSpanTok` (d15): non-canonical duplicated n-token spans
+    *    removed, text REWRITTEN, after boilerplate;
+    *  - `softWeights` (d16): REPLACES the hard near-dup drop — every doc
+    *    survives with weight 1/|near-dup cluster| in a `weight` column;
+    *  - `dsirTarget`/`dsirFrac` (t27 scale twin): after decontamination,
+    *    keep the DSIR Gumbel-top-frac importance resample toward the
+    *    target source (percentile-cutoff form — no corpus-global window).
+    */
   final case class Config(
       benchMod: Long = 97L,       // doc_id % benchMod == 0 → held-out eval
       minWords: Long = 5L,
       maxTopWordFrac: Double = 0.2, // Gopher-style repetition cut
       nearDupMinJac: Double = 0.3,
-      contamMinShared: Long = 2L)   // shared 3-shingles with one bench doc
+      contamMinShared: Long = 2L,   // shared 3-shingles with one bench doc
+      dropBoilerplateMinDocs: Option[Int] = None, // d12 rewrite stage
+      removeSpanTok: Option[Int] = None,          // d15 rewrite stage
+      softWeights: Boolean = false,               // d16 instead of hard drop
+      dsirTarget: Option[String] = None,          // t27-twin selection stage
+      dsirFrac: Double = 0.2)
 
   val default: Config = Config()
 
@@ -179,6 +196,67 @@ object CorpusPipeline {
     // decontaminate materialized its id set; no lazy consumer reads these
     Seq(arrEd, ed).foreach(_.unpersist(blocking = false))
     withSplit(TextOps.withLangPred(cleaned))
+  }
+
+  /** d16 as a stage: every near-dup cluster member survives with a
+    * `weight` column = 1/|cluster| (clusters from the LSH pair set's
+    * transitive closure over the SHARED shingle arrays). The soft
+    * alternative to [[nearDedup]]'s hard drop.
+    */
+  def softWeightStage(docs: DataFrame, cfg: Config,
+      sharedArrs: DataFrame): DataFrame = {
+    val pairs = DedupOps
+      .minhashLshPairsFromArrs(sharedArrs, cfg.nearDupMinJac)
+      .select(col("doc_a"), col("doc_b"))
+    val comp = graft.graph.GraphAlgs.connectedComponents(
+      graft.graph.GraphAlgs.buildGraph(pairs, "doc_a", "doc_b"))
+    val cm = docs.select(col("doc_id")).distinct()
+      .join(comp, col("doc_id") === col("node_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canonical_id"))
+    docs.join(DedupOps.softDedupWeights(cm)
+      .select(col("doc_id"), col("weight")), Seq("doc_id"))
+  }
+
+  /** The FULL configurable chain. With every flag off this is [[curate]]
+    * verbatim (CorpusPipelineSpec pins the equality); each enabled flag
+    * splices its stage in at the position documented on [[Config]]:
+    *
+    *   quality → exact dedup → [d12 boilerplate rewrite] → [d15 span
+    *   rewrite] → (d16 soft weights | near-dup drop) → decontam →
+    *   [t27 DSIR selection] → lang-ID → split
+    *
+    * The shingle build is shared by near-dup/soft-weights and decontam as
+    * in [[curate]] — but it must happen AFTER the rewrite stages (their
+    * text edits change the shingle sets, which is the point).
+    */
+  def curateConfigured(docs: DataFrame, cfg: Config = default): DataFrame = {
+    val corpus = corpusSlice(docs, cfg)
+    val bench = benchmarkSlice(docs, cfg)
+    val ed0 = exactDedup(qualityFilter(corpus, cfg))
+    val rw1 = cfg.dropBoilerplateMinDocs
+      .map(DedupOps.dropCommonLinesRewrite(ed0, _)).getOrElse(ed0)
+    val rw2 = cfg.removeSpanTok
+      .map(DedupOps.removeDupSpansRewrite(rw1, _)).getOrElse(rw1)
+    val ed = rw2.cache()
+    val arrEd = DedupOps.shingleArrs(ed).cache()
+    arrEd.count()
+    val nd =
+      (if (cfg.softWeights) softWeightStage(ed, cfg, arrEd)
+       else nearDedup(ed, cfg, sharedArrs = Some(arrEd)))
+        .localCheckpoint(true)
+    val shEd = arrEd.select(col("doc_id"), explode(col("shArr")).as("sh"))
+    val cleaned = decontaminate(nd, bench, cfg, docShingles = Some(shEd))
+    Seq(arrEd, ed).foreach(_.unpersist(blocking = false))
+    val selected = cfg.dsirTarget match {
+      case Some(tgt) =>
+        val keep = TextOps
+          .dsirResampleScalable(cleaned, tgt, cfg.dsirFrac)
+          .select(col("doc_id"))
+        cleaned.join(keep, Seq("doc_id"), "left_semi")
+      case None => cleaned
+    }
+    withSplit(TextOps.withLangPred(selected))
   }
 
   /** Corpus summary per (split, pred_lang) — the t12 gate shape. */

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The at-rest retrieval index contracts:
+  *   - query-from-index ≡ the in-memory build (BM25 and IVF-PQ);
+  *   - incremental append ≡ full rebuild (table-level AND query-level);
+  *   - the ensure fingerprint skips fresh indexes and rebuilds stale ones.
+  */
+class IndexStoreSpec extends AnyFunSuite with graft.SparkTestSession {
+
+  private def tmpLoc(tag: String): String = {
+    val d = java.nio.file.Files
+      .createTempDirectory(s"graft-ixspec-$tag").toString
+    d
+  }
+
+  private val docsFixture = Seq(
+    (0L, "alpha beta gamma alpha"),
+    (1L, "alpha delta"),
+    (2L, "beta beta epsilon gamma"),
+    (3L, "alpha delta"),
+    (4L, "   "),
+    (5L, "gamma gamma alpha zeta"),
+    (6L, "delta epsilon zeta alpha beta"),
+    (7L, "zeta alpha"),
+    (8L, "beta gamma delta"),
+    (9L, "epsilon alpha alpha"))
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def collectSorted(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("BM25: query-from-index is value-identical to the in-memory build") {
+    val loc = tmpLoc("bm25")
+    val docs = docsDf(docsFixture)
+    IndexStore.buildBm25(docs, loc)
+    val fromIx = IndexStore.bm25TopKHotTermsFromIndex(spark, loc, nProbes = 3)
+    val inMem = RetrievalOps.bm25TopKHotTerms(docs, nProbes = 3)
+    assert(collectSorted(fromIx) == collectSorted(inMem))
+    // the doc-as-query core too (what a09's hybrid consumes)
+    val dq = RetrievalOps.docQueryTopK(IndexStore.loadBm25(spark, loc),
+      nQuery = 3, k = 5)
+    val dqMem = RetrievalOps.bm25DocQuery(docs, nQuery = 3, k = 5)
+    assert(collectSorted(dq) == collectSorted(dqMem))
+  }
+
+  test("BM25: append(batch) over build(old) equals build(full) — tables and queries") {
+    val locInc = tmpLoc("bm25-inc")
+    val locFull = tmpLoc("bm25-full")
+    val (oldRows, newRows) = docsFixture.partition(_._1 < 6L)
+    IndexStore.buildBm25(docsDf(oldRows), locInc)
+    IndexStore.appendBm25(docsDf(newRows), locInc)
+    IndexStore.buildBm25(docsDf(docsFixture), locFull)
+    for (t <- Seq("postings.parquet", "doclen.parquet", "dfreq.parquet",
+        "stats.parquet"))
+      assert(collectSorted(spark.read.parquet(s"$locInc/$t")) ==
+        collectSorted(spark.read.parquet(s"$locFull/$t")), s"table $t diverged")
+    assert(collectSorted(
+        IndexStore.bm25TopKHotTermsFromIndex(spark, locInc)) ==
+      collectSorted(IndexStore.bm25TopKHotTermsFromIndex(spark, locFull)))
+  }
+
+  test("BM25: ensure skips a fresh index and rebuilds a stale one") {
+    val root = tmpLoc("bm25-ensure")
+    val dir = "/root/testdata/sf0.001"
+    val loc = IndexStore.ensureBm25(spark, dir, root)
+    def successMtime: Long = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$loc/stats.parquet/_SUCCESS")).toMillis
+    val t1 = successMtime
+    Thread.sleep(1100)
+    assert(IndexStore.ensureBm25(spark, dir, root) == loc)
+    assert(successMtime == t1, "fresh index was rebuilt")
+    // desync the index from the source (append a doc the dir lacks):
+    // the fingerprint must force a rebuild back to source state
+    IndexStore.appendBm25(docsDf(Seq((999999L, "qqq www"))), loc)
+    IndexStore.ensureBm25(spark, dir, root)
+    assert(successMtime > t1, "stale index was not rebuilt")
+    val st = spark.read.parquet(s"$loc/stats.parquet").head()
+    val nd = graft.Tables.load(spark, dir, "documents").count()
+    assert(st.getAs[Long]("sig_count") == nd)
+  }
+
+  test("IVF-PQ: query-from-index is value-identical to the in-memory chain") {
+    val dir = "/root/testdata/sf0.001"
+    val loc = tmpLoc("ivfpq")
+    val e = AnnOps.embTable(spark, dir)
+    IndexStore.buildIvfPq(e, loc)
+    e.unpersist(blocking = false)
+    val fromIx = IndexStore.ivfPqRefinedFromIndex(spark, dir, loc)
+    val inMem = AnnOps.ivfPqKnnRefined(spark, dir)
+    assert(collectSorted(fromIx) == collectSorted(inMem))
+  }
+
+  test("IVF-PQ: append over frozen quantizer equals full seeded build") {
+    val dir = "/root/testdata/sf0.001"
+    val locInc = tmpLoc("ivfpq-inc")
+    val locFull = tmpLoc("ivfpq-full")
+    val e = AnnOps.embTable(spark, dir)
+    // initial corpus holds the seed/query id range; the batch is the tail
+    IndexStore.buildIvfPq(e.filter(org.apache.spark.sql.functions
+      .col("vec_id") < 60), locInc)
+    IndexStore.appendIvfPq(e.filter(org.apache.spark.sql.functions
+      .col("vec_id") >= 60), locInc)
+    IndexStore.buildIvfPq(e, locFull)
+    e.unpersist(blocking = false)
+    for (t <- Seq("centroids.parquet", "codebooks.parquet", "assign.parquet",
+        "codes.parquet", "stats.parquet"))
+      assert(collectSorted(spark.read.parquet(s"$locInc/$t")) ==
+        collectSorted(spark.read.parquet(s"$locFull/$t")), s"table $t diverged")
+    assert(collectSorted(
+        IndexStore.ivfPqRefinedFromIndex(spark, dir, locInc)) ==
+      collectSorted(IndexStore.ivfPqRefinedFromIndex(spark, dir, locFull)))
+  }
+}

@@ -159,4 +159,77 @@ class LineOpsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert((got.getLong(1), got.getLong(2), got.getLong(3)) == ((9L, 5L, 4L)))
     assert(got.getString(4) == md5hex("a b c d z"))
   }
+
+  /** The r10-verdict fixture: a 3-window duplicated passage whose first
+    * window ALSO occurs alone in an earlier doc. Per-window canonicals
+    * (d15) scatter across docs and fragment every copy — the passage
+    * survives intact NOWHERE; span-level canonicals (d18) keep exactly
+    * one contiguous copy.
+    */
+  private def spanFixture = {
+    import spark.implicits._
+    // winTok=3; passage P = "a b c d e" (windows "a b c","b c d","c d e")
+    Seq(
+      (0L, "a b c"),              // P's first window alone
+      (1L, "u1 a b c d e u2"),    // P at positions 1..5
+      (2L, "v1 v2 a b c d e")     // P at positions 2..6
+    ).toDF("doc_id", "text")
+  }
+
+  test("d18: a multi-window duplicated passage keeps ONE contiguous canonical copy") {
+    val got = DedupOps.removeDupSpansMaximal(spanFixture, winTok = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // doc 0's lone window is its own maximal span (distinct content group)
+    assert(got(0L) == ((3L, 3L, 0L, md5hex("a b c"))))
+    // doc 1 is the canonical occurrence of the full passage: kept WHOLE
+    assert(got(1L) == ((7L, 7L, 0L, md5hex("u1 a b c d e u2"))))
+    // doc 2's copy removed contiguously — nothing of P survives there
+    assert(got(2L) == ((7L, 2L, 5L, md5hex("v1 v2"))))
+  }
+
+  test("d18 vs d15: the per-window rule demonstrably fragments the same fixture") {
+    val d15 = DedupOps.removeDupSpans(spanFixture, winTok = 3).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    // d15: "a b c"'s canonical is doc 0, so doc 1 loses positions 1-3 but
+    // keeps the tail of its OWN canonical windows — the kept text is the
+    // fragment "u1 d e u2" and the full passage survives intact in NO doc
+    assert(d15(1L) == md5hex("u1 d e u2"))
+    assert(d15(0L) == md5hex("a b c")) // the only intact text is 1 window
+  }
+
+  test("d18: removal is span-contiguous and never destroys the last copy") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // three identical 2-window passages: one canonical survives whole
+    val d = Seq(
+      (0L, "p q a b c d r"),
+      (1L, "a b c d s t"),
+      (2L, "w a b c d")
+    ).toDF("doc_id", "text")
+    // winTok=3: dup windows "a b c","b c d" chain to the span "a b c d"
+    // in every doc; canonical = (0, 2) — smallest (doc_id, s0)
+    val got = DedupOps.removeDupSpansMaximal(d, winTok = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getString(4)))).toMap
+    assert(got(0L) == ((7L, md5hex("p q a b c d r"))))
+    assert(got(1L) == ((2L, md5hex("s t"))))
+    assert(got(2L) == ((1L, md5hex("w"))))
+    // deterministic under repartition (span election is a total order)
+    val base = DedupOps.removeDupSpansMaximal(d, winTok = 3).collect().toSeq
+    val rep = DedupOps.removeDupSpansMaximal(d.repartition(5), winTok = 3)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(rep == base)
+  }
+
+  test("d18: within-doc repeats chain and dedup against the doc's first copy") {
+    import spark.implicits._
+    // winTok=3, gap > winTok between the two copies so they form two runs
+    val d = Seq((0L, "a b c d x1 x2 x3 x4 a b c d")).toDF("doc_id", "text")
+    // dup windows "a b c"@{0,8}, "b c d"@{1,9}: runs [0,3] and [8,11],
+    // identical content -> canonical (0,0); the second copy is removed
+    val got = DedupOps.removeDupSpansMaximal(d, winTok = 3).collect().head
+    assert((got.getLong(1), got.getLong(2), got.getLong(3)) == ((12L, 8L, 4L)))
+    assert(got.getString(4) == md5hex("a b c d x1 x2 x3 x4"))
+  }
 }

@@ -77,4 +77,78 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkTestSession {
       .select("doc_id", "pred_lang", "split").collect()
     assert(out.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
+
+  test("curateConfigured with every flag off IS curate") {
+    val sf = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val a = CorpusPipeline.curate(sf).collect().map(_.toString).sorted.toSeq
+    val b = CorpusPipeline.curateConfigured(sf).collect()
+      .map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("optional stages splice at their documented positions (manual composition parity)") {
+    import graft.operators.{DedupOps, TextOps}
+    import org.apache.spark.sql.functions.{col, explode}
+    val sf = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val cfg = CorpusPipeline.Config(
+      dropBoilerplateMinDocs = Some(4), removeSpanTok = Some(8),
+      softWeights = true, dsirTarget = Some("src0"), dsirFrac = 0.2)
+    val got = CorpusPipeline.curateConfigured(sf, cfg)
+    // manual composition through the same public stage functions, spliced
+    // exactly where Config documents them
+    val corpus = CorpusPipeline.corpusSlice(sf, cfg)
+    val bench = CorpusPipeline.benchmarkSlice(sf, cfg)
+    val rw = DedupOps.removeDupSpansRewrite(
+      DedupOps.dropCommonLinesRewrite(
+        CorpusPipeline.exactDedup(CorpusPipeline.qualityFilter(corpus, cfg)), 4), 8)
+    val arr = DedupOps.shingleArrs(rw).cache()
+    arr.count()
+    val nd = CorpusPipeline.softWeightStage(rw, cfg, arr)
+    val clean = CorpusPipeline.decontaminate(nd, bench, cfg,
+      docShingles = Some(arr.select(col("doc_id"), explode(col("shArr")).as("sh"))))
+    arr.unpersist(blocking = false)
+    val sel = clean.join(
+      TextOps.dsirResampleScalable(clean, "src0", 0.2).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val expect = CorpusPipeline.withSplit(TextOps.withLangPred(sel))
+    val gotRows = got.collect().map(_.toString).sorted.toSeq
+    assert(gotRows == expect.collect().map(_.toString).sorted.toSeq)
+    // behavioral pins: soft weights keep every decontam survivor with a
+    // (0,1] weight; DSIR then keeps ceil(0.2·N) of the SCORABLE (non-
+    // blank — a span rewrite can empty a fully-duplicated doc) survivors
+    val nClean = clean.filter(
+      org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.trim(col("text"))) > 0).count()
+    val gotDf = CorpusPipeline.curateConfigured(sf, cfg)
+    assert(gotDf.columns.contains("weight"))
+    val n = gotDf.count()
+    assert(n == math.ceil(0.2 * nClean).toLong,
+      s"DSIR kept $n of $nClean")
+    assert(gotDf.select(col("weight")).collect()
+      .forall(r => r.getDouble(0) > 0.0 && r.getDouble(0) <= 1.0))
+  }
+
+  test("d12/d15 rewrite stages actually rewrite: boilerplate and dup spans leave the text") {
+    import graft.operators.DedupOps
+    // four docs share the injected pseudo-line model's boilerplate; the
+    // rewrite drops any >=4-doc line from every text
+    val sf = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val rw = DedupOps.dropCommonLinesRewrite(sf, 4)
+    // same universe, byte size can only shrink or hold per doc
+    assert(rw.count() == sf.count())
+    val joined = sf.select($"doc_id", $"n_chars".as("before"))
+      .join(rw.select($"doc_id", $"n_chars".as("after")), Seq("doc_id"))
+    assert(joined.filter($"after" > $"before").count() == 0)
+    // span removal: the d15 gate's n_kept per doc equals the rewrite's
+    // token count per doc (the two forms agree on WHAT survives)
+    val gate = DedupOps.removeDupSpans(sf, winTok = 8)
+      .select($"doc_id", $"n_kept")
+    val rw2 = DedupOps.removeDupSpansRewrite(sf, winTok = 8)
+      .select($"doc_id",
+        org.apache.spark.sql.functions.expr(
+          "size(filter(split(text, '[ ]+'), x -> x <> ''))").cast("long")
+          .as("toks"))
+    val both = gate.join(rw2, Seq("doc_id"))
+    assert(both.filter($"n_kept" =!= $"toks").count() == 0)
+  }
 }
