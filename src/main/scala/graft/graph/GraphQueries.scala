@@ -344,8 +344,12 @@ object GraphQueries {
     val base = o.join(li, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey"), col("l_suppkey"), col("l_quantity"),
         col("l_shipdate"))
-    // only a g07-carrying producer run reads the joined base twice
-    val baseCached = if (withG07) base.cache() else base
+    // the g07 side re-derives the join rather than caching it: the two
+    // consumers need different narrow projections of a join whose output
+    // is corpus-sized, and materializing it to storage costs more than
+    // the second pushdown-pruned scan (measured: caching grew the
+    // producer gate +1.5 s at sf0.1 while the re-scan adds ~0.3 s)
+    val baseCached = base
     // multiplicity-weighted (cust, supp) edges — `edges(filtered = true)`
     // with the pre-dedup pair count as integer weight; its key set IS the
     // unweighted distinct edge set (the groupBy replaces the distinct)
@@ -765,9 +769,83 @@ object GraphQueries {
     * scaladoc for the orientation bound. Factored out so GraphAlgsSpec
     * can pin the semantics on hand-counted fixtures.
     */
-  private[graph] def triangleStats(projIn: DataFrame): DataFrame = {
-    val proj = projIn.cache()
-    proj.count() // orientation + wedge + closing joins all reuse it
+  /** Edge-row bound under which the triangle computation replays
+    * driver-side — the [[GraphAlgs.DefaultDriverGraphLimit]] hybrid
+    * discipline applied to g07: at gate scale the distributed chain is
+    * ~7 job dispatches over a few hundred rows, pure fixed overhead; the
+    * driver replay is one limit-probe job. The replay is output-identical
+    * by construction (same orientation keys, same wedge enumeration,
+    * same one-division lcc — parity pinned in GraphAlgsSpec with the
+    * distributed path forced).
+    */
+  private[graph] val DriverTriangleEdgeLimit = 200000
+
+  private[graph] def triangleStats(projIn: DataFrame,
+      driverLimit: Int = DriverTriangleEdgeLimit): DataFrame = {
+    val proj = projIn
+      .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+      .cache()
+    // limit-probe doubles as the collect when the graph is small: at or
+    // under the bound the probe IS the full edge list
+    val probe = proj.limit(driverLimit + 1).collect()
+    if (probe.length <= driverLimit) {
+      proj.unpersist(blocking = false)
+      val s = projIn.sparkSession
+      import s.implicits._
+      driverTriangles(probe.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+        .toDF("node", "degree", "triangles", "lcc")
+    } else {
+      proj.count() // orientation + wedge + closing joins all reuse it
+      // materialize (node-bounded rows), then release the projection
+      // cache — a long-lived session (RepeatCheck) must not accumulate
+      // one cached edge set per invocation
+      val out = triangleFrame(proj).localCheckpoint(true)
+      proj.unpersist(blocking = false)
+      out
+    }
+  }
+
+  /** Exact driver replay of [[triangleFrame]]: same (degree, id)
+    * orientation, wedges enumerated from the lowest-key corner, closing
+    * edge membership, per-corner counts, one-division lcc — every value
+    * an exact integer until the final division, so the replay is
+    * bit-identical to the distributed chain.
+    */
+  private def driverTriangles(edges: Seq[(Long, Long)])
+      : Seq[(Long, Long, Long, Double)] = {
+    val deg = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    edges.foreach { case (u, v) => deg(u) += 1L; deg(v) += 1L }
+    def key(n: Long): (Long, Long) = (deg(n), n)
+    val oriented = edges.map { case (u, v) =>
+      if (Ordering[(Long, Long)].lteq(key(u), key(v))) (u, v) else (v, u) }
+    val edgeSet = oriented.toSet
+    val tri = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    oriented.groupBy(_._1).foreach { case (src, es) =>
+      val dsts = es.map(_._2).sortBy(key)
+      var i = 0
+      while (i < dsts.length) {
+        var j = i + 1
+        while (j < dsts.length) {
+          if (edgeSet.contains((dsts(i), dsts(j)))) {
+            tri(src) += 1L; tri(dsts(i)) += 1L; tri(dsts(j)) += 1L
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    deg.keys.toSeq.sorted.map { n =>
+      val d = deg(n)
+      val t = tri(n)
+      (n, d, t, if (d >= 2) 2.0 * t / (d * (d - 1)) else 0.0)
+    }
+  }
+
+  /** The lazy (node, degree, triangles, lcc) plan over a CACHED
+    * projection — the shared core of [[triangleStats]] and
+    * [[triangleStatsRows]].
+    */
+  private def triangleFrame(proj: DataFrame): DataFrame = {
     val deg = proj.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val dj = proj
@@ -785,19 +863,13 @@ object GraphQueries {
       .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
     val tc = tri.select(explode(array(col("x"), col("y"), col("z"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("t"))
-    // materialize (node-bounded rows), then release the projection cache
-    // — a long-lived session (RepeatCheck, the g07 memo producer) must
-    // not accumulate one cached edge set per invocation
-    val out = deg.join(tc, Seq("n"), "left")
+    deg.join(tc, Seq("n"), "left")
       .select(col("n").as("node"), col("d").as("degree"),
         coalesce(col("t"), lit(0L)).as("triangles"),
         when(col("d") >= 2,
           (lit(2.0) * coalesce(col("t"), lit(0L))) / (col("d") * (col("d") - 1)))
           .otherwise(lit(0.0)).as("lcc"))
       .orderBy(col("node"))
-      .localCheckpoint(true)
-    proj.unpersist(blocking = false)
-    out
   }
 
   val g07 = QueryDef(

@@ -74,6 +74,34 @@ object BpeBench {
       println(f"[bpebench] TRAIN 50k-word synthetic vocab k=$k%5d: incremental $incSec%.2f s, naive $naiveSec%.2f s")
     }
 
+    // ---- tokenize-at-scale (r10 VERDICT item 8): train a REAL-SIZE
+    // merge table (1k merges on the 50k-word vocabulary above) and apply
+    // bpe_encode over the WHOLE corpus end-to-end — run with
+    // SPARK_GRAFT_SF_DIR=/tmp/graft_sf1 for the 10x reading. Expression
+    // vs fold cross-asserted on the full token totals.
+    val big = BpeTrainer.trainLocalIncremental(
+      synthVocab.map { case (w, fq) => (w.clone, fq) }, 1024)
+    val corpusWords = docs.select(explode(regexp_extract_all(col("text"),
+      lit(BpeTrainer.preTokRe), lit(0))).as("w")).cache()
+    val nWords = corpusWords.count()
+    def timeApply(label: String,
+        f: => Long): Long = {
+      val t0 = System.nanoTime()
+      val n = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[bpebench] APPLY 1k-merge table $label: $sec%.2f s — " +
+        f"${nWords / sec}%.0f words/s, ${n / sec}%.0f tokens/s (sum toks=$n)")
+      n
+    }
+    val nExpr = timeApply("expression ",
+      BpeTrainer.encodeWords(corpusWords, big)
+        .agg(sum(size(col("toks")))).head().getLong(0))
+    val nFold = timeApply("regexp fold",
+      BpeTrainer.encodeWordsFold(corpusWords, big)
+        .agg(sum(size(col("toks")))).head().getLong(0))
+    assert(nExpr == nFold, s"1k-merge path divergence: $nExpr vs $nFold")
+    corpusWords.unpersist(blocking = false)
+
     val merges = mInc
     println(s"[bpebench] trained ${merges.length} merges")
     val words = docs.select(explode(regexp_extract_all(col("text"),

@@ -311,6 +311,25 @@ class GraphAlgsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(got(6L) == ((1L, 0L, 0.0)) && got(7L) == ((1L, 0L, 0.0)))
   }
 
+  test("triangleStats: driver replay is row-identical to the forced distributed path") {
+    import spark.implicits._
+    // fixture + a seeded random undirected graph (distinct u<v edges)
+    val fixture = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (6L, 7L))
+    val rnd = new scala.util.Random(0xD1CE)
+    val random = (0 until 300).map { _ =>
+      val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(40).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    for (edges <- Seq(fixture, random)) {
+      val proj = edges.toDF("u", "v")
+      val drv = GraphQueries.triangleStats(proj).collect().map(_.toString).toSeq
+      val dist = GraphQueries.triangleStats(proj, driverLimit = 0)
+        .collect().map(_.toString).toSeq
+      assert(drv == dist, s"path divergence on ${edges.length} edges")
+    }
+  }
+
   test("pageRank: star center outranks leaves") {
     val g = GraphAlgs.buildGraph(
       edgeDf(0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 4L), "src", "dst",
