@@ -29,6 +29,11 @@ object RepeatCheck {
       }
       val (sa, ra) = snap()
       val (sb, rb) = snap()
+      // drop gate-scoped caches between gates (the d01-convention caches
+      // are released by the bench harness in suite mode; this sweep is a
+      // long-lived session, so accumulated MEMORY_AND_DISK entries would
+      // otherwise degrade later gates under cache pressure — r10 ADVICE)
+      s.catalog.clearCache()
       if (sa == sb && ra == rb) println(s"REPEAT OK ${q.name}")
       else {
         bad += 1
