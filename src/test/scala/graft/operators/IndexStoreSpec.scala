@@ -96,6 +96,41 @@ class IndexStoreSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(collectSorted(fromIx) == collectSorted(inMem))
   }
 
+  test("BM25: streaming ingest maintains the index per micro-batch (st09 discipline)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    // the continuous-ingest shape verdict item 1 names: documents arrive
+    // as micro-batches, foreachBatch builds the index on the first batch
+    // and APPENDS every later one — the queryable state after the drain
+    // must equal a one-shot build over everything that arrived
+    val loc = tmpLoc("bm25-stream")
+    val src = java.nio.file.Files.createTempDirectory("graft-ixspec-src").toString
+    docsDf(docsFixture).repartition(4)
+      .write.mode("overwrite").parquet(s"$src/documents.parquet")
+    val schema = spark.read.parquet(s"$src/documents.parquet").schema
+    val chk = java.nio.file.Files.createTempDirectory("graft-ixspec-chk").toString
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/*documents*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (id == 0L) IndexStore.buildBm25(batch, loc)
+        else IndexStore.appendBm25(batch, loc)
+        ()
+      }
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val locFull = tmpLoc("bm25-stream-full")
+    IndexStore.buildBm25(docsDf(docsFixture), locFull)
+    for (t <- Seq("postings.parquet", "doclen.parquet", "dfreq.parquet",
+        "stats.parquet"))
+      assert(collectSorted(spark.read.parquet(s"$loc/$t")) ==
+        collectSorted(spark.read.parquet(s"$locFull/$t")), s"table $t diverged")
+    assert(collectSorted(IndexStore.bm25TopKHotTermsFromIndex(spark, loc)) ==
+      collectSorted(IndexStore.bm25TopKHotTermsFromIndex(spark, locFull)))
+  }
+
   test("IVF-PQ: append over frozen quantizer equals full seeded build") {
     val dir = "/root/testdata/sf0.001"
     val locInc = tmpLoc("ivfpq-inc")
