@@ -295,6 +295,65 @@ object IndexStore {
     out
   }
 
+  /** [[buildIvfPq]] with TRAINED model tables — the production shape
+    * beside the seeded gate convention: Lloyd centroids
+    * ([[AnnOps.kmeansCentroids]], cosine) for the coarse quantizer and
+    * per-subspace L2 Lloyd codebooks ([[AnnOps.pqCodebooks]]), then the
+    * same assign/encode/persist. The layout is IDENTICAL, so
+    * [[ivfPqRefinedFromIndex]] serves from either build unchanged.
+    * Trained float values are partition-summation-order dependent (the
+    * kmeansCentroids contract), so the pin is a RECALL floor plus
+    * structure (IndexStoreSpec), not a hash.
+    */
+  def buildIvfPqTrained(e: DataFrame, loc: String, k: Int = 16,
+      iters: Int = 2): Unit = {
+    val (sc, ss, sd) = embSig(e)
+    val cents = AnnOps.kmeansCentroids(e, k, iters).cache()
+    cents.count() // materialize: persist + assignment both read it
+    cents.write.mode("overwrite").parquet(s"$loc/centroids.parquet")
+    val subs = AnnOps.subvectors(e).cache()
+    subs.count() // codebook training + encode share one fill
+    val cb = AnnOps.pqCodebooks(subs, k).cache()
+    cb.count()
+    cb.write.mode("overwrite").parquet(s"$loc/codebooks.parquet")
+    CentroidAssign.nearest(e, cents)
+      .write.mode("overwrite").parquet(s"$loc/assign.parquet")
+    AnnOps.pqEncode(subs.filter(col("vec_id") >= 5), cb)
+      .select(col("vec_id"), col("s"), col("j"))
+      .write.mode("overwrite").parquet(s"$loc/codes.parquet")
+    val s = e.sparkSession
+    import s.implicits._
+    Seq((sc, ss, sd)).toDF("sig_count", "sig_sum", "sig_dims")
+      .write.mode("overwrite").parquet(s"$loc/stats.parquet")
+    Seq(cents, subs, cb).foreach(_.unpersist(blocking = false))
+  }
+
+  /** Compact the append-maintained BM25 tables: every [[appendBm25]]
+    * adds one file set to postings/doclen, and a long-running ingest
+    * accumulates thousands of small files — the standard lakehouse
+    * maintenance step. Values are untouched (IndexStoreSpec pins table
+    * equality); postings are re-clustered BY TERM so each posting list
+    * lands contiguously (the layout a term-probe scan wants: min/max
+    * file statistics then prune non-matching files), file counts sized
+    * at ~128 MB targets.
+    */
+  def compactBm25(s: SparkSession, loc: String): Unit = {
+    def targetFiles(path: String): Int = {
+      val f = fs(s, path)
+      val bytes = f.getContentSummary(new Path(path)).getLength
+      math.max(1, (bytes / (128L << 20)).toInt +
+        (if (bytes % (128L << 20) > 0) 1 else 0))
+    }
+    val posts = s.read.parquet(s"$loc/postings.parquet")
+      .repartition(targetFiles(s"$loc/postings.parquet"), col("w"))
+      .sortWithinPartitions(col("w"), col("doc_id"))
+    replaceParquet(s, posts, s"$loc/postings.parquet")
+    val dl = s.read.parquet(s"$loc/doclen.parquet")
+      .repartition(targetFiles(s"$loc/doclen.parquet"), col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+    replaceParquet(s, dl, s"$loc/doclen.parquet")
+  }
+
   /** Incrementally admit new vectors into a persisted IVF-PQ index:
     * assign + PQ-encode the batch against the FROZEN centroids/codebooks
     * (the production contract — re-training the quantizer is a rebuild)

@@ -131,6 +131,44 @@ class IndexStoreSpec extends AnyFunSuite with graft.SparkTestSession {
       collectSorted(IndexStore.bm25TopKHotTermsFromIndex(spark, locFull)))
   }
 
+  test("BM25: compaction shrinks the appended file count and changes no values") {
+    import org.apache.spark.sql.functions.col
+    val loc = tmpLoc("bm25-compact")
+    val groups = docsFixture.grouped(3).toSeq
+    IndexStore.buildBm25(docsDf(groups.head), loc)
+    groups.tail.foreach(g => IndexStore.appendBm25(docsDf(g), loc))
+    def nFiles(t: String): Int = new java.io.File(s"$loc/$t").listFiles
+      .count(_.getName.startsWith("part-"))
+    val before = collectSorted(spark.read.parquet(s"$loc/postings.parquet"))
+    val beforeQ = collectSorted(IndexStore.bm25TopKHotTermsFromIndex(spark, loc))
+    val filesBefore = nFiles("postings.parquet")
+    assert(filesBefore > 1, "appends should have accumulated files")
+    IndexStore.compactBm25(spark, loc)
+    assert(nFiles("postings.parquet") < filesBefore)
+    assert(collectSorted(spark.read.parquet(s"$loc/postings.parquet")) == before)
+    assert(collectSorted(IndexStore.bm25TopKHotTermsFromIndex(spark, loc)) == beforeQ)
+  }
+
+  test("IVF-PQ: trained-quantizer build serves from the same layout, recall-floored") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val loc = tmpLoc("ivfpq-trained")
+    val e = AnnOps.embTable(spark, dir)
+    val nVecs = e.count()
+    IndexStore.buildIvfPqTrained(e, loc)
+    e.unpersist(blocking = false)
+    // same layout, trained tables: full structure present
+    assert(spark.read.parquet(s"$loc/centroids.parquet").count() == 16L)
+    assert(spark.read.parquet(s"$loc/codes.parquet").count() == 8L * (nVecs - 5))
+    // the a03/a07 retrieval-quality convention vs the exact baseline
+    val got = IndexStore.ivfPqRefinedFromIndex(spark, dir, loc)
+      .select(col("q_id"), col("vec_id"))
+    val rec = AnnOps.recallAtK(got, AnnOps.denseTopK(spark, dir)).collect()
+      .map(_.getAs[Double]("recall"))
+    assert(rec.sum / rec.length >= 0.7, s"mean recall ${rec.sum / rec.length}")
+    assert(rec.min >= 0.5, s"min recall ${rec.min}")
+  }
+
   test("IVF-PQ: append over frozen quantizer equals full seeded build") {
     val dir = "/root/testdata/sf0.001"
     val locInc = tmpLoc("ivfpq-inc")
