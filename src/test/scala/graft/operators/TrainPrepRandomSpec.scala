@@ -185,4 +185,68 @@ class TrainPrepRandomSpec extends AnyFunSuite with graft.SparkTestSession {
       assert(got == expected, s"trial $trial")
     }
   }
+
+  test("d18 parity: maximal-span removal matches a plain-Scala reference on random corpora") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for (trial <- 1 to 3) {
+      val vocabPool = Vector("a", "b", "c")
+      val docsLocal = (1L to 30L).map { id =>
+        val n = rnd.nextInt(16)
+        (id, Seq.fill(n)(vocabPool(rnd.nextInt(vocabPool.size))).mkString(" "))
+      }
+      val win = 8
+      // reference: dup windows (corpus-wide count >= 2) chain per doc at
+      // gap <= win into maximal runs; runs group by their covered-token
+      // CONTENT; canonical = smallest (doc_id, s0); non-canonical runs
+      // remove whole
+      val toks = docsLocal.filter(_._2.trim.nonEmpty)
+        .map { case (id, t) => id -> t.trim.split("\\s+").toVector }
+      val occ = toks.flatMap { case (id, ws) =>
+        (0 to ws.size - win).map(s => (ws.slice(s, s + win).mkString(" "), id, s))
+      }
+      val dupContents = occ.groupBy(_._1).filter(_._2.size >= 2).keySet
+      val spans = toks.flatMap { case (id, ws) =>
+        val starts = occ.collect {
+          case (c, `id`, s) if dupContents(c) => s }.sorted
+        if (starts.isEmpty) Nil
+        else {
+          val runs = starts.tail.foldLeft(List(List(starts.head))) {
+            case (acc @ cur :: rest, s) =>
+              if (s - cur.head <= win) (s :: cur) :: rest
+              else List(s) :: acc
+            case (Nil, s) => List(List(s))
+          }
+          runs.map { r =>
+            val s0 = r.min; val e0 = r.max + win - 1
+            (id, s0, e0, ws.slice(s0, e0 + 1).mkString(" "))
+          }
+        }
+      }
+      val canonOf = spans.groupBy(_._4)
+        .map { case (c, ss) => c -> ss.map(x => (x._1, x._2)).min }
+      val removedPos: Set[(Long, Int)] = spans
+        .filter(sp => canonOf(sp._4) != ((sp._1, sp._2)))
+        .flatMap(sp => (sp._2 to sp._3).map(p => (sp._1, p))).toSet
+      // invariant d15 lacks: every kept canonical span is byte-intact
+      // (runs within a doc are position-disjoint by maximality)
+      spans.filter(sp => canonOf(sp._4) == ((sp._1, sp._2))).foreach { sp =>
+        assert((sp._2 to sp._3).forall(p => !removedPos((sp._1, p))),
+          s"trial $trial: canonical span of '${sp._4}' not intact")
+      }
+      val expected = toks.map { case (id, ws) =>
+        val kept = ws.zipWithIndex.collect {
+          case (w, p) if !removedPos((id, p)) => w }
+        id -> ((ws.size.toLong, kept.size.toLong, (ws.size - kept.size).toLong,
+          md5hex(kept.mkString(" "))))
+      }.toMap
+      val got = DedupOps
+        .removeDupSpansMaximal(docsLocal.toDF("doc_id", "text"), win)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
 }
