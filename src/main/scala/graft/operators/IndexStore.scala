@@ -284,13 +284,23 @@ object IndexStore {
       .filter(col("vec_id") >= 5)
       .select(col("q_id"), col("vec_id"))
     val cb = s.read.parquet(s"$loc/codebooks.parquet")
-    val enc = s.read.parquet(s"$loc/codes.parquet")
-      .join(broadcast(cb), Seq("s", "j"))
-      .select(col("vec_id"), col("s"), col("cs"))
+    // candidate restriction BEFORE the codebook decode: written the other
+    // way round (codes ⋈ cb first), every query would decode the WHOLE
+    // corpus's codes — without table statistics Catalyst keeps the join
+    // order as authored, so the author must order it. Decode work is then
+    // bounded by |cand| · 8 subspaces, never the corpus.
+    val candCodes = s.read.parquet(s"$loc/codes.parquet")
+      .join(cand, Seq("vec_id"))
     val qsubs = AnnOps.querySubs(
       AnnOps.subvectors(e.filter(col("vec_id") < 5)))
-    val out = AnnOps.refineAdcShortlist(
-      AnnOps.adcScore(cand, enc, qsubs), e, topK, refineFactor)
+    val scored = candCodes
+      .join(broadcast(cb), Seq("s", "j"))
+      .join(broadcast(qsubs), Seq("q_id", "s"))
+      .withColumn("term",
+        graft.functions.GraftFunctions.vecDot(col("qs"), col("cs")))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(round(sum(col("term")), 6).as("adc"))
+    val out = AnnOps.refineAdcShortlist(scored, e, topK, refineFactor)
     e.unpersist(blocking = false)
     out
   }
