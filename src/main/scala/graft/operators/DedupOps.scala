@@ -1188,24 +1188,79 @@ object DedupOps {
     * state is the doc's own tokens (the d12 rebuild idiom). Nothing
     * pairwise, nothing corpus-global.
     */
-  private[graft] def removeDupSpans(d: DataFrame, winTok: Int = 8): DataFrame = {
-    val toks = d.filter(length(trim(col("text"))) > 0)
+  // ---- shared span-family building blocks: the d15 (per-window) and
+  // d18 (maximal-span) gates and their pipeline REWRITE stages are four
+  // compositions of the same pieces — input token arrays, window
+  // occurrences, a removal-position set, and one of two tails (gate
+  // summary vs text rebuild).
+
+  /** (doc_id, arr) token arrays of non-blank docs. */
+  private def spanToks(d: DataFrame): DataFrame =
+    d.filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), split(trim(col("text")), graft.Tok.Ws).as("arr"))
-    val tl = toks.select(col("doc_id"), posexplode(col("arr")).as(Seq("p", "w")))
-    val occ = toks.filter(size(col("arr")) >= winTok)
+
+  /** (doc_id, p, w) token-position rows. */
+  private def spanTl(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"), posexplode(col("arr")).as(Seq("p", "w")))
+
+  /** (doc_id, s, h) sliding-window occurrence hashes, stride 1. */
+  private def spanOcc(toks: DataFrame, winTok: Int): DataFrame =
+    toks.filter(size(col("arr")) >= winTok)
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, size(arr) - $winTok),
             i -> md5(cast(concat_ws(' ', slice(arr, i + 1, $winTok)) as binary)))"""))
         .as(Seq("s", "h")))
+
+  /** d15's removal set: positions covered by ≥ 1 NON-canonical dup
+    * window (canonical = min (doc_id, s), riding the count aggregation).
+    */
+  private def removedPerWindow(occ: DataFrame, winTok: Int): DataFrame = {
     val dupCanon = occ.groupBy(col("h"))
       .agg(count(lit(1)).as("c"),
         min(struct(col("doc_id"), col("s"))).as("cn"))
       .filter(col("c") >= 2)
       .select(col("h"), col("cn"))
-    val removed = occ.join(dupCanon, Seq("h"))
+    occ.join(dupCanon, Seq("h"))
       .filter(col("doc_id") =!= col("cn.doc_id") || col("s") =!= col("cn.s"))
       .select(col("doc_id"), explode(expr(s"sequence(s, s + ${winTok - 1})")).as("p"))
       .distinct()
+  }
+
+  /** d18's removal set: dup windows chain per doc (gap ≤ winTok) into
+    * maximal runs; runs group by covered-token CONTENT; each group's
+    * canonical (min (doc_id, s0)) survives whole, every other occurrence
+    * removes whole.
+    */
+  private def removedMaximalSpans(toks: DataFrame, occ: DataFrame,
+      winTok: Int): DataFrame = {
+    val dup = occ.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("s"))
+    val runs = occ.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("s"))
+      .withColumn("prev", lag(col("s"), 1).over(wOrd))
+      .withColumn("brk",
+        when(col("prev").isNull || col("s") - col("prev") > winTok, 1L)
+          .otherwise(0L))
+      .withColumn("rid", sum(col("brk")).over(wOrd))
+    val spans = runs.groupBy(col("doc_id"), col("rid"))
+      .agg(min(col("s")).as("s0"),
+        (max(col("s")) + lit(winTok - 1)).as("e0"))
+    val spanKeyed = spans.join(toks, Seq("doc_id"))
+      .select(col("doc_id"), col("s0"), col("e0"),
+        md5(expr("concat_ws(' ', slice(arr, s0 + 1, e0 - s0 + 1))")
+          .cast("binary")).as("key"))
+    val canon = spanKeyed.groupBy(col("key"))
+      .agg(min(struct(col("doc_id"), col("s0"))).as("cn"))
+    spanKeyed.join(canon, Seq("key"))
+      .filter(col("doc_id") =!= col("cn.doc_id") || col("s0") =!= col("cn.s0"))
+      .select(col("doc_id"), explode(expr("sequence(s0, e0)")).as("p"))
+      .distinct()
+  }
+
+  /** Gate-summary tail: (doc_id, n_tokens, n_kept, n_removed, kept_md5). */
+  private def spanSummary(tl: DataFrame, removed: DataFrame): DataFrame =
     tl.join(removed.withColumn("rm", lit(1L)), Seq("doc_id", "p"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("bigint").as("n_tokens"),
@@ -1216,6 +1271,24 @@ object DedupOps {
         md5(expr("concat_ws(' ', transform(array_sort(kept), x -> x.w))")
           .cast("binary")).as("kept_md5"))
       .orderBy(col("doc_id"))
+
+  /** Rewrite tail: `text` (and `n_chars` when present) rebuilt from the
+    * kept tokens, other columns preserved.
+    */
+  private def spanRewrite(d: DataFrame, tl: DataFrame,
+      removed: DataFrame): DataFrame =
+    rewriteText(d,
+      tl.join(removed.withColumn("rm", lit(1L)), Seq("doc_id", "p"), "left")
+        .groupBy(col("doc_id"))
+        .agg(collect_list(when(col("rm").isNull, struct(col("p"), col("w"))))
+          .as("kept"))
+        .select(col("doc_id"),
+          expr("concat_ws(' ', transform(array_sort(kept), x -> x.w))")
+            .as("__newtext")))
+
+  private[graft] def removeDupSpans(d: DataFrame, winTok: Int = 8): DataFrame = {
+    val toks = spanToks(d)
+    spanSummary(spanTl(toks), removedPerWindow(spanOcc(toks, winTok), winTok))
   }
 
   /** [[removeDupSpans]] as a REWRITE stage for the curation pipeline:
@@ -1225,30 +1298,8 @@ object DedupOps {
     */
   private[graft] def removeDupSpansRewrite(d: DataFrame,
       winTok: Int = 8): DataFrame = {
-    val toks = d.filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), split(trim(col("text")), graft.Tok.Ws).as("arr"))
-    val tl = toks.select(col("doc_id"), posexplode(col("arr")).as(Seq("p", "w")))
-    val occ = toks.filter(size(col("arr")) >= winTok)
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, size(arr) - $winTok),
-            i -> md5(cast(concat_ws(' ', slice(arr, i + 1, $winTok)) as binary)))"""))
-        .as(Seq("s", "h")))
-    val dupCanon = occ.groupBy(col("h"))
-      .agg(count(lit(1)).as("c"),
-        min(struct(col("doc_id"), col("s"))).as("cn"))
-      .filter(col("c") >= 2)
-      .select(col("h"), col("cn"))
-    val removed = occ.join(dupCanon, Seq("h"))
-      .filter(col("doc_id") =!= col("cn.doc_id") || col("s") =!= col("cn.s"))
-      .select(col("doc_id"), explode(expr(s"sequence(s, s + ${winTok - 1})")).as("p"))
-      .distinct()
-    val rebuilt = tl.join(removed.withColumn("rm", lit(1L)), Seq("doc_id", "p"), "left")
-      .groupBy(col("doc_id"))
-      .agg(collect_list(when(col("rm").isNull, struct(col("p"), col("w")))).as("kept"))
-      .select(col("doc_id"),
-        expr("concat_ws(' ', transform(array_sort(kept), x -> x.w))")
-          .as("__newtext"))
-    rewriteText(d, rebuilt)
+    val toks = spanToks(d)
+    spanRewrite(d, spanTl(toks), removedPerWindow(spanOcc(toks, winTok), winTok))
   }
 
   val d15 = QueryDef(
@@ -1324,49 +1375,20 @@ object DedupOps {
     */
   private[graft] def removeDupSpansMaximal(d: DataFrame,
       winTok: Int = 8): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-    val toks = d.filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), split(trim(col("text")), graft.Tok.Ws).as("arr"))
-    val tl = toks.select(col("doc_id"), posexplode(col("arr")).as(Seq("p", "w")))
-    val occ = toks.filter(size(col("arr")) >= winTok)
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, size(arr) - $winTok),
-            i -> md5(cast(concat_ws(' ', slice(arr, i + 1, $winTok)) as binary)))"""))
-        .as(Seq("s", "h")))
-    val dup = occ.groupBy(col("h")).agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2).select(col("h"))
-    val docc = occ.join(dup, Seq("h"), "left_semi")
-      .select(col("doc_id"), col("s"))
-    val wOrd = w.partitionBy(col("doc_id")).orderBy(col("s"))
-    val runs = docc
-      .withColumn("prev", lag(col("s"), 1).over(wOrd))
-      .withColumn("brk",
-        when(col("prev").isNull || col("s") - col("prev") > winTok, 1L)
-          .otherwise(0L))
-      .withColumn("rid", sum(col("brk")).over(wOrd))
-    val spans = runs.groupBy(col("doc_id"), col("rid"))
-      .agg(min(col("s")).as("s0"),
-        (max(col("s")) + lit(winTok - 1)).as("e0"))
-    val spanKeyed = spans.join(toks, Seq("doc_id"))
-      .select(col("doc_id"), col("s0"), col("e0"),
-        md5(expr("concat_ws(' ', slice(arr, s0 + 1, e0 - s0 + 1))")
-          .cast("binary")).as("key"))
-    val canon = spanKeyed.groupBy(col("key"))
-      .agg(min(struct(col("doc_id"), col("s0"))).as("cn"))
-    val removed = spanKeyed.join(canon, Seq("key"))
-      .filter(col("doc_id") =!= col("cn.doc_id") || col("s0") =!= col("cn.s0"))
-      .select(col("doc_id"), explode(expr("sequence(s0, e0)")).as("p"))
-      .distinct()
-    tl.join(removed.withColumn("rm", lit(1L)), Seq("doc_id", "p"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("bigint").as("n_tokens"),
-        sum(when(col("rm").isNull, 1L).otherwise(0L)).cast("bigint").as("n_kept"),
-        collect_list(when(col("rm").isNull, struct(col("p"), col("w")))).as("kept"))
-      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
-        (col("n_tokens") - col("n_kept")).as("n_removed"),
-        md5(expr("concat_ws(' ', transform(array_sort(kept), x -> x.w))")
-          .cast("binary")).as("kept_md5"))
-      .orderBy(col("doc_id"))
+    val toks = spanToks(d)
+    spanSummary(spanTl(toks),
+      removedMaximalSpans(toks, spanOcc(toks, winTok), winTok))
+  }
+
+  /** [[removeDupSpansMaximal]] as a REWRITE stage (the d12/d15-rewrite
+    * convention): non-canonical maximal spans removed from `text`
+    * (`n_chars` recomputed when present), other columns untouched.
+    */
+  private[graft] def removeDupSpansMaximalRewrite(d: DataFrame,
+      winTok: Int = 8): DataFrame = {
+    val toks = spanToks(d)
+    spanRewrite(d, spanTl(toks),
+      removedMaximalSpans(toks, spanOcc(toks, winTok), winTok))
   }
 
   val d18 = QueryDef(

@@ -32,7 +32,9 @@ object CorpusPipeline {
     *  - `dropBoilerplateMinDocs` (d12): lines in ≥ n distinct docs are
     *    removed from every doc, text REWRITTEN, before near-dup;
     *  - `removeSpanTok` (d15): non-canonical duplicated n-token spans
-    *    removed, text REWRITTEN, after boilerplate;
+    *    removed, text REWRITTEN, after boilerplate; `spanMaximal` swaps
+    *    in d18's maximal-span semantics (span-level canonicals — every
+    *    removed span keeps a byte-identical copy somewhere);
     *  - `softWeights` (d16): REPLACES the hard near-dup drop — every doc
     *    survives with weight 1/|near-dup cluster| in a `weight` column;
     *  - `dsirTarget`/`dsirFrac` (t27 scale twin): after decontamination,
@@ -46,7 +48,8 @@ object CorpusPipeline {
       nearDupMinJac: Double = 0.3,
       contamMinShared: Long = 2L,   // shared 3-shingles with one bench doc
       dropBoilerplateMinDocs: Option[Int] = None, // d12 rewrite stage
-      removeSpanTok: Option[Int] = None,          // d15 rewrite stage
+      removeSpanTok: Option[Int] = None,          // d15/d18 rewrite stage
+      spanMaximal: Boolean = false,               // d18 semantics for it
       softWeights: Boolean = false,               // d16 instead of hard drop
       dsirTarget: Option[String] = None,          // t27-twin selection stage
       dsirFrac: Double = 0.2)
@@ -237,7 +240,10 @@ object CorpusPipeline {
     val rw1 = cfg.dropBoilerplateMinDocs
       .map(DedupOps.dropCommonLinesRewrite(ed0, _)).getOrElse(ed0)
     val rw2 = cfg.removeSpanTok
-      .map(DedupOps.removeDupSpansRewrite(rw1, _)).getOrElse(rw1)
+      .map(w =>
+        if (cfg.spanMaximal) DedupOps.removeDupSpansMaximalRewrite(rw1, w)
+        else DedupOps.removeDupSpansRewrite(rw1, w))
+      .getOrElse(rw1)
     val ed = rw2.cache()
     val arrEd = DedupOps.shingleArrs(ed).cache()
     arrEd.count()

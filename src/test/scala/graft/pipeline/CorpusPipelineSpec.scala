@@ -150,5 +150,28 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkTestSession {
           .as("toks"))
     val both = gate.join(rw2, Seq("doc_id"))
     assert(both.filter($"n_kept" =!= $"toks").count() == 0)
+    // the d18 (maximal-span) rewrite agrees with ITS gate the same way,
+    // and the spanMaximal flag routes the pipeline stage to it
+    val gateMax = DedupOps.removeDupSpansMaximal(sf, winTok = 8)
+      .select($"doc_id", $"n_kept")
+    val rwMax = DedupOps.removeDupSpansMaximalRewrite(sf, winTok = 8)
+      .select($"doc_id",
+        org.apache.spark.sql.functions.expr(
+          "size(filter(split(text, '[ ]+'), x -> x <> ''))").cast("long")
+          .as("toks"))
+    assert(gateMax.join(rwMax, Seq("doc_id"))
+      .filter($"n_kept" =!= $"toks").count() == 0)
+    val viaFlag = CorpusPipeline.curateConfigured(sf,
+      CorpusPipeline.Config(removeSpanTok = Some(8), spanMaximal = true))
+      .collect().map(_.toString).sorted.toSeq
+    val manual = CorpusPipeline.withSplit(graft.operators.TextOps.withLangPred(
+      CorpusPipeline.decontaminate(
+        CorpusPipeline.nearDedup(
+          DedupOps.removeDupSpansMaximalRewrite(
+            CorpusPipeline.exactDedup(
+              CorpusPipeline.qualityFilter(CorpusPipeline.corpusSlice(sf))), 8)),
+        CorpusPipeline.benchmarkSlice(sf))))
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaFlag == manual)
   }
 }
