@@ -397,5 +397,44 @@ object IndexStore {
     (s, dir) => ivfPqRefinedFromIndex(s, dir, ensureIvfPq(s, dir)),
     AnnOps.a07.oracle)
 
-  val all: Seq[QueryDef] = Seq(a10, a11)
+  /** Scratch space for gates that EXERCISE maintenance per invocation
+    * (a12 rebuilds its incremental index every call — skip-if-exists
+    * would defeat the point); one per-JVM root, deleted at exit (the
+    * StreamingOps tmpRoot discipline).
+    */
+  private lazy val tmpRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_index_tmp")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      catch { case _: Throwable => () } // cleanup is best-effort at exit
+    }))
+    root
+  }
+
+  /** The INCREMENTAL maintenance path under the driver oracle: build the
+    * index from the `doc_id % 3 == 0` slice, APPEND the rest in two more
+    * batches (the d08 batch convention), query from the result — which
+    * must hash-match a08's one-shot SQL exactly, because append ≡ full
+    * rebuild at the table level. A fresh temp location per invocation so
+    * every call (bench rep, RepeatCheck sweep) exercises the real
+    * build+append+merge chain, not a cached artifact.
+    */
+  val a12 = QueryDef(
+    "a12_bm25_incremental_query",
+    "BM25 top-10 from an index built then batch-APPENDED (a08's oracle)",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val loc = java.nio.file.Files
+        .createTempDirectory(tmpRoot, "a12").toString
+      val m = pmod(col("doc_id"), lit(3))
+      buildBm25(docs.filter(m === 0), loc)
+      appendBm25(docs.filter(m === 1), loc)
+      appendBm25(docs.filter(m === 2), loc)
+      bm25TopKHotTermsFromIndex(s, loc)
+    },
+    RetrievalOps.a08.oracle)
+
+  val all: Seq[QueryDef] = Seq(a10, a11, a12)
 }
