@@ -102,7 +102,11 @@ object Bench {
     // self-contained artifact (r10 VERDICT item 5): the driver captures
     // stdout, which truncated BENCH_r10.json mid-JSON — so the full
     // per-gate map is ALSO written to a file the round can commit as-is.
-    // Best-effort: a read-only cwd must not fail the measurement run.
+    // The default path is git-IGNORED scratch (round-11 ADVICE: the
+    // default must never clobber a committed artifact); a run whose map
+    // should be kept sets SPARK_GRAFT_BENCH_OUT to the round-numbered
+    // name explicitly. Best-effort: a read-only cwd must not fail the
+    // measurement run.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     if (outPath.nonEmpty)
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),

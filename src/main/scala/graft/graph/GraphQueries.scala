@@ -349,11 +349,10 @@ object GraphQueries {
     // is corpus-sized, and materializing it to storage costs more than
     // the second pushdown-pruned scan (measured: caching grew the
     // producer gate +1.5 s at sf0.1 while the re-scan adds ~0.3 s)
-    val baseCached = base
     // multiplicity-weighted (cust, supp) edges — `edges(filtered = true)`
     // with the pre-dedup pair count as integer weight; its key set IS the
     // unweighted distinct edge set (the groupBy replaces the distinct)
-    val wEdges = baseCached
+    val wEdges = base
       .filter(col("l_quantity") === 1 && month(col("l_shipdate")) === 1)
       .groupBy((col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
@@ -500,15 +499,16 @@ object GraphQueries {
     val dlw = ps.getOrElse("x", (0L, 0L, 0L, 0L))._1
     val dcw = ps.getOrElse("y", (0L, 0L, 0L, 0L))._1
 
-    // g07's triangle stats from the SAME cached joined base — the
-    // sampled customer–customer projection is the only extra work (the
-    // o⋈li scan is already paid). Memoized driver-side (the rows are the
-    // gate's own small result: one per sampled customer); guarded by the
-    // same vertex bound as the broadcast sides — a graph past the guard
-    // sends g07 down its fresh distributed path instead.
+    // g07's triangle stats from a RE-SCAN of the o⋈li join (deliberately
+    // not cached — see the wEdges comment above: the second
+    // pushdown-pruned scan is cheaper than materializing the corpus-sized
+    // join). Memoized driver-side (the rows are the gate's own small
+    // result: one per sampled customer); guarded by the same vertex bound
+    // as the broadcast sides — a graph past the guard sends g07 down its
+    // fresh distributed path instead.
     val g7 =
       if (withG07 && nNodes < 1000000L) {
-        val pe = baseCached.filter(col("o_custkey") % 100 === 0)
+        val pe = base.filter(col("o_custkey") % 100 === 0)
           .select((col("o_custkey") * 2).as("a"),
             (col("l_suppkey") * 2 + 1).as("b"))
           .distinct()
@@ -523,7 +523,6 @@ object GraphQueries {
     // every invariant is computed — release the caches so nothing squats
     // on executor storage into the next query
     Seq(ext, deg, wUnd, wEdges).foreach(_.unpersist(blocking = false))
-    if (withG07) baseCached.unpersist(blocking = false)
     val un =
       if (withUnweighted)
         Some(LouvainStats(m2 = m2, nNodes = nNodes, nComps = nComps,
@@ -842,8 +841,8 @@ object GraphQueries {
   }
 
   /** The lazy (node, degree, triangles, lcc) plan over a CACHED
-    * projection — the shared core of [[triangleStats]] and
-    * [[triangleStatsRows]].
+    * projection — the core of [[triangleStats]] (both the g07 gate's
+    * fresh path and the g05 fused build's memoized consumer run it).
     */
   private def triangleFrame(proj: DataFrame): DataFrame = {
     val deg = proj.select(explode(array(col("u"), col("v"))).as("n"))

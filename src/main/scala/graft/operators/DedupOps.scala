@@ -1085,10 +1085,19 @@ object DedupOps {
     * all other columns pass through. Docs the line model skips
     * (blank/whitespace) pass through unchanged. Same scale shapes as the
     * gate; the only addition is one doc-keyed join back onto the input.
+    *
+    * Unlike the gate form, the line model runs WITHOUT the synthetic
+    * injected boiler line (round-11 ADVICE: below minDocs the injected
+    * line would be "kept" and written into rebuilt text as phantom
+    * boilerplate — injection is a gate-only decoration). Rebuilding from
+    * 3-token chunks whitespace-NORMALIZES text by construction (runs of
+    * whitespace collapse to single spaces) — acceptable for a curation
+    * pipeline whose downstream stages are token-based, and pinned in
+    * CorpusPipelineSpec.
     */
   private[graft] def dropCommonLinesRewrite(d: DataFrame, minDocs: Int = 4,
       lineTok: Int = 3): DataFrame = {
-    val lines = TextOps.docLines(d, lineTok)
+    val lines = TextOps.docLines(d, lineTok, inject = false)
     val common = lines.groupBy(col("line"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)

@@ -83,7 +83,10 @@ object IndexStore {
     * stats): the merged frame is fully WRITTEN to a sibling tmp dir
     * (which executes the read of the old table) before the old dir is
     * swapped out — overwriting a path that the plan is still reading
-    * would corrupt the source mid-scan.
+    * would corrupt the source mid-scan. The delete→rename window is NOT
+    * safe for concurrent readers of the same loc: maintenance requires
+    * exclusive access (see [[appendBm25]]); a production deployment
+    * would swap a manifest/snapshot pointer instead.
     */
   private def replaceParquet(s: SparkSession, df: DataFrame, path: String): Unit = {
     val f = fs(s, path)
@@ -139,14 +142,30 @@ object IndexStore {
     val st = s.read.parquet(s"$loc/stats.parquet").head()
     val nDocs = st.getAs[Long]("n_docs")
     val sumTf = st.getAs[Long]("sum_tf")
+    // tombstones ([[deleteBm25]]): postings/doclen rows of deleted docs
+    // stay on disk until [[compactBm25]] folds them in; the load applies
+    // them as an anti-join, and the model scalars/dfreq were decremented
+    // EXACTLY at delete time — so the loaded index is value-identical to
+    // a rebuild without the docs (IndexStoreSpec pins it).
+    val tomb = tombstones(s, loc)
+    def minus(df: DataFrame): DataFrame =
+      tomb.map(t => df.join(t, Seq("doc_id"), "left_anti")).getOrElse(df)
     RetrievalOps.Bm25Index(
-      tf = s.read.parquet(s"$loc/postings.parquet"),
-      dl = s.read.parquet(s"$loc/doclen.parquet"),
+      tf = minus(s.read.parquet(s"$loc/postings.parquet")),
+      dl = minus(s.read.parquet(s"$loc/doclen.parquet")),
       dfreq = s.read.parquet(s"$loc/dfreq.parquet"),
       nDocs = nDocs,
       avgdl = if (nDocs == 0) 1.0 else sumTf.toDouble / nDocs,
       sumTf = sumTf)
   }
+
+  /** The tombstone table of a loc, if any deletes are pending compaction.
+    * Schema: one `doc_id` (BM25) / `vec_id` (IVF-PQ) column.
+    */
+  private def tombstones(s: SparkSession, loc: String): Option[DataFrame] =
+    if (exists(s, s"$loc/deleted.parquet"))
+      Some(s.read.parquet(s"$loc/deleted.parquet"))
+    else None
 
   /** BM25 top-k from the PERSISTED index (hot-terms probe derivation —
     * a08's semantics, served build-once/query-many).
@@ -179,25 +198,83 @@ object IndexStore {
     * dfreq and the corpus scalars MERGE. `newDocs` ids must be disjoint
     * from the indexed corpus (the d08/st09 admit contract — violating it
     * double-counts the shared ids in every table).
+    *
+    * Failure atomicity (round-11 ADVICE): stats.parquet — the table every
+    * reader and the [[ensureBm25]] fingerprint check load first — is
+    * DELETED before the first partial write and rewritten LAST, so a
+    * crash anywhere mid-append leaves an index with no stats: loadBm25
+    * fails loudly and ensureBm25's freshness check fails, forcing a
+    * rebuild, instead of silently serving batch postings against stale
+    * dfreq/n_docs. Appends require exclusive access to `loc` (no
+    * concurrent readers or writers) — the in-JVM [[buildLock]] covers
+    * gate/test callers; cross-process callers coordinate externally, as
+    * with any shared parquet dataset.
     */
   def appendBm25(newDocs: DataFrame, loc: String): Unit = {
     val s = newDocs.sparkSession
     val (sc, ss, sch) = docSig(newDocs)
+    val st = s.read.parquet(s"$loc/stats.parquet").head() // read BEFORE marking
     val nix = RetrievalOps.buildIndexTables(newDocs) // batch-sized, cached
+    fs(s, loc).delete(new Path(s"$loc/stats.parquet"), true) // staleness marker
     nix.tf.write.mode("append").parquet(s"$loc/postings.parquet")
     nix.dl.write.mode("append").parquet(s"$loc/doclen.parquet")
     val merged = s.read.parquet(s"$loc/dfreq.parquet")
       .unionByName(nix.dfreq)
       .groupBy(col("w")).agg(sum(col("df")).cast("long").as("df"))
     replaceParquet(s, merged, s"$loc/dfreq.parquet")
-    val st = s.read.parquet(s"$loc/stats.parquet").head()
-    replaceParquet(s, statsDf(s,
+    statsDf(s,
       st.getAs[Long]("n_docs") + nix.nDocs,
       st.getAs[Long]("sum_tf") + nix.sumTf,
       st.getAs[Long]("sig_count") + sc,
       st.getAs[Long]("sig_sum") + ss,
-      st.getAs[Long]("sig_chars") + sch), s"$loc/stats.parquet")
+      st.getAs[Long]("sig_chars") + sch)
+      .write.mode("overwrite").parquet(s"$loc/stats.parquet")
     nix.tf.unpersist(blocking = false)
+  }
+
+  /** Retire documents from a persisted BM25 index WITHOUT a rebuild —
+    * the lifecycle inverse of [[appendBm25]] (takedowns,
+    * decontamination-after-the-fact; round-11 VERDICT "What's missing"
+    * item 1). Tombstone-style: postings/doclen rows stay on disk (an
+    * anti-join at load time hides them — [[loadBm25]]) until
+    * [[compactBm25]] folds them in, but the MODEL state is maintained
+    * exactly and immediately: the deleted docs' own posting lists (a
+    * posting-probe-bounded join, never a corpus re-scan) give the exact
+    * per-term df decrements, and their doclen rows the exact
+    * n_docs/sum_tf decrements — so queries after a delete score
+    * bit-identically to a rebuild without the docs (a13 pins it under
+    * the driver oracle). The source fingerprint is POISONED (sig_count
+    * = −1): an ensure*-managed loc whose corpus still contains the
+    * deleted docs must rebuild, not serve the shrunken index as fresh.
+    * Same failure-atomicity + exclusive-access contract as
+    * [[appendBm25]].
+    */
+  def deleteBm25(ids: DataFrame, loc: String): Unit = {
+    val s = ids.sparkSession
+    val del = ids.select(col("doc_id")).distinct().cache()
+    del.count()
+    val st = s.read.parquet(s"$loc/stats.parquet").head() // read BEFORE marking
+    // exact decrements from the index's OWN tables (only docs actually
+    // indexed count — a deleted id that never had postings changes nothing)
+    val dec = s.read.parquet(s"$loc/doclen.parquet")
+      .join(del, Seq("doc_id"))
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    val (dDocs, dTf) = (dec.getLong(0), dec.getLong(1))
+    val dfDec = s.read.parquet(s"$loc/postings.parquet")
+      .join(del, Seq("doc_id"))
+      .groupBy(col("w")).agg(count(lit(1)).as("ddf"))
+    fs(s, loc).delete(new Path(s"$loc/stats.parquet"), true) // staleness marker
+    val merged = s.read.parquet(s"$loc/dfreq.parquet")
+      .join(dfDec, Seq("w"), "left")
+      .select(col("w"),
+        (col("df") - coalesce(col("ddf"), lit(0L))).cast("long").as("df"))
+      .filter(col("df") > 0)
+    replaceParquet(s, merged, s"$loc/dfreq.parquet")
+    del.write.mode("append").parquet(s"$loc/deleted.parquet")
+    statsDf(s, st.getAs[Long]("n_docs") - dDocs,
+      st.getAs[Long]("sum_tf") - dTf, -1L, -1L, -1L) // poisoned fingerprint
+      .write.mode("overwrite").parquet(s"$loc/stats.parquet")
+    del.unpersist(blocking = false)
   }
 
   /** a08's query served from the at-rest index: build-if-absent, then
@@ -348,20 +425,30 @@ object IndexStore {
     * at ~128 MB targets.
     */
   def compactBm25(s: SparkSession, loc: String): Unit = {
-    def targetFiles(path: String): Int = {
-      val f = fs(s, path)
-      val bytes = f.getContentSummary(new Path(path)).getLength
-      math.max(1, (bytes / (128L << 20)).toInt +
-        (if (bytes % (128L << 20) > 0) 1 else 0))
-    }
-    val posts = s.read.parquet(s"$loc/postings.parquet")
-      .repartition(targetFiles(s"$loc/postings.parquet"), col("w"))
+    // fold pending tombstones in: the compacted tables carry only live
+    // rows, and the tombstone file is retired — the load-time anti-join
+    // disappears until the next delete
+    val tomb = tombstones(s, loc)
+    def minus(df: DataFrame): DataFrame =
+      tomb.map(t => df.join(t, Seq("doc_id"), "left_anti")).getOrElse(df)
+    val posts = minus(s.read.parquet(s"$loc/postings.parquet"))
+      .repartition(targetFiles(s, s"$loc/postings.parquet"), col("w"))
       .sortWithinPartitions(col("w"), col("doc_id"))
     replaceParquet(s, posts, s"$loc/postings.parquet")
-    val dl = s.read.parquet(s"$loc/doclen.parquet")
-      .repartition(targetFiles(s"$loc/doclen.parquet"), col("doc_id"))
+    val dl = minus(s.read.parquet(s"$loc/doclen.parquet"))
+      .repartition(targetFiles(s, s"$loc/doclen.parquet"), col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
     replaceParquet(s, dl, s"$loc/doclen.parquet")
+    if (tomb.isDefined)
+      fs(s, loc).delete(new Path(s"$loc/deleted.parquet"), true)
+  }
+
+  /** ~128 MB-target output file count for a compaction rewrite. */
+  private def targetFiles(s: SparkSession, path: String): Int = {
+    val f = fs(s, path)
+    val bytes = f.getContentSummary(new Path(path)).getLength
+    math.max(1, (bytes / (128L << 20)).toInt +
+      (if (bytes % (128L << 20) > 0) 1 else 0))
   }
 
   /** Incrementally admit new vectors into a persisted IVF-PQ index:
@@ -373,18 +460,22 @@ object IndexStore {
   def appendIvfPq(newE: DataFrame, loc: String): Unit = {
     val s = newE.sparkSession
     val (sc, ss, sd) = embSig(newE)
+    // same failure-atomicity discipline as appendBm25: stats is read
+    // first, deleted as the staleness marker, and rewritten LAST
+    val st = s.read.parquet(s"$loc/stats.parquet").head()
     val cents = s.read.parquet(s"$loc/centroids.parquet")
     val cb = s.read.parquet(s"$loc/codebooks.parquet")
+    fs(s, loc).delete(new Path(s"$loc/stats.parquet"), true)
     CentroidAssign.nearest(newE, cents)
       .write.mode("append").parquet(s"$loc/assign.parquet")
     AnnOps.pqEncode(AnnOps.subvectors(newE), cb)
       .select(col("vec_id"), col("s"), col("j"))
       .write.mode("append").parquet(s"$loc/codes.parquet")
-    val st = s.read.parquet(s"$loc/stats.parquet").head()
     import s.implicits._
-    replaceParquet(s, Seq((st.getAs[Long]("sig_count") + sc,
+    Seq((st.getAs[Long]("sig_count") + sc,
       st.getAs[Long]("sig_sum") + ss, st.getAs[Long]("sig_dims") + sd))
-      .toDF("sig_count", "sig_sum", "sig_dims"), s"$loc/stats.parquet")
+      .toDF("sig_count", "sig_sum", "sig_dims")
+      .write.mode("overwrite").parquet(s"$loc/stats.parquet")
   }
 
   /** a07's search served from the at-rest index — same oracle verbatim

@@ -134,12 +134,14 @@ object RetrievalOps {
       .orderBy(col("q"), col("rk"))
       .localCheckpoint(true)
 
-  val a08 = QueryDef(
-    "a08_bm25_topk",
-    "BM25 top-10 per query over the corpus inverted index (k1=1.2, b=0.75)",
-    (s, dir) => bm25TopKHotTerms(Tables.load(s, dir, "documents")),
-    Some("""WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
-              FROM documents WHERE length(trim(text)) > 0),
+  /** a08's oracle, parameterized by an extra corpus predicate so the
+    * delete gate (a13: rebuild-without-docs ≡ delete) replays the SAME
+    * scoring SQL over the surviving slice; `extraWhere` must end in
+    * `AND ` or be empty.
+    */
+  private[operators] def hotTermsOracleSql(extraWhere: String = ""): String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+              FROM documents WHERE ${extraWhere}length(trim(text)) > 0),
       tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
       dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
       dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
@@ -161,7 +163,13 @@ object RetrievalOps {
                row_number() OVER (PARTITION BY q ORDER BY score DESC, doc_id) AS rk
              FROM scored)
       SELECT q, CAST(rk AS BIGINT) AS rk, doc_id, CAST(tf AS BIGINT) AS tf, score
-      FROM ranked WHERE rk <= 10 ORDER BY q, rk"""))
+      FROM ranked WHERE rk <= 10 ORDER BY q, rk"""
+
+  val a08 = QueryDef(
+    "a08_bm25_topk",
+    "BM25 top-10 per query over the corpus inverted index (k1=1.2, b=0.75)",
+    (s, dir) => bm25TopKHotTerms(Tables.load(s, dir, "documents")),
+    Some(hotTermsOracleSql()))
 
   /** Doc-as-query BM25: each query DOCUMENT's distinct term set probes
     * the corpus index; per-(query, candidate) scores are the sum of the

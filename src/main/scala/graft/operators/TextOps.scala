@@ -1153,15 +1153,24 @@ object TextOps {
     * row count is |tokens|/3, linear at 100 TB with no shuffle here.
     */
   private[graft] def docLines(d: DataFrame, lineTok: Int = 3,
-      boiler: String = "click here now"): DataFrame =
+      boiler: String = "click here now", inject: Boolean = true): DataFrame = {
+    // inject=false (round-11 ADVICE): the REWRITE/pipeline consumers must
+    // see only the document's own lines — injecting the synthetic boiler
+    // there would write phantom text into rebuilt documents whenever the
+    // line falls below a caller's minDocs. Injection stays a gate-only
+    // decoration (it gives the detection gates a guaranteed cross-doc
+    // duplicate line at every SF).
+    val boilerPart =
+      if (inject) s", array_repeat('$boiler', cast(doc_id % 4 as int))" else ""
     d.filter(length(trim(col("text"))) > 0)
       .withColumn("toks", split(trim(col("text")), graft.Tok.Ws))
       .select(col("doc_id"), expr(
         s"""concat(
              transform(sequence(0, cast(ceil(size(toks) / $lineTok.0) as int) - 1),
-               i -> concat_ws(' ', slice(toks, i * $lineTok + 1, $lineTok))),
-             array_repeat('$boiler', cast(doc_id % 4 as int)))""").as("arr"))
+               i -> concat_ws(' ', slice(toks, i * $lineTok + 1, $lineTok)))
+             $boilerPart)""").as("arr"))
       .select(col("doc_id"), posexplode(col("arr")).as(Seq("pos", "line")))
+  }
 
   /** DuckDB CTE replaying [[docLines]]: defines `lines(doc_id, pos, line)`.
     * Prepend as `WITH $docLinesSql, ...`.
