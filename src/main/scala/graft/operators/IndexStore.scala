@@ -355,7 +355,13 @@ object IndexStore {
       nProbes: Int = 4, topK: Int = 10, refineFactor: Int = 8): DataFrame = {
     val e = AnnOps.embTable(s, dir) // cached: probes + qsubs + refine fetch
     val cents = s.read.parquet(s"$loc/centroids.parquet")
-    val assign = s.read.parquet(s"$loc/assign.parquet")
+    // tombstones ([[deleteIvfPq]]): retired vectors drop out of the cell
+    // assignment here, so they can never become candidates — their codes
+    // stay on disk until [[compactIvfPq]] but are unreachable (candidates
+    // drive the code decode, not the other way round)
+    val tomb = tombstones(s, loc)
+    val assign = tomb.foldLeft(s.read.parquet(s"$loc/assign.parquet"))(
+      (a, t) => a.join(t, Seq("vec_id"), "left_anti"))
     val cand = broadcast(AnnOps.ivfProbes(e, cents, nProbes))
       .join(assign, Seq("c_id"))
       .filter(col("vec_id") >= 5)
@@ -478,6 +484,101 @@ object IndexStore {
       .write.mode("overwrite").parquet(s"$loc/stats.parquet")
   }
 
+  /** Retire vectors from a persisted IVF-PQ index — the dense twin of
+    * [[deleteBm25]]. Tombstone-style: assign/codes rows stay on disk
+    * until [[compactIvfPq]], but the query path drops tombstoned ids
+    * from the cell assignment ([[ivfPqRefinedFromIndex]]), which makes
+    * their codes unreachable (candidates drive the decode). IVF-PQ holds
+    * no corpus-derived model scalars (centroids/codebooks are frozen
+    * training artifacts), so no merge is needed; the source fingerprint
+    * is POISONED (sig_count = −1) so an ensure*-managed loc rebuilds.
+    */
+  def deleteIvfPq(ids: DataFrame, loc: String): Unit = {
+    val s = ids.sparkSession
+    val del = ids.select(col("vec_id")).distinct()
+    val st = s.read.parquet(s"$loc/stats.parquet").head() // read BEFORE marking
+    fs(s, loc).delete(new Path(s"$loc/stats.parquet"), true) // staleness marker
+    del.write.mode("append").parquet(s"$loc/deleted.parquet")
+    import s.implicits._
+    Seq((-1L, st.getAs[Long]("sig_sum"), st.getAs[Long]("sig_dims")))
+      .toDF("sig_count", "sig_sum", "sig_dims")
+      .write.mode("overwrite").parquet(s"$loc/stats.parquet")
+  }
+
+  /** Fold IVF-PQ tombstones in and re-cluster the append-accumulated
+    * small files — the IVF twin of [[compactBm25]]: assign re-clustered
+    * BY CELL (the layout a probe scan wants: prune non-probed cells via
+    * file min/max statistics), codes by vec_id (the candidate point-
+    * lookup side). Values untouched; the tombstone file is retired.
+    */
+  def compactIvfPq(s: SparkSession, loc: String): Unit = {
+    val tomb = tombstones(s, loc)
+    def minus(df: DataFrame): DataFrame =
+      tomb.map(t => df.join(t, Seq("vec_id"), "left_anti")).getOrElse(df)
+    val assign = minus(s.read.parquet(s"$loc/assign.parquet"))
+      .repartition(targetFiles(s, s"$loc/assign.parquet"), col("c_id"))
+      .sortWithinPartitions(col("c_id"), col("vec_id"))
+    replaceParquet(s, assign, s"$loc/assign.parquet")
+    val codes = minus(s.read.parquet(s"$loc/codes.parquet"))
+      .repartition(targetFiles(s, s"$loc/codes.parquet"), col("vec_id"))
+      .sortWithinPartitions(col("vec_id"), col("s"))
+    replaceParquet(s, codes, s"$loc/codes.parquet")
+    if (tomb.isDefined)
+      fs(s, loc).delete(new Path(s"$loc/deleted.parquet"), true)
+  }
+
+  /** Live-cell occupancy of a persisted IVF index (tombstones excluded):
+    * (n_cells, max_cell, mean_cell, skew = max/mean). The drift probe the
+    * append path needs — appends assign against FROZEN centroids, so a
+    * drifting embedding distribution piles new vectors into few cells and
+    * probe recall decays with no signal; this is the signal.
+    * Driver-side scalars: one k-row aggregate (k = cell count).
+    */
+  def ivfCellStats(s: SparkSession, loc: String): (Long, Long, Double, Double) = {
+    val tomb = tombstones(s, loc)
+    val assign = tomb.foldLeft(s.read.parquet(s"$loc/assign.parquet"))(
+      (a, t) => a.join(t, Seq("vec_id"), "left_anti"))
+    val r = assign.groupBy(col("c_id")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)), coalesce(max(col("n")), lit(0L)),
+        coalesce(avg(col("n")), lit(0.0))).head()
+    val (cells, mx, mean) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    (cells, mx, mean, if (mean > 0) mx / mean else 0.0)
+  }
+
+  /** Re-balance an append-skewed IVF index when cell-size skew crosses
+    * `skewBound`: re-train the COARSE quantizer over the current live
+    * vector set (`e`, the same `(vec_id, emb, norm)` shape the builders
+    * take) and re-assign every vector — PQ codebooks and codes stay
+    * FROZEN, so ADC scores are unchanged and only probe routing moves.
+    * This is deliberately cheaper than a rebuild (no re-encode of the
+    * corpus codes) and is the middle rung of the maintenance ladder:
+    * append (frozen everything) → rebalance (retrain routing) → rebuild
+    * (retrain routing + codebooks). Returns true when a rebalance ran.
+    * Same staleness-marker discipline as the appends; the fingerprint is
+    * PRESERVED (the corpus did not change — only the index layout did).
+    */
+  def rebalanceIvfPq(e: DataFrame, loc: String, skewBound: Double = 4.0,
+      k: Int = 16, iters: Int = 2): Boolean = {
+    val s = e.sparkSession
+    val (_, _, _, skew) = ivfCellStats(s, loc)
+    if (skew <= skewBound) return false
+    val st = s.read.parquet(s"$loc/stats.parquet").head()
+    val tomb = tombstones(s, loc)
+    val live = tomb.foldLeft(e)((d, t) => d.join(t, Seq("vec_id"), "left_anti"))
+    fs(s, loc).delete(new Path(s"$loc/stats.parquet"), true) // staleness marker
+    val cents = AnnOps.kmeansCentroids(live, k, iters).cache()
+    cents.count() // materialize: persist + re-assignment both read it
+    replaceParquet(s, cents, s"$loc/centroids.parquet")
+    replaceParquet(s, CentroidAssign.nearest(live, cents), s"$loc/assign.parquet")
+    import s.implicits._
+    Seq((st.getAs[Long]("sig_count"), st.getAs[Long]("sig_sum"),
+      st.getAs[Long]("sig_dims")))
+      .toDF("sig_count", "sig_sum", "sig_dims")
+      .write.mode("overwrite").parquet(s"$loc/stats.parquet")
+    cents.unpersist(blocking = false)
+    true
+  }
+
   /** a07's search served from the at-rest index — same oracle verbatim
     * (the persisted assignment/codes are the deterministic seeded chain's
     * output, round-tripped exactly).
@@ -527,5 +628,28 @@ object IndexStore {
     },
     RetrievalOps.a08.oracle)
 
-  val all: Seq[QueryDef] = Seq(a10, a11, a12)
+  /** The DELETE path under the driver oracle: build the index over the
+    * WHOLE corpus, tombstone-delete the `doc_id % 7 == 0` slice
+    * ([[deleteBm25]]: anti-join at load + exact dfreq/scalar decrements),
+    * query — which must hash-match a08's one-shot SQL over the SURVIVING
+    * corpus exactly, because delete ≡ rebuild-without-docs at the scored-
+    * table level. Like a12, a fresh temp location per invocation: every
+    * rep pays the real build+delete+query chain (the price IS the product
+    * being tested).
+    */
+  val a13 = QueryDef(
+    "a13_bm25_delete_query",
+    "BM25 top-10 after tombstone deletes (rebuild-without-docs oracle)",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val loc = java.nio.file.Files
+        .createTempDirectory(tmpRoot, "a13").toString
+      buildBm25(docs, loc)
+      deleteBm25(docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id")), loc)
+      bm25TopKHotTermsFromIndex(s, loc)
+    },
+    Some(RetrievalOps.hotTermsOracleSql("doc_id % 7 <> 0 AND ")))
+
+  val all: Seq[QueryDef] = Seq(a10, a11, a12, a13)
 }

@@ -169,6 +169,114 @@ class IndexStoreSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(rec.min >= 0.5, s"min recall ${rec.min}")
   }
 
+  test("BM25: delete ≡ rebuild-without-docs — queries now, tables after compaction") {
+    import spark.implicits._
+    val locDel = tmpLoc("bm25-del")
+    val locRef = tmpLoc("bm25-ref")
+    IndexStore.buildBm25(docsDf(docsFixture), locDel)
+    // 4L is the blank doc (never indexed): deleting it must change nothing
+    val gone = Set(0L, 4L, 5L, 9L)
+    IndexStore.deleteBm25(gone.toSeq.toDF("doc_id"), locDel)
+    IndexStore.buildBm25(docsDf(docsFixture.filterNot(r => gone(r._1))), locRef)
+    // query-level equality IMMEDIATELY (tombstone anti-join + exact
+    // dfreq/scalar decrements): both search cores
+    assert(collectSorted(IndexStore.bm25TopKHotTermsFromIndex(spark, locDel)) ==
+      collectSorted(IndexStore.bm25TopKHotTermsFromIndex(spark, locRef)))
+    assert(collectSorted(RetrievalOps.docQueryTopK(
+        IndexStore.loadBm25(spark, locDel), nQuery = 3, k = 5)) ==
+      collectSorted(RetrievalOps.docQueryTopK(
+        IndexStore.loadBm25(spark, locRef), nQuery = 3, k = 5)))
+    // the merge-maintained model table is exact immediately
+    assert(collectSorted(spark.read.parquet(s"$locDel/dfreq.parquet")) ==
+      collectSorted(spark.read.parquet(s"$locRef/dfreq.parquet")))
+    // compaction folds the tombstones: physical tables now equal the
+    // rebuild's, and the tombstone file is retired
+    IndexStore.compactBm25(spark, locDel)
+    for (t <- Seq("postings.parquet", "doclen.parquet", "dfreq.parquet"))
+      assert(collectSorted(spark.read.parquet(s"$locDel/$t")) ==
+        collectSorted(spark.read.parquet(s"$locRef/$t")), s"table $t diverged")
+    assert(!new java.io.File(s"$locDel/deleted.parquet").exists)
+    val a = spark.read.parquet(s"$locDel/stats.parquet").head()
+    val b = spark.read.parquet(s"$locRef/stats.parquet").head()
+    assert(a.getAs[Long]("n_docs") == b.getAs[Long]("n_docs"))
+    assert(a.getAs[Long]("sum_tf") == b.getAs[Long]("sum_tf"))
+    // the fingerprint is poisoned by design: an ensure*-managed loc whose
+    // source still has the docs must rebuild, not serve the shrunken index
+    assert(a.getAs[Long]("sig_count") == -1L)
+  }
+
+  test("BM25: delete poisons the ensure fingerprint (forced rebuild)") {
+    import spark.implicits._
+    val root = tmpLoc("bm25-del-ensure")
+    val dir = "/root/testdata/sf0.001"
+    val loc = IndexStore.ensureBm25(spark, dir, root)
+    IndexStore.deleteBm25(Seq(1L).toDF("doc_id"), loc)
+    assert(IndexStore.ensureBm25(spark, dir, root) == loc)
+    val st = spark.read.parquet(s"$loc/stats.parquet").head()
+    assert(st.getAs[Long]("sig_count") ==
+      graft.Tables.load(spark, dir, "documents").count(),
+      "delete on an ensure-managed loc must force a rebuild back to source")
+  }
+
+  test("IVF-PQ: delete ≡ rebuild-without-vecs — search now, tables after compaction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val locDel = tmpLoc("ivfpq-del")
+    val locRef = tmpLoc("ivfpq-ref")
+    val e = AnnOps.embTable(spark, dir)
+    IndexStore.buildIvfPq(e, locDel)
+    // ids above the seed/query range: the rebuild trains identical
+    // centroids/codebooks, so only assign/codes rows differ
+    val gone = Seq(20L, 33L, 47L)
+    IndexStore.deleteIvfPq(gone.toDF("vec_id"), locDel)
+    IndexStore.buildIvfPq(e.filter(!col("vec_id").isin(gone: _*)), locRef)
+    e.unpersist(blocking = false)
+    assert(collectSorted(IndexStore.ivfPqRefinedFromIndex(spark, dir, locDel)) ==
+      collectSorted(IndexStore.ivfPqRefinedFromIndex(spark, dir, locRef)))
+    IndexStore.compactIvfPq(spark, locDel)
+    for (t <- Seq("assign.parquet", "codes.parquet"))
+      assert(collectSorted(spark.read.parquet(s"$locDel/$t")) ==
+        collectSorted(spark.read.parquet(s"$locRef/$t")), s"table $t diverged")
+    assert(!new java.io.File(s"$locDel/deleted.parquet").exists)
+    assert(spark.read.parquet(s"$locDel/stats.parquet")
+      .head().getAs[Long]("sig_count") == -1L)
+  }
+
+  test("IVF-PQ: cell-skew rebalance retrains routing only, recall at the rebuild floor") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val loc = tmpLoc("ivfpq-rebal")
+    val e = AnnOps.embTable(spark, dir)
+    // seeded build over a prefix + appended tail: the frozen seeded
+    // quantizer (16 arbitrary early vectors) routes unevenly
+    IndexStore.buildIvfPq(e.filter(col("vec_id") < 60), loc)
+    IndexStore.appendIvfPq(e.filter(col("vec_id") >= 60), loc)
+    val (cells, mx, mean, skew) = IndexStore.ivfCellStats(spark, loc)
+    assert(cells == 16L && mx >= mean && skew >= 1.0)
+    val cbBefore = collectSorted(spark.read.parquet(s"$loc/codebooks.parquet"))
+    val codesBefore = collectSorted(spark.read.parquet(s"$loc/codes.parquet"))
+    // below-bound skew: no-op (the maintenance loop's common case)
+    assert(!IndexStore.rebalanceIvfPq(e, loc, skewBound = 1e9))
+    // force the rebalance: coarse quantizer retrains, codebooks and codes
+    // stay FROZEN (ADC scores unchanged — only probe routing moves)
+    assert(IndexStore.rebalanceIvfPq(e, loc, skewBound = math.max(1.0, skew - 0.01)))
+    assert(collectSorted(spark.read.parquet(s"$loc/codebooks.parquet")) == cbBefore)
+    assert(collectSorted(spark.read.parquet(s"$loc/codes.parquet")) == codesBefore)
+    val (_, _, _, skewAfter) = IndexStore.ivfCellStats(spark, loc)
+    assert(skewAfter <= skew + 1e-9,
+      s"rebalance worsened skew: $skew -> $skewAfter")
+    // retrieval quality after appends + rebalance clears the SAME floors
+    // the trained-rebuild test pins (the 'rebuild recall floor')
+    val got = IndexStore.ivfPqRefinedFromIndex(spark, dir, loc)
+      .select(col("q_id"), col("vec_id"))
+    val rec = AnnOps.recallAtK(got, AnnOps.denseTopK(spark, dir)).collect()
+      .map(_.getAs[Double]("recall"))
+    e.unpersist(blocking = false)
+    assert(rec.sum / rec.length >= 0.7, s"mean recall ${rec.sum / rec.length}")
+    assert(rec.min >= 0.5, s"min recall ${rec.min}")
+  }
+
   test("IVF-PQ: append over frozen quantizer equals full seeded build") {
     val dir = "/root/testdata/sf0.001"
     val locInc = tmpLoc("ivfpq-inc")
