@@ -27,6 +27,20 @@ object Bench {
     // demand by diffing isolated vs suite numbers.
     val isolate = sys.env.get("SPARK_GRAFT_ISOLATE").contains("1")
 
+    // SPARK_GRAFT_TIMEOUT_SEC: per-REP wall bound (0/absent = none). For
+    // hostile-scale rehearsals (the 100x full-suite run, the uncapped
+    // skew "before" numbers) one pathological gate must not stall the
+    // whole artifact: the query runs on a daemon thread under its own
+    // job group; on expiry the group is cancelled and the gate records a
+    // timeout error instead of a time.
+    val timeoutSec = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_TIMEOUT_SEC", "0").toInt)
+      .toOption.getOrElse(0)
+    val pool = java.util.concurrent.Executors.newCachedThreadPool(
+      (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+
     // timed region covers the query only; cache cleanup between queries is
     // untimed (round-1 ADVICE: clearCache in the finally block billed each
     // query for unpersisting its own intermediates). clearCache only drops
@@ -36,17 +50,34 @@ object Bench {
     // Failures keep the -1 sentinel but also surface the exception
     // instead of reading as "fast".
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                dir: String): (Double, Option[String]) = {
+                dir: String, forceGc: Boolean = false): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      val r = try { fn(spark, dir).count(); (0.0, None) } catch {
-        case e: Throwable => (-1.0, Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
-      }
+      def exec(): Option[String] =
+        try { fn(spark, dir).count(); None } catch {
+          case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      val err: Option[String] =
+        if (timeoutSec <= 0) exec()
+        else {
+          val group = s"bench-$name"
+          val fut = scala.concurrent.Future {
+            // job group is a THREAD-LOCAL property: set inside the worker
+            spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+            try exec() finally spark.sparkContext.clearJobGroup()
+          }
+          try scala.concurrent.Await.result(fut,
+            scala.concurrent.duration.Duration(timeoutSec, "s"))
+          catch { case _: java.util.concurrent.TimeoutException =>
+            spark.sparkContext.cancelJobGroup(group)
+            Some(s"timeout after ${timeoutSec}s")
+          }
+        }
       val elapsed = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // measurements stay independent
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
-      if (isolate) System.gc()
-      if (r._2.isEmpty) (elapsed, None) else r
+      if (isolate || forceGc) System.gc()
+      if (err.isEmpty) (elapsed, None) else (-1.0, err)
     }
 
     // best-of-N (round-3/4 VERDICT: single-shot per-query timings swing
@@ -63,11 +94,12 @@ object Bench {
     val reps = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
       .toOption.getOrElse(3).max(1)
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-               dir: String): (Double, Option[String]) = {
+               dir: String, nReps: Int = reps,
+               forceGc: Boolean = false): (Double, Option[String]) = {
       var best = Double.MaxValue
       var i = 0
-      while (i < reps) {
-        val (t, err) = runOnce(name, fn, dir)
+      while (i < nReps) {
+        val (t, err) = runOnce(name, fn, dir, forceGc)
         if (err.isDefined) return (t, err)
         best = math.min(best, t)
         i += 1
@@ -82,6 +114,62 @@ object Bench {
 
     val results = SparkEntry.queries.filter(kv => selected(kv._1))
       .map { case (name, fn) => name -> runOne(name, fn, sfDir) }
+
+    // AUTO-REFLOORS (r11 VERDICT item 3): gates whose suite reading moved
+    // >25% against the previous committed round map get an isolated
+    // end-of-suite min-of-3 floor (forced GC + cache clear between reps)
+    // emitted INTO this artifact — the t16/g07/t12 adjudications, made
+    // automatic. A floor at-or-under both readings says suite-ordering
+    // interference, not a plan change. The baseline comes from
+    // SPARK_GRAFT_PREV_BENCH, else the highest-numbered parseable
+    // BENCH_r*_full.json / BENCH_r*.json in the cwd. Capped at the 12
+    // largest movers (the refloor pass re-runs gates 3x; an unbounded
+    // pass could double a bad run).
+    val prevFile: Option[java.io.File] =
+      sys.env.get("SPARK_GRAFT_PREV_BENCH").map(new java.io.File(_)).filter(_.isFile)
+        .orElse {
+          val rx = """BENCH_r(\d+)(_full)?\.json""".r
+          Option(new java.io.File(".").listFiles()).toSeq.flatten
+            .flatMap(f => f.getName match {
+              case rx(n, full) => Some((n.toInt, full != null, f))
+              case _ => None
+            })
+            .sortBy { case (n, full, _) => (-n, !full) } // prefer _full at same N
+            .headOption.map(_._3)
+        }
+    // a round artifact is either the bench line itself ("queries" at top
+    // level) or a hand-assembled wrapper holding one or more bench lines
+    // one level down (BENCH_r11_full.json's best/final runs): take the
+    // LARGEST per-gate map found — the fullest run is the baseline
+    def parsePrevQueries(f: java.io.File): Map[String, Double] =
+      try {
+        import org.json4s._
+        val j = org.json4s.jackson.JsonMethods.parse(f)
+        def qmap(v: JValue): Map[String, Double] = (v \ "queries") match {
+          case JObject(fields) => fields.collect {
+            case (k, JDouble(x)) => k -> x
+            case (k, JInt(x)) => k -> x.toDouble
+            case (k, JDecimal(x)) => k -> x.toDouble
+          }.toMap
+          case _ => Map.empty[String, Double]
+        }
+        val nested = j match {
+          case JObject(fields) => fields.map { case (_, v) => qmap(v) }
+          case _ => Nil
+        }
+        (qmap(j) +: nested).maxBy(_.size)
+      } catch { case _: Throwable => Map.empty }
+    val prev = prevFile.map(parsePrevQueries).getOrElse(Map.empty)
+    val movers = results.toSeq.collect {
+      case (name, (cur, None)) if cur > 0 && prev.getOrElse(name, -1.0) > 0 =>
+        val p = prev(name)
+        (name, math.max(cur / p, p / cur))
+    }.filter(_._2 > 1.25).sortBy(-_._2)
+    val refloors: Map[String, Double] = movers.take(12).map { case (name, _) =>
+      name -> runOne(name, SparkEntry.queries(name), sfDir,
+        nReps = 3, forceGc = true)._1
+    }.toMap
+
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // escape ALL control chars (not just \n\r\t): an exception message
@@ -97,7 +185,11 @@ object Bench {
       "\"" + k + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"isolate":$isolate,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val rf = refloors.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val rfBase = prevFile.map(f => "\"" + esc(f.getName) + "\"").getOrElse("null")
+    val rfSkipped = math.max(0, movers.size - 12)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"isolate":$isolate,"timeout_sec":$timeoutSec,"queries":$qs,"errors":$errs,"auto_refloors":$rf,"auto_refloor_base":$rfBase,"auto_refloors_skipped":$rfSkipped,"sf":"$sfDir"}"""
     println(line)
     // self-contained artifact (r10 VERDICT item 5): the driver captures
     // stdout, which truncated BENCH_r10.json mid-JSON — so the full

@@ -34,6 +34,72 @@ object DedupOps {
     */
   val shingleDfCap = 1000
 
+  /** Degenerate-LSH-bucket guard (round-11 VERDICT "What's missing" #2):
+    * an adversarial corpus — thousands of byte-identical docs, or
+    * boilerplate so dominant that one band signature captures a constant
+    * fraction of the corpus — collapses into ONE (band, sig) bucket, and
+    * the band self-join goes quadratic *within the bucket* (the first
+    * real incident on boilerplate-heavy crawl data at 100 TB). Every
+    * band-join consumer therefore TRUNCATES each bucket to its `cap`
+    * lowest doc_ids before candidate generation ([[capBands]]); buckets
+    * at or under the cap — every healthy near-dup cluster — are
+    * untouched, so the truncation is exactly the identity on the
+    * committed corpora (all LSH gates stay hash-green; the rule is
+    * mirrored verbatim in the oracle SQL, so it stays oracle-identical
+    * even ON pathological data). Semantics past the cap: a bucket larger
+    * than `cap` is exact-dup/boilerplate MASS, not a near-dup cluster —
+    * the production recipe routes it through exact dedup first
+    * ([[nearDupPairsGuarded]], d19), after which representative buckets
+    * are small again. 64 bounds a degenerate bucket's pair work at
+    * 64²/2 per band while sitting two orders of magnitude above the
+    * observed healthy bucket sizes.
+    *
+    * SPARK_GRAFT_BAND_CAP overrides it FOR MEASUREMENT ONLY (the
+    * BENCH_SKEW before/after rehearsal sets it huge to time the
+    * unguarded plan on the pathological corpus); both the operators and
+    * the oracle SQL read this one val, so the gates stay
+    * oracle-consistent under any override. The driver never sets it.
+    */
+  val bandBucketCap: Int =
+    scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BAND_CAP", "64").toInt)
+      .toOption.getOrElse(64).max(1)
+
+  /** Truncate every (band, sig) bucket of a [[bandsFromArrs]] frame to
+    * its `cap` lowest doc_ids. Fast path: one small aggregate finds the
+    * oversized keys; when there are none (healthy corpora) the input is
+    * returned untouched — no window shuffle. When some exist, only THEIR
+    * rows pass through the rank window (a semi/anti split against the
+    * tiny oversized-key set), so the extra shuffle is bounded by the
+    * degenerate mass itself, never the corpus.
+    */
+  private[graft] def capBands(bands: DataFrame,
+      cap: Int = bandBucketCap): DataFrame = {
+    val over = bands.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > cap)
+      .select(col("band"), col("sig"))
+    val nOver = over.count()
+    if (nOver == 0L) bands
+    else {
+      val ov = broadcastIfUnder(over, nOver)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("sig")).orderBy(col("doc_id"))
+      val capped = bands.join(ov, Seq("band", "sig"), "left_semi")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= cap).drop("rn")
+      bands.join(ov, Seq("band", "sig"), "left_anti").unionByName(capped)
+    }
+  }
+
+  /** The SQL twin of [[capBands]] over a `(doc_id, band, sig)` CTE —
+    * universal truncation (rank ≤ cap per bucket) is the identity on
+    * every at-or-under-cap bucket, so it needs no oversized-key split.
+    */
+  private[graft] def capBandsSql(src: String, cap: Int = bandBucketCap): String =
+    s"""SELECT doc_id, band, sig FROM (
+          SELECT doc_id, band, sig,
+                 row_number() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rn
+          FROM $src) WHERE rn <= $cap"""
+
   /** Row cap under which a dimension-like side may be broadcast. Above
     * it the joins here fall back to a shuffle: the guarded sides
     * (per-document shingle counts, benchmark shingles) grow with the
@@ -112,8 +178,9 @@ object DedupOps {
     s"""${shingleSqlFrom(src, p)},
       ${p}mh AS (SELECT doc_id, $mhs FROM ${p}sh GROUP BY doc_id),
       ${p}bands AS ($bandRows),
+      ${p}bandsc AS (${capBandsSql(s"${p}bands")}),
       ${p}cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-               FROM ${p}bands a JOIN ${p}bands b
+               FROM ${p}bandsc a JOIN ${p}bandsc b
                  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
       ${p}cnt AS (SELECT doc_id, COUNT(*) AS n FROM ${p}sh GROUP BY doc_id),
       ${p}allpairs AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, COUNT(*) AS shared
@@ -238,8 +305,9 @@ object DedupOps {
     * shared-shingle count the row form aggregated.
     */
   private[graft] def minhashLshPairsFromArrs(
-      arr: DataFrame, minJac: Double = 0.3): DataFrame = {
-    val bands = bandsFromArrs(arr)
+      arr: DataFrame, minJac: Double = 0.3,
+      cap: Int = bandBucketCap): DataFrame = {
+    val bands = capBands(bandsFromArrs(arr), cap)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -587,7 +655,14 @@ object DedupOps {
       broadcastLimit: Long = broadcastRowLimit,
       oldBandsPre: Option[DataFrame] = None): DataFrame = {
     val newBands = bandsFromArrs(newArr)
-    val oldBands = oldBandsPre.getOrElse(bandsFromArrs(oldArr))
+    // [[capBands]] on the CORPUS side only: a degenerate old bucket would
+    // otherwise multiply every colliding batch doc by the whole bucket.
+    // Capping by the static side keeps the admit decision micro-batch-
+    // partitioning INVARIANT (the st09 contract — a cap depending on the
+    // batch's own rows would make results split-dependent). A pre-built
+    // index (`oldBandsPre`) must already be capped — st09 and
+    // StreamBatchBench cache `capBands(bandsFromArrs(oldArr))`.
+    val oldBands = oldBandsPre.getOrElse(capBands(bandsFromArrs(oldArr)))
     val cand = broadcastIfUnder(newBands, nNew * 8, broadcastLimit).as("a")
       .join(oldBands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
@@ -636,10 +711,11 @@ object DedupOps {
       s"""WITH ${shingleSqlFrom("documents")},
         mh AS (SELECT doc_id, $mhs FROM sh GROUP BY doc_id),
         bands AS ($bandRows),
+        oldb AS (${capBandsSql("(SELECT * FROM bands WHERE doc_id % 3 <> 0)")}),
         cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
-                 FROM bands a JOIN bands b
+                 FROM bands a JOIN oldb b
                    ON a.band = b.band AND a.sig = b.sig
-                 WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0),
+                 WHERE a.doc_id % 3 = 0),
         cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         shared AS (SELECT c.new_id, c.old_id, COUNT(*) AS shared
                    FROM cand c
@@ -1554,7 +1630,57 @@ object DedupOps {
              ELSE 'clean' END AS severity
       FROM c ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- d19
+  /** The PRODUCTION near-dup recipe for hostile (boilerplate-heavy crawl)
+    * corpora — the composition [[bandBucketCap]]'s semantics point at:
+    * route the exact-duplicate mass through a linear hash-groupBy FIRST
+    * (t01's shape: one shuffle on md5(text)), then run MinHash-LSH only
+    * on the surviving REPRESENTATIVES. On a corpus where 20% of docs are
+    * byte-identical, the naive d02 plan puts the whole identical mass in
+    * one (band, sig) bucket (quadratic within the bucket, and the OUTPUT
+    * itself is quadratic: every member pair); this recipe emits the exact
+    * mass as a linear STAR (canonical → member, jac = 1.0 — byte equality
+    * IS Jaccard 1.0) and the near-dup layer sees each group once.
+    *
+    * Scale shape: one corpus-keyed md5 groupBy + one semi-join (both
+    * linear, map-side combinable) + d02's banded plan over the smaller
+    * representative set, with [[capBands]] as the backstop for
+    * boilerplate collisions that survive exact collapse.
+    */
+  private[graft] def nearDupPairsGuarded(docs: DataFrame,
+      minJac: Double = 0.3, cap: Int = bandBucketCap): DataFrame = {
+    val g = docs.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val canon = g.groupBy(col("h")).agg(min(col("doc_id")).as("canon"))
+    val star = g.join(canon, Seq("h"))
+      .filter(col("doc_id") > col("canon"))
+      .select(col("canon").as("doc_a"), col("doc_id").as("doc_b"),
+        lit(1.0).as("jac"))
+    val reps = docs.join(canon.select(col("canon").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val arr = shingleArrs(reps).cache()
+    arr.count() // single cache fill (see d01)
+    star.unionByName(minhashLshPairsFromArrs(arr, minJac, cap))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val d19 = QueryDef(
+    "d19_neardup_guarded",
+    "exact-dup star collapse + MinHash-LSH near-dup pairs on representatives",
+    (s, dir) => nearDupPairsGuarded(Tables.load(s, dir, "documents")),
+    Some(s"""WITH g AS (SELECT doc_id, md5(text) AS h FROM documents
+                  WHERE length(trim(text)) > 0),
+      gc AS (SELECT h, MIN(doc_id) AS canon FROM g GROUP BY h),
+      star AS (SELECT gc.canon AS doc_a, g.doc_id AS doc_b,
+                      CAST(1.0 AS DOUBLE) AS jac
+               FROM g JOIN gc ON gc.h = g.h WHERE g.doc_id > gc.canon),
+      reps AS (SELECT d.* FROM documents d JOIN gc ON gc.canon = d.doc_id),
+      ${minhashPairsSql("reps", 0.3, "r")}
+      SELECT doc_a, doc_b, jac FROM star
+      UNION ALL SELECT doc_a, doc_b, jac FROM rpairs
+      ORDER BY doc_a, doc_b"""))
+
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d15, d16, d17, d18)
+      d15, d16, d17, d18, d19)
 }

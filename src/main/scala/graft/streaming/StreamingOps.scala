@@ -528,8 +528,11 @@ object StreamingOps {
       // the (doc_id, band, sig) index is ALSO cached: band signatures are
       // a corpus-sized minhash projection, and deriving them from oldArr
       // inside the admit plan would replay that projection every
-      // micro-batch — the precomputed-index contract the d08 doc names
-      val oldBands = DedupOps.bandsFromArrs(oldArr).cache()
+      // micro-batch — the precomputed-index contract the d08 doc names.
+      // CAPPED per (band, sig) bucket (the admitNewAgainstOld oldBandsPre
+      // contract): the degenerate-bucket guard is part of the index, so
+      // it is paid once here, never per micro-batch.
+      val oldBands = DedupOps.capBands(DedupOps.bandsFromArrs(oldArr)).cache()
       oldBands.count()
       try {
         val tmp = java.nio.file.Files.createTempDirectory(tmpRoot, "st09")

@@ -50,7 +50,7 @@ object StreamBatchBench {
     val isNew = pmod(col("doc_id"), lit(3)) === 0
     val oldArr = DedupOps.shingleArrs(idxDocs.filter(!isNew)).cache()
     val nIdx = oldArr.count()
-    val oldBands = DedupOps.bandsFromArrs(oldArr).cache()
+    val oldBands = DedupOps.capBands(DedupOps.bandsFromArrs(oldArr)).cache()
     oldBands.count()
     println(s"[sbb] st09 static index: $nIdx docs from $indexDir")
     val times = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]

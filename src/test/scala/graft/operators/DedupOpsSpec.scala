@@ -315,4 +315,87 @@ class DedupOpsSpec extends AnyFunSuite with graft.SparkTestSession {
     DedupOps.canonicalMapFor(spark, dir, "d13_leakage_safe_split")
     DedupOps.canonicalMapFor(spark, dir, "d16_soft_dedup_weights")
   }
+
+  test("capBands: oversized buckets truncate to the cap lowest ids, healthy buckets untouched") {
+    import spark.implicits._
+    // five byte-identical docs share EVERY band signature: one 5-member
+    // bucket per band; the near-dup pair forms its own small buckets
+    val docs = ((0L until 5L).map(i =>
+        (i, "the quick brown fox jumps over the lazy dog daily")) ++ Seq(
+        (10L, "unique quick brown fox jumps high"),
+        (11L, "unique quick brown fox leaps high"))).toDF("doc_id", "text")
+    val bands = DedupOps.bandsFromArrs(DedupOps.shingleArrs(docs))
+    val capped = DedupOps.capBands(bands, cap = 2)
+    val sizes = capped.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("n")).collect().map(_.getAs[Long]("n"))
+    assert(sizes.forall(_ <= 2L))
+    // the survivors of the degenerate mass are exactly the 2 LOWEST ids
+    val massLeft = capped.filter(col("doc_id") < 5)
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(massLeft == Set(0L, 1L))
+    // identity when no bucket exceeds the cap (the healthy-corpus path)
+    assert(DedupOps.capBands(bands, cap = 5).collect().toSet ==
+      bands.collect().toSet)
+  }
+
+  test("d02 cap semantics: degenerate-bucket pairs bounded to the representatives") {
+    import spark.implicits._
+    val mass = (0L until 8L).map(i =>
+      (i, "copy paste boilerplate text repeated across the whole crawl"))
+    val docs = (mass ++ Seq(
+      (100L, "unique quick brown fox jumps high"),
+      (101L, "unique quick brown fox leaps high"))).toDF("doc_id", "text")
+    val arr = DedupOps.shingleArrs(docs).cache()
+    arr.count()
+    // uncapped (cap above the mass): all C(8,2)=28 mass pairs + the near pair
+    assert(DedupOps.minhashLshPairsFromArrs(arr, 0.0, cap = 64).count() == 29L)
+    // cap=3: pair work collapses to C(3,2)=3 representative pairs + near
+    val capped = DedupOps.minhashLshPairsFromArrs(arr, 0.0, cap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    arr.unpersist(blocking = false)
+    val expectMass = for { a <- 0L until 3L; b <- (a + 1) until 3L } yield (a, b)
+    assert(capped == expectMass.toSet + ((100L, 101L)))
+  }
+
+  test("admit vs a capped corpus bucket: batch docs are verified against the representatives") {
+    import spark.implicits._
+    // corpus: a degenerate identical mass; batch: one more copy of it and
+    // one genuinely new doc. Capping the CORPUS index must not flip the
+    // admit decisions: the copy still collides with (and verifies
+    // against) the representatives, the new doc still clears.
+    val mass = (100L until 130L).map(i =>
+      (i, "copy paste boilerplate text repeated across the whole crawl"))
+    val oldArr = DedupOps.shingleArrs(mass.toDF("doc_id", "text")).cache()
+    oldArr.count()
+    val batch = Seq(
+      (0L, "copy paste boilerplate text repeated across the whole crawl"),
+      (1L, "an actually novel document with fresh words and nothing shared"))
+      .toDF("doc_id", "text")
+    val admitted = DedupOps.admitNewAgainstOld(
+        batch.select(col("doc_id")).distinct(), 2L,
+        DedupOps.shingleArrs(batch), oldArr,
+        oldBandsPre = Some(DedupOps.capBands(
+          DedupOps.bandsFromArrs(oldArr), cap = 4)))
+      .collect().map(_.getLong(0)).toSet
+    oldArr.unpersist(blocking = false)
+    assert(admitted == Set(1L))
+  }
+
+  test("d19: exact mass emits a linear star at jac=1.0, near-dups via representatives") {
+    import spark.implicits._
+    val docs = ((0L until 5L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog daily")) ++ Seq(
+      (10L, "unique quick brown fox jumps high"),
+      (11L, "unique quick brown fox leaps high"),
+      (20L, "completely standalone content nothing else matches"))).toDF("doc_id", "text")
+    val got = DedupOps.nearDupPairsGuarded(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the 5-member exact group is 4 star edges (canonical 0 -> member),
+    // NOT C(5,2)=10 member pairs; the near-dup pair scores 2/(4+4-2)=1/3
+    val (star, near) = got.partition(_._3 == 1.0)
+    assert(star.toSet == Set((0L, 1L, 1.0), (0L, 2L, 1.0), (0L, 3L, 1.0),
+      (0L, 4L, 1.0)))
+    assert(near.map(t => (t._1, t._2)).toSet == Set((10L, 11L)))
+    assert(math.abs(near.head._3 - 1.0 / 3.0) < 1e-9)
+  }
 }
