@@ -575,10 +575,12 @@ object StreamingOps {
     },
     graft.operators.DedupOps.d08.oracle)
 
-  /** st10: STREAMING DECONTAMINATION — the d05/d07 benchmark guard run on
-    * the ingest stream, in the production shape: every arriving document
-    * is admitted iff it shares NO 3-shingle with the static held-out
-    * benchmark set. Two stateless stages, no watermark, no state store:
+  /** STREAMING DECONTAMINATION (the st10/st11 shared core) — the d05/d07
+    * benchmark guard run on the ingest stream, in the production shape:
+    * every arriving document is admitted iff it shares NO 3-shingle with
+    * the static held-out benchmark set (`benchDocs`; st10 passes the
+    * whole reserved `% 97 == 0` pool, st11 a FIXED 64-doc slice of it).
+    * Two stateless stages, no watermark, no state store:
     *
     *  1. a broadcast BLOOM prefilter ([[graft.functions.BloomMightContain]],
     *     codegen'd) runs as a `filter()` HOF over the doc's own shingle
@@ -603,15 +605,11 @@ object StreamingOps {
     * corpus streams through map-side work: no corpus-sized shuffle
     * anywhere.
     */
-  val st10 = QueryDef(
-    "st10_stream_decontam",
-    "streaming decontamination: Bloom prefilter + stream-static anti verify",
-    (s, dir) => {
+  private def decontamAgainst(s: SparkSession, dir: String,
+      benchDocs: DataFrame, gate: String): DataFrame = {
       import graft.operators.DedupOps
       graft.functions.GraftFunctions.register(s)
-      val docsAll = graft.Tables.load(s, dir, "documents")
-      val isBench = pmod(col("doc_id"), lit(97)) === 0
-      val benchArr = DedupOps.shingleArrs(docsAll.filter(isBench))
+      val benchArr = DedupOps.shingleArrs(benchDocs)
         .select(col("doc_id").as("bench_id"), col("shArr").as("benchArr"))
         .cache()
       val nBenchDocs = benchArr.count() // cache fill + size contract probe
@@ -648,11 +646,18 @@ object StreamingOps {
           .join(DedupOps.broadcastIfUnder(benchArr, nBenchDocs),
             arrays_overlap(col("shPos"), col("benchArr")), "left_anti")
           .select(col("doc_id"))
-        runAppendToFiles(s, clean.union(verified), "st10", dir,
+        runAppendToFiles(s, clean.union(verified), gate, dir,
             table = "documents")
           .orderBy(col("doc_id"))
       } finally benchArr.unpersist(blocking = false)
-    },
+  }
+
+  val st10 = QueryDef(
+    "st10_stream_decontam",
+    "streaming decontamination: Bloom prefilter + stream-static anti verify",
+    (s, dir) => decontamAgainst(s, dir,
+      graft.Tables.load(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(97)) === 0), "st10"),
     Some(s"""WITH ${graft.operators.DedupOps.shingleSqlFrom("documents")},
       bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
       hit AS (SELECT DISTINCT doc_id FROM sh
@@ -661,6 +666,35 @@ object StreamingOps {
       WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hit)
       ORDER BY doc_id"""))
 
+  /** st11: st10 re-cut to the PRODUCTION contract (r11 VERDICT item 4 —
+    * "kill the st10 asterisk"): the benchmark side is a FIXED 64-doc
+    * slice of the reserved pool (lowest doc_ids of `% 97 == 0` — a
+    * TakeOrderedAndProject, never a corpus sort), so it does NOT grow
+    * with the corpus. st10's bench side is a constant FRACTION of the
+    * corpus, which makes its gate-form scale readings measure a bench
+    * that grows 10× under a 10× corpus — a synthetic artifact three
+    * rounds of evidence had to asterisk. Here the 10× gate-form reading
+    * is directly interpretable: fixed eval suite, stream grows, cost
+    * tracks the stream linearly.
+    */
+  val st11 = QueryDef(
+    "st11_stream_decontam_fixed",
+    "streaming decontamination against a FIXED 64-doc benchmark slice",
+    (s, dir) => decontamAgainst(s, dir,
+      graft.Tables.load(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(97)) === 0)
+        .orderBy(col("doc_id")).limit(64), "st11"),
+    Some(s"""WITH ${graft.operators.DedupOps.shingleSqlFrom("documents")},
+      benchdocs AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0
+                    ORDER BY doc_id LIMIT 64),
+      bench AS (SELECT DISTINCT sh FROM sh
+                WHERE doc_id IN (SELECT doc_id FROM benchdocs)),
+      hit AS (SELECT DISTINCT doc_id FROM sh
+              WHERE doc_id % 97 <> 0 AND sh IN (SELECT sh FROM bench))
+      SELECT doc_id FROM documents
+      WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hit)
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09, st10)
+    Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09, st10, st11)
 }
