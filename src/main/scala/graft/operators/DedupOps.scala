@@ -395,16 +395,20 @@ object DedupOps {
     * ~0.51 — no true dups); a production text-dedup run would use ~0.9,
     * which only shrinks the verify stage.
     */
-  val d04 = QueryDef(
-    "d04_embed_dup",
-    "embedding-cosine near-dup pairs via hyperplane-LSH banding + verify",
-    (s, dir) => {
+  /** d04 core over an arbitrary `(vec_id, embedding float[])` frame: 4×4
+    * hyperplane-LSH banding → same-(band, sig) candidates → exact cosine
+    * verify at `minSim`. Factored so the hostile-corpus recipe ([[d20]])
+    * can run it over the post-collapse representative set — the d19
+    * pattern on the embedding side.
+    */
+  private[graft] def embBandPairs(raw: DataFrame,
+      minSim: Double = 0.35): DataFrame = {
       def sign(p: Int, d: Int): Double = {
         val hex = java.security.MessageDigest.getInstance("MD5")
           .digest(s"${p}_$d".getBytes("UTF-8"))
         if (((hex(0) >> 4) & 0xf) < 8) 1.0 else -1.0
       }
-      val e = Tables.load(s, dir, "embeddings")
+      val e = raw
         .select(col("vec_id"),
           expr("transform(embedding, x -> cast(x AS double))").as("emb"))
         .withColumn("norm", sqrt(vecDot(col("emb"), col("emb"))))
@@ -438,33 +442,46 @@ object DedupOps {
         .select(col("vec_a"), col("vec_b"),
           (vecDot(col("na.emb"), col("nb.emb"))
             / (col("na.norm") * col("nb.norm"))).as("sim"))
-        .filter(col("sim") >= 0.35)
+        .filter(col("sim") >= minSim)
         .orderBy(col("vec_a"), col("vec_b"))
-    },
-    Some {
-      def plane(p: Int) =
+  }
+
+  /** The SQL twin of [[embBandPairs]] as a CTE chain over `src` (a table
+    * or CTE with d04's embedding shape); CTEs are `$prefix`-namespaced,
+    * final pair set (vec_a, vec_b, sim — UNORDERED) is `${prefix}epairs`.
+    */
+  private[graft] def embPairsSql(src: String, minSim: Double = 0.35,
+      prefix: String = ""): String = {
+      val p = prefix
+      def plane(pl: Int) =
         s"""CASE WHEN list_sum(list_transform(range(len(emb)), d ->
-            CASE WHEN substring(md5('$p' || '_' || CAST(d AS VARCHAR)), 1, 1) < '8'
+            CASE WHEN substring(md5('$pl' || '_' || CAST(d AS VARCHAR)), 1, 1) < '8'
                  THEN emb[d + 1] ELSE -emb[d + 1] END)) >= 0 THEN '1' ELSE '0' END"""
       val bandRows = (0 until 4).map(b =>
-        s"SELECT vec_id, $b AS band, ${(0 until 4).map(i => plane(b * 4 + i)).mkString(" || ")} AS sig FROM e")
+        s"SELECT vec_id, $b AS band, ${(0 until 4).map(i => plane(b * 4 + i)).mkString(" || ")} AS sig FROM ${p}e")
         .mkString(" UNION ALL ")
-      s"""WITH e AS (SELECT vec_id,
+      s"""${p}e AS (SELECT vec_id,
               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-            FROM embeddings),
-        bands AS ($bandRows),
-        cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-                 FROM bands a JOIN bands b
+            FROM $src),
+        ${p}bands AS ($bandRows),
+        ${p}cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                 FROM ${p}bands a JOIN ${p}bands b
                    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
-        n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS norm FROM e)
-        SELECT vec_a, vec_b,
+        ${p}n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS norm FROM ${p}e),
+        ${p}epairs AS (SELECT vec_a, vec_b,
                list_dot_product(na.emb, nb.emb) / (na.norm * nb.norm) AS sim
-        FROM cand
-        JOIN n na ON na.vec_id = vec_a
-        JOIN n nb ON nb.vec_id = vec_b
-        WHERE list_dot_product(na.emb, nb.emb) / (na.norm * nb.norm) >= 0.35
-        ORDER BY vec_a, vec_b"""
-    })
+        FROM ${p}cand
+        JOIN ${p}n na ON na.vec_id = vec_a
+        JOIN ${p}n nb ON nb.vec_id = vec_b
+        WHERE list_dot_product(na.emb, nb.emb) / (na.norm * nb.norm) >= $minSim)"""
+  }
+
+  val d04 = QueryDef(
+    "d04_embed_dup",
+    "embedding-cosine near-dup pairs via hyperplane-LSH banding + verify",
+    (s, dir) => embBandPairs(Tables.load(s, dir, "embeddings")),
+    Some(s"""WITH ${embPairsSql("embeddings")}
+        SELECT vec_a, vec_b, sim FROM epairs ORDER BY vec_a, vec_b"""))
 
   /** Benchmark-contamination check: which corpus documents share word
     * 3-shingles with a held-out benchmark set (here: the deterministic
@@ -1680,7 +1697,54 @@ object DedupOps {
       UNION ALL SELECT doc_a, doc_b, jac FROM rpairs
       ORDER BY doc_a, doc_b"""))
 
+  // ---------------------------------------------------------------- d20
+  /** [[nearDupPairsGuarded]]'s EMBEDDING-side twin: the production recipe
+    * for an adversarial vector corpus (mass re-embeddings of one byte-
+    * identical payload — mirrored sites, dedup-skipped re-crawls). d04's
+    * 4-bit band signatures put every copy of an identical vector in the
+    * SAME bucket of every band, so the band self-join goes quadratic in
+    * the copy count and the OUTPUT itself is quadratic (every copy pair).
+    * Here the identical mass collapses through one LINEAR groupBy on the
+    * raw float array (bit equality — parquet floats round-trip exactly,
+    * so grouping is engine-identical) into canonical STARS (sim = 1.0:
+    * byte-identical vectors ARE cosine 1.0), and the banded layer sees
+    * each distinct vector once. Note the residual scale bound d04's own
+    * Scaladoc states still applies to the representative set: 4-bit band
+    * signatures have 16 buckets per band, so DISTINCT-vector corpora need
+    * wider signatures as N grows — the collapse removes the adversarial
+    * blowup, the band width governs the healthy one.
+    */
+  private[graft] def embNearDupGuarded(raw: DataFrame,
+      minSim: Double = 0.35): DataFrame = {
+    val g = raw.select(col("vec_id"), col("embedding"))
+    val canon = g.groupBy(col("embedding")).agg(min(col("vec_id")).as("canon"))
+    val star = g.join(canon, Seq("embedding"))
+      .filter(col("vec_id") > col("canon"))
+      .select(col("canon").as("vec_a"), col("vec_id").as("vec_b"),
+        lit(1.0).as("sim"))
+    val reps = raw.join(canon.select(col("canon").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    star.unionByName(embBandPairs(reps, minSim))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val d20 = QueryDef(
+    "d20_embed_dup_guarded",
+    "exact-identical-vector star collapse + hyperplane-LSH pairs on representatives",
+    (s, dir) => embNearDupGuarded(Tables.load(s, dir, "embeddings")),
+    Some(s"""WITH gc AS (SELECT embedding, MIN(vec_id) AS canon
+                  FROM embeddings GROUP BY embedding),
+      star AS (SELECT gc.canon AS vec_a, g.vec_id AS vec_b,
+                      CAST(1.0 AS DOUBLE) AS sim
+               FROM embeddings g JOIN gc ON g.embedding = gc.embedding
+               WHERE g.vec_id > gc.canon),
+      reps AS (SELECT e0.* FROM embeddings e0 JOIN gc ON gc.canon = e0.vec_id),
+      ${embPairsSql("reps", 0.35, "r")}
+      SELECT vec_a, vec_b, sim FROM star
+      UNION ALL SELECT vec_a, vec_b, sim FROM repairs
+      ORDER BY vec_a, vec_b"""))
+
   val all: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d15, d16, d17, d18, d19)
+      d15, d16, d17, d18, d19, d20)
 }

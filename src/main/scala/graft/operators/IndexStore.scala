@@ -545,6 +545,32 @@ object IndexStore {
     (cells, mx, mean, if (mean > 0) mx / mean else 0.0)
   }
 
+  /** MEASURED recall-drift probe: mean and min recall@k of the persisted
+    * IVF-PQ index's refined search against the exact brute-force top-k
+    * over the same query set — the direct maintenance signal beside
+    * [[ivfCellStats]]'s cell-skew proxy. Cell skew says the routing is
+    * uneven; this says what that costs in retrieval quality, which is the
+    * number a maintenance loop actually alerts on (probe recall decaying
+    * under a frozen quantizer as the embedding distribution drifts).
+    *
+    * The exact side is brute-force over the corpus, so at 100 TB this
+    * runs on a SAMPLED query panel against the live index — the query
+    * side here is the fixed 5-vector gate panel, and both sides are
+    * distributed scans (the exact side broadcasts only the panel). Probe
+    * cadence: after every append batch or on a schedule, alongside
+    * [[ivfCellStats]]; recall below the build-time floor triggers
+    * [[rebalanceIvfPq]], and failure of THAT to recover triggers the
+    * rebuild rung.
+    */
+  def ivfRecallProbe(s: SparkSession, dir: String, loc: String,
+      k: Int = 10): (Double, Double) = {
+    val got = ivfPqRefinedFromIndex(s, dir, loc, topK = k)
+      .select(col("q_id"), col("vec_id"))
+    val r = AnnOps.recallAtK(got, AnnOps.denseTopK(s, dir, k))
+      .agg(avg(col("recall")), min(col("recall"))).head()
+    (r.getDouble(0), r.getDouble(1))
+  }
+
   /** Re-balance an append-skewed IVF index when cell-size skew crosses
     * `skewBound`: re-train the COARSE quantizer over the current live
     * vector set (`e`, the same `(vec_id, emb, norm)` shape the builders

@@ -48,9 +48,8 @@ object SkewData {
     val spark = ToolSession.local()
     Tables.names.foreach { name =>
       val base = Tables.load(spark, srcDir, name)
-      val out =
-        if (name != "documents") base
-        else {
+      val out = name match {
+        case "documents" =>
           val t = when(pmod(col("doc_id"), lit(5)) === 1, lit(identicalPassage))
             .when(pmod(col("doc_id"), lit(2)) === 0,
               concat(lit(boilerPrefix), lit(" "), col("text")))
@@ -59,7 +58,20 @@ object SkewData {
           if (base.columns.contains("n_chars"))
             withText.withColumn("n_chars", length(col("text")))
           else withText
-        }
+        case "embeddings" =>
+          // the d04/d20 stress twin: 20% of corpus vectors byte-identical
+          // (one fixed source vector broadcast onto the mass) — every
+          // copy lands in the SAME bucket of every hyperplane band. The
+          // query panel (vec_id < 5) is left untouched.
+          val src7 = broadcast(base.filter(col("vec_id") === 7)
+            .select(col("embedding").as("mass_emb")))
+          base.crossJoin(src7)
+            .withColumn("embedding",
+              when(pmod(col("vec_id"), lit(5)) === 1 && col("vec_id") >= 5,
+                col("mass_emb")).otherwise(col("embedding")))
+            .drop("mass_emb")
+        case _ => base
+      }
       out.write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
       println(s"skewed $name -> $dstDir/$name.parquet")
     }

@@ -398,4 +398,31 @@ class DedupOpsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(near.map(t => (t._1, t._2)).toSet == Set((10L, 11L)))
     assert(math.abs(near.head._3 - 1.0 / 3.0) < 1e-9)
   }
+
+  test("d20: identical-vector mass emits a linear star, banding sees representatives") {
+    import spark.implicits._
+    // vecs 1,2,3: byte-identical; vec 10: the SAME DIRECTION scaled 2x
+    // (distinct bytes -> a representative, but guaranteed to share every
+    // hyperplane band with the canonical and to verify at cosine exactly
+    // 1.0 -- no dependence on the md5 sign matrix); vec 20: orthogonal to
+    // that direction (dot = 4-6+6-4 = 0), so NO pair survives the 0.35
+    // verify whatever the banding does.
+    val e = Seq(
+      (1L, Array(1f, 2f, 3f, 4f)),
+      (2L, Array(1f, 2f, 3f, 4f)),
+      (3L, Array(1f, 2f, 3f, 4f)),
+      (10L, Array(2f, 4f, 6f, 8f)),
+      (20L, Array(4f, -3f, 2f, -1f))).toDF("vec_id", "embedding")
+    val got = DedupOps.embNearDupGuarded(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 1.0), (1L, 3L, 1.0), (1L, 10L, 1.0)),
+      s"got=$got")
+    // the unguarded d04 plan on the same corpus: the identical mass is
+    // quadratic in the OUTPUT itself -- every member pair, plus each
+    // member x vec 10
+    val naive = DedupOps.embBandPairs(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive == Set((1L, 2L), (1L, 3L), (2L, 3L),
+      (1L, 10L), (2L, 10L), (3L, 10L)), s"naive=$naive")
+  }
 }

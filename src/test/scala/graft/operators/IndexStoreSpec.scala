@@ -267,14 +267,20 @@ class IndexStoreSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(skewAfter <= skew + 1e-9,
       s"rebalance worsened skew: $skew -> $skewAfter")
     // retrieval quality after appends + rebalance clears the SAME floors
-    // the trained-rebuild test pins (the 'rebuild recall floor')
+    // the trained-rebuild test pins (the 'rebuild recall floor') — read
+    // through the production maintenance probe, and cross-checked against
+    // the manual recallAtK computation it wraps
+    val (recMean, recMin) = IndexStore.ivfRecallProbe(spark, dir, loc)
     val got = IndexStore.ivfPqRefinedFromIndex(spark, dir, loc)
       .select(col("q_id"), col("vec_id"))
     val rec = AnnOps.recallAtK(got, AnnOps.denseTopK(spark, dir)).collect()
       .map(_.getAs[Double]("recall"))
     e.unpersist(blocking = false)
-    assert(rec.sum / rec.length >= 0.7, s"mean recall ${rec.sum / rec.length}")
-    assert(rec.min >= 0.5, s"min recall ${rec.min}")
+    assert(math.abs(recMean - rec.sum / rec.length) < 1e-9 &&
+      math.abs(recMin - rec.min) < 1e-9,
+      s"probe ($recMean, $recMin) diverges from manual (${rec.sum / rec.length}, ${rec.min})")
+    assert(recMean >= 0.7, s"mean recall $recMean")
+    assert(recMin >= 0.5, s"min recall $recMin")
   }
 
   test("IVF-PQ: append over frozen quantizer equals full seeded build") {

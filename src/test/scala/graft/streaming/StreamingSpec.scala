@@ -192,4 +192,31 @@ class StreamingSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(StreamingOps.sinkDescriptions.get("st10").exists(_.contains("FileSink")),
       s"st10 sink was '${StreamingOps.sinkDescriptions.get("st10")}'")
   }
+
+  test("st11: decontam bench is the FIXED 64-doc slice, not the whole pool") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_st11_spec").toString
+    // 66 reserved-pool docs (doc_id % 97 == 0): the fixed bench is the 64
+    // LOWEST — pool docs 64 and 65 are OUTSIDE the benchmark. Each pool
+    // doc carries one unique 3-shingle.
+    val pool = (0 until 66).map { i =>
+      (i * 97L, s"pool${i}a pool${i}b pool${i}c", "en", "s", 0L)
+    }
+    val stream = Seq(
+      (1L, "xx pool0a pool0b pool0c yy", "en", "s", 0L),   // hits in-slice doc 0
+      (2L, "totally clean corpus content here", "en", "s", 0L),
+      (3L, "xx pool65a pool65b pool65c yy", "en", "s", 0L)) // hits OUT-of-slice doc 65
+    (pool ++ stream).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // st11: only the fixed slice decontaminates — doc 3's contamination
+    // source is outside the benchmark, so it is ADMITTED
+    val got11 = StreamingOps.st11.run(spark, dir).collect().map(_.getLong(0)).toSeq
+    assert(got11 == Seq(2L, 3L), s"st11 got=$got11")
+    // st10 on the same fixture: the whole pool is the bench, doc 3 drops —
+    // the semantic difference the fixed-slice re-cut exists to pin
+    val got10 = StreamingOps.st10.run(spark, dir).collect().map(_.getLong(0)).toSeq
+    assert(got10 == Seq(2L), s"st10 got=$got10")
+    assert(StreamingOps.sinkDescriptions.get("st11").exists(_.contains("FileSink")),
+      s"st11 sink was '${StreamingOps.sinkDescriptions.get("st11")}'")
+  }
 }
