@@ -795,11 +795,15 @@ object AnnOps {
       .localCheckpoint(true)
   }
 
-  val a07 = QueryDef(
-    "a07_ivfpq_refine",
-    "IVF-PQ + exact re-rank of the ADC shortlist (4 probes, 8x refine)",
-    (s, dir) => ivfPqKnnRefined(s, dir),
-    Some("""WITH e AS (SELECT vec_id,
+  /** a07's full DuckDB replica, parameterized on an extra candidate-side
+    * predicate (`candExtra`, ANDed into the cand CTE): the IVF-PQ delete
+    * gate (IndexStore a14) needs "rebuild-without-vecs" semantics where
+    * ONLY the candidate corpus shrinks — the frozen quantizer/codebooks
+    * still derive from the full table, exactly as tombstone deletes leave
+    * them on disk.
+    */
+  private[graft] def ivfPqRefineOracleSql(candExtra: String = ""): String =
+    s"""WITH e AS (SELECT vec_id,
               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
             FROM embeddings),
       n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS norm FROM e),
@@ -820,7 +824,7 @@ object AnnOps {
         WHERE rn <= 4),
       cand AS (SELECT p.q_id, a.vec_id
                FROM probes p JOIN assign a ON p.c_id = a.c_id
-               WHERE a.vec_id >= 5),
+               WHERE a.vec_id >= 5$candExtra),
       g AS (SELECT CAST(unnest(range(8)) AS INT) AS s),
       subs AS (SELECT vec_id, s, emb[s*8+1 : s*8+8] AS xs FROM e CROSS JOIN g),
       cb AS (SELECT vec_id AS j, s, xs AS cs FROM subs WHERE vec_id < 16),
@@ -854,7 +858,13 @@ object AnnOps {
                CAST(row_number() OVER (PARTITION BY q_id
                  ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
         FROM re) t
-      WHERE rank <= 10 ORDER BY q_id, rank"""))
+      WHERE rank <= 10 ORDER BY q_id, rank"""
+
+  val a07 = QueryDef(
+    "a07_ivfpq_refine",
+    "IVF-PQ + exact re-rank of the ADC shortlist (4 probes, 8x refine)",
+    (s, dir) => ivfPqKnnRefined(s, dir),
+    Some(ivfPqRefineOracleSql()))
 
   val all: Seq[QueryDef] = Seq(a01, a02, a03, a04, a05, a06, a07)
 }

@@ -677,5 +677,34 @@ object IndexStore {
     },
     Some(RetrievalOps.hotTermsOracleSql("doc_id % 7 <> 0 AND ")))
 
-  val all: Seq[QueryDef] = Seq(a10, a11, a12, a13)
+  /** The IVF-PQ retire path under the driver oracle: build over the whole
+    * corpus, tombstone-delete the `vec_id % 9 == 7` slice (which includes
+    * seed vector 7 — the frozen coarse quantizer keeps routing through a
+    * centroid whose source vector is retired, the production situation),
+    * COMPACT the tombstones into the physical tables, query. Must
+    * hash-match a07's SQL with only the CANDIDATE corpus shrunk
+    * ([[graft.operators.AnnOps.ivfPqRefineOracleSql]]): delete ≡
+    * rebuild-without-vecs at the search level, and compaction is
+    * value-invariant — both previously spec pins, now driver-oracled.
+    * Fresh temp location per invocation (the a12/a13 convention): every
+    * rep pays the real build+delete+compact+query chain.
+    */
+  val a14 = QueryDef(
+    "a14_ivfpq_delete_compact_query",
+    "IVF-PQ refine after tombstone deletes + compaction (survivor oracle)",
+    (s, dir) => {
+      val e = AnnOps.embTable(s, dir)
+      val loc = java.nio.file.Files
+        .createTempDirectory(tmpRoot, "a14").toString
+      buildIvfPq(e, loc)
+      deleteIvfPq(e.filter(pmod(col("vec_id"), lit(9)) === 7)
+        .select(col("vec_id")), loc)
+      compactIvfPq(s, loc)
+      val out = ivfPqRefinedFromIndex(s, dir, loc)
+      e.unpersist(blocking = false)
+      out
+    },
+    Some(AnnOps.ivfPqRefineOracleSql(" AND a.vec_id % 9 <> 7")))
+
+  val all: Seq[QueryDef] = Seq(a10, a11, a12, a13, a14)
 }
