@@ -395,14 +395,26 @@ object DedupOps {
     * ~0.51 — no true dups); a production text-dedup run would use ~0.9,
     * which only shrinks the verify stage.
     */
-  /** d04 core over an arbitrary `(vec_id, embedding float[])` frame: 4×4
-    * hyperplane-LSH banding → same-(band, sig) candidates → exact cosine
-    * verify at `minSim`. Factored so the hostile-corpus recipe ([[d20]])
-    * can run it over the post-collapse representative set — the d19
-    * pattern on the embedding side.
+  /** d04 core over an arbitrary `(vec_id, embedding float[])` frame:
+    * `nBands`×`perBand` hyperplane-LSH banding → same-(band, sig)
+    * candidates → exact cosine verify at `minSim`. Factored so the
+    * hostile-corpus recipe ([[d20]]) can run it over the post-collapse
+    * representative set — the d19 pattern on the embedding side.
+    *
+    * The gate pins the 4×4 default; `perBand` is the HEALTHY-corpus
+    * scale knob: a `perBand`-bit signature has 2^perBand buckets per
+    * band, so expected bucket occupancy is N/2^perBand and the band
+    * self-join's pair work is Θ(nBands · N²/2^perBand) — at growing N,
+    * widen perBand ≈ log2(N / target_bucket) to hold bucket sizes flat
+    * (recall per band drops, so nBands rises with it: the standard
+    * LSH band/width trade, measurable per-corpus with
+    * [[graft.operators.AnnOps.recallAtK]]). Widening over the SAME
+    * plane sequence only ever SHRINKS the candidate set (a 2×8 band
+    * match requires two adjacent 4-bit matches), which
+    * DedupOpsSpec pins.
     */
   private[graft] def embBandPairs(raw: DataFrame,
-      minSim: Double = 0.35): DataFrame = {
+      minSim: Double = 0.35, nBands: Int = 4, perBand: Int = 4): DataFrame = {
       def sign(p: Int, d: Int): Double = {
         val hex = java.security.MessageDigest.getInstance("MD5")
           .digest(s"${p}_$d".getBytes("UTF-8"))
@@ -424,9 +436,9 @@ object DedupOps {
         val proj = vecDot(col("emb"), row)
         when(proj >= 0, "1").otherwise("0")
       }
-      val bandCols = (0 until 4).map(b =>
+      val bandCols = (0 until nBands).map(b =>
         struct(lit(b).as("band"),
-          concat((0 until 4).map(i => bitCol(b * 4 + i)): _*).as("sig")))
+          concat((0 until perBand).map(i => bitCol(b * perBand + i)): _*).as("sig")))
       val bands = e.select(col("vec_id"),
           explode(array(bandCols: _*)).as("bs"))
         .select(col("vec_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
@@ -451,14 +463,14 @@ object DedupOps {
     * final pair set (vec_a, vec_b, sim — UNORDERED) is `${prefix}epairs`.
     */
   private[graft] def embPairsSql(src: String, minSim: Double = 0.35,
-      prefix: String = ""): String = {
+      prefix: String = "", nBands: Int = 4, perBand: Int = 4): String = {
       val p = prefix
       def plane(pl: Int) =
         s"""CASE WHEN list_sum(list_transform(range(len(emb)), d ->
             CASE WHEN substring(md5('$pl' || '_' || CAST(d AS VARCHAR)), 1, 1) < '8'
                  THEN emb[d + 1] ELSE -emb[d + 1] END)) >= 0 THEN '1' ELSE '0' END"""
-      val bandRows = (0 until 4).map(b =>
-        s"SELECT vec_id, $b AS band, ${(0 until 4).map(i => plane(b * 4 + i)).mkString(" || ")} AS sig FROM ${p}e")
+      val bandRows = (0 until nBands).map(b =>
+        s"SELECT vec_id, $b AS band, ${(0 until perBand).map(i => plane(b * perBand + i)).mkString(" || ")} AS sig FROM ${p}e")
         .mkString(" UNION ALL ")
       s"""${p}e AS (SELECT vec_id,
               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

@@ -425,4 +425,29 @@ class DedupOpsSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(naive == Set((1L, 2L), (1L, 3L), (2L, 3L),
       (1L, 10L), (2L, 10L), (3L, 10L)), s"naive=$naive")
   }
+
+  test("embBandPairs: widening bands over the same plane sequence only shrinks candidates") {
+    import spark.implicits._
+    // deterministic pseudo-random vectors (md5-derived), enough that the
+    // 4x4 banding produces a non-trivial candidate set
+    def vec(id: Long): Array[Float] = Array.tabulate(16) { d =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"v${id}_$d".getBytes("UTF-8"))
+      (h(0).toInt / 128.0f)
+    }
+    val e = (0L until 60L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    def pairs(nBands: Int, perBand: Int): Set[(Long, Long)] =
+      DedupOps.embBandPairs(e, minSim = -1.0, nBands = nBands, perBand = perBand)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p44 = pairs(4, 4)   // planes 0..15 grouped 4x4
+    val p28 = pairs(2, 8)   // SAME planes grouped 2x8
+    val p116 = pairs(1, 16) // SAME planes, one 16-bit signature
+    // a 2x8 band match is two adjacent 4-bit matches; 1x16 is all four --
+    // candidate sets must be monotone under widening (minSim = -1 keeps
+    // the verify from hiding candidate-set differences)
+    assert(p28.subsetOf(p44), s"2x8 ⊄ 4x4: ${p28 -- p44}")
+    assert(p116.subsetOf(p28), s"1x16 ⊄ 2x8: ${p116 -- p28}")
+    assert(p44.nonEmpty && p44.size > p116.size,
+      s"fixture too weak: |4x4|=${p44.size}, |1x16|=${p116.size}")
+  }
 }
