@@ -408,10 +408,13 @@ object DedupOps {
     * widen perBand ≈ log2(N / target_bucket) to hold bucket sizes flat
     * (recall per band drops, so nBands rises with it: the standard
     * LSH band/width trade, measurable per-corpus with
-    * [[graft.operators.AnnOps.recallAtK]]). Widening over the SAME
-    * plane sequence only ever SHRINKS the candidate set (a 2×8 band
-    * match requires two adjacent 4-bit matches), which
-    * DedupOpsSpec pins.
+    * [[graft.tools.BandProbe]] — BENCH_BANDS.json carries the measured
+    * curve on the committed corpus plus the theory cross-check:
+    * per-band collision is (1 − acos(s)/π)^perBand, so wide bands pay
+    * off exactly when the threshold is high, the production text-dedup
+    * regime). Widening over the SAME plane sequence only ever SHRINKS
+    * the candidate set (a 2×8 band match requires two adjacent 4-bit
+    * matches), which DedupOpsSpec pins.
     */
   private[graft] def embBandPairs(raw: DataFrame,
       minSim: Double = 0.35, nBands: Int = 4, perBand: Int = 4): DataFrame = {
