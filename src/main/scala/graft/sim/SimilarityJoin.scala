@@ -94,6 +94,59 @@ object SimilarityJoin {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** [[join]] with the hot-token guard the family's other inverted
+    * indexes carry (DedupOps.shingleDfCap, EntityResolution.gramDfCap):
+    * tokens whose document frequency exceeds `dfCap` on EITHER side are
+    * dropped from CANDIDATE GENERATION only. [[join]] counts overlap in
+    * the token equi-join itself, so it cannot simply skip hot tokens —
+    * the count would be wrong for every surviving pair; here candidates
+    * are (l_id, r_id) keys only, and the verify stage recomputes the
+    * EXACT Jaccard from the full token arrays (hot tokens included), so
+    * every emitted pair scores identically to [[join]].
+    *
+    * Semantics past the cap (the ER convention — hot keys leave
+    * blocking, never scoring): a pair whose ONLY shared tokens are
+    * ultra-common is not discoverable. On a Zipf corpus that pair is
+    * boilerplate noise; on the committed corpora no token crosses the
+    * default cap, so joinGuarded ≡ join there (spec-pinned). The scale
+    * story: one hot token shared by f·N docs a side makes [[join]]'s
+    * equi-join emit (f·N)² rows through THAT key — the single skewed
+    * task that stalls a 100 TB run; the guard bounds every token's
+    * contribution at dfCap² while the verify join stays
+    * candidate-bounded.
+    */
+  def joinGuarded(left: DataFrame, leftId: String, leftText: Column,
+           right: DataFrame, rightId: String, rightText: Column,
+           threshold: Double, dfCap: Int = 1000): DataFrame = {
+    val l = left.select(col(leftId).as("l_id"), whitespaceTokens(leftText).as("l_raw"))
+      .withColumn("l_n", size(col("l_raw")))
+      .withColumn("l_toks", array_distinct(col("l_raw")))
+      .withColumn("l_k", size(col("l_toks")))
+    val r = right.select(col(rightId).as("r_id"), whitespaceTokens(rightText).as("r_raw"))
+      .withColumn("r_n", size(col("r_raw")))
+      .withColumn("r_toks", array_distinct(col("r_raw")))
+      .withColumn("r_k", size(col("r_toks")))
+    val lTok = l.select(col("l_id"), col("l_n"), explode(col("l_toks")).as("tok"))
+    val rTok = r.select(col("r_id"), col("r_n"), explode(col("r_toks")).as("tok"))
+    // hot = df > cap on either side; tiny by construction (≤ vocab/cap
+    // keys can exceed the cap), so it broadcasts
+    val hot = lTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .unionByName(rTok.groupBy(col("tok")).agg(count(lit(1)).as("df")))
+      .groupBy(col("tok")).agg(max(col("df")).as("df"))
+      .filter(col("df") > dfCap).select(col("tok"))
+    val cand = lTok.join(broadcast(hot), Seq("tok"), "left_anti")
+      .join(rTok.join(broadcast(hot), Seq("tok"), "left_anti"), Seq("tok"))
+      .filter(col("r_n") >= col("l_n") * threshold &&
+              col("r_n") <= col("l_n") / threshold)
+      .select(col("l_id"), col("r_id")).distinct()
+    // exact verify from the FULL token sets — hot tokens count here
+    cand.join(l.select(col("l_id"), col("l_toks")), Seq("l_id"))
+      .join(r.select(col("r_id"), col("r_toks")), Seq("r_id"))
+      .select(col("l_id"), col("r_id"),
+        jaccard(col("l_toks"), col("r_toks")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** cpe_product_edge reproduction (FIXTURES.md: cpe vs best_label,
     * jaccard ≥ 0.5, '_' → ' ' first per cpe_product c8).
     */

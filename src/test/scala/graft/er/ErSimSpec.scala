@@ -24,6 +24,31 @@ class ErSimSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(got == Set((1L, 10L), (2L, 11L), (3L, 12L)))
   }
 
+  test("joinGuarded: hot tokens leave candidate generation, never the verify") {
+    // "the" appears in 4 left + 4 right rows -> df > 2 on both sides
+    val left = Seq((1L, "alpha beta the"), (2L, "the zebra"),
+      (3L, "the lonely"), (4L, "the quiet")).toDF("id", "text")
+    val right = Seq((10L, "alpha beta the gamma"), (11L, "the yak"),
+      (12L, "the solo"), (13L, "the still")).toDF("id", "text")
+    def run(f: => org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      f.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val guarded = run(SimilarityJoin.joinGuarded(
+      left, "id", col("text"), right, "id", col("text"), 0.3, dfCap = 2))
+    // (1,10) is found via the rare tokens alpha/beta, and its jaccard
+    // still COUNTS the hot token: |{alpha,beta,the}| ∩ ∪ -> 3/4, not 2/4
+    assert(guarded == Set((1L, 10L, 0.75)), s"guarded=$guarded")
+    // unguarded finds the only-hot-shared pairs too (J = 1/3 ≥ 0.3 each);
+    // the guard's documented loss is exactly those
+    val naive = run(SimilarityJoin.join(
+      left, "id", col("text"), right, "id", col("text"), 0.3))
+    assert(naive.map(t => (t._1, t._2)).contains((2L, 11L)) &&
+      naive.contains((1L, 10L, 0.75)), s"naive=$naive")
+    // above the cap nothing is hot: guarded ≡ join exactly
+    val parity = run(SimilarityJoin.joinGuarded(
+      left, "id", col("text"), right, "id", col("text"), 0.3, dfCap = 1000))
+    assert(parity == naive, s"parity=$parity naive=$naive")
+  }
+
   test("similarity join keeps boundary pairs at thresholds inexact in binary") {
     // t=0.2, k1=1, k2=5: the exact overlap bound is 0.2*6/1.2 = 1.0, but
     // the double arithmetic rounds to 1.0000000000000002 — without the
