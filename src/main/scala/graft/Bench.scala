@@ -122,9 +122,13 @@ object Bench {
     // automatic. A floor at-or-under both readings says suite-ordering
     // interference, not a plan change. The baseline comes from
     // SPARK_GRAFT_PREV_BENCH, else the highest-numbered parseable
-    // BENCH_r*_full.json / BENCH_r*.json in the cwd. Capped at the 12
+    // BENCH_r*_full.json / BENCH_r*.json in the cwd. Capped at the
     // largest movers (the refloor pass re-runs gates 3x; an unbounded
-    // pass could double a bad run).
+    // pass could double a bad run) — cap = max(12, 25% of the selected
+    // suite) per the r12 VERDICT (the fixed 12 silently skipped the
+    // round's three largest movers), overridable via
+    // SPARK_GRAFT_REFLOOR_CAP; skipped movers are listed BY NAME so a
+    // capped pass can never hide which gates went unadjudicated.
     val prevFile: Option[java.io.File] =
       sys.env.get("SPARK_GRAFT_PREV_BENCH").map(new java.io.File(_)).filter(_.isFile)
         .orElse {
@@ -165,10 +169,24 @@ object Bench {
         val p = prev(name)
         (name, math.max(cur / p, p / cur))
     }.filter(_._2 > 1.25).sortBy(-_._2)
-    val refloors: Map[String, Double] = movers.take(12).map { case (name, _) =>
+    val refloorCap = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_REFLOOR_CAP", "").toInt).toOption
+      .getOrElse(math.max(12, math.ceil(results.size * 0.25).toInt))
+    val refloors: Map[String, Double] = movers.take(refloorCap).map { case (name, _) =>
       name -> runOne(name, SparkEntry.queries(name), sfDir,
         nReps = 3, forceGc = true)._1
     }.toMap
+    // consume-once memo families (static producer lists): an ISOLATED
+    // refloor of a consumer gate rebuilds the whole family per rep, so
+    // its floor reads ~the producer's cost while its suite reading is
+    // near-zero — correct, but misleading without this tag (r12 VERDICT
+    // item: g06/g08 floors of 2.65/2.86 s next to 0.03 s suite readings).
+    val memoProducer = Map(
+      "g06_louvain_histogram" -> "g05_communities",
+      "g07_triangles" -> "g05_communities",
+      "g08_louvain_weighted" -> "g05_communities",
+      "d13_leakage_safe_split" -> "d06_dedup_resolve",
+      "d16_soft_dedup_weights" -> "d06_dedup_resolve")
 
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -188,8 +206,13 @@ object Bench {
     val rf = refloors.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val rfBase = prevFile.map(f => "\"" + esc(f.getName) + "\"").getOrElse("null")
-    val rfSkipped = math.max(0, movers.size - 12)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"isolate":$isolate,"timeout_sec":$timeoutSec,"queries":$qs,"errors":$errs,"auto_refloors":$rf,"auto_refloor_base":$rfBase,"auto_refloors_skipped":$rfSkipped,"sf":"$sfDir"}"""
+    val rfSkippedNames = movers.drop(refloorCap).map(m => "\"" + m._1 + "\"")
+      .mkString("[", ",", "]")
+    val rfMemo = refloors.keys.toSeq.sorted.flatMap(k =>
+      memoProducer.get(k).map(p => "\"" + k + "\":\"isolated floor rebuilds " +
+        p + " memo per rep; compare suite reading\""))
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"isolate":$isolate,"timeout_sec":$timeoutSec,"queries":$qs,"errors":$errs,"auto_refloors":$rf,"auto_refloor_base":$rfBase,"auto_refloor_cap":$refloorCap,"auto_refloors_skipped":${math.max(0, movers.size - refloorCap)},"auto_refloors_skipped_names":$rfSkippedNames,"auto_refloor_memo_notes":$rfMemo,"sf":"$sfDir"}"""
     println(line)
     // self-contained artifact (r10 VERDICT item 5): the driver captures
     // stdout, which truncated BENCH_r10.json mid-JSON — so the full

@@ -66,8 +66,9 @@ object IndexStore {
     dir.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** Serializes concurrent ensure-builds in one JVM (parallel test suites
-    * / notebook threads racing on the same loc); cross-process callers
-    * coordinate externally, as with any shared parquet dataset.
+    * / notebook threads racing on the same loc); cross-process (and
+    * reader-vs-mutator) exclusion is ENFORCED by [[IndexLock]] — lock
+    * file + lease + fencing token on every mutator and read path.
     */
   private val buildLock = new Object
 
@@ -115,14 +116,17 @@ object IndexStore {
     */
   def buildBm25(docs: DataFrame, loc: String): Unit = {
     val s = docs.sparkSession
-    val (sc, ss, sch) = docSig(docs)
-    val ix = RetrievalOps.buildIndexTables(docs) // tf cached by the build
-    ix.tf.write.mode("overwrite").parquet(s"$loc/postings.parquet")
-    ix.dl.write.mode("overwrite").parquet(s"$loc/doclen.parquet")
-    ix.dfreq.write.mode("overwrite").parquet(s"$loc/dfreq.parquet")
-    statsDf(s, ix.nDocs, ix.sumTf, sc, ss, sch)
-      .write.mode("overwrite").parquet(s"$loc/stats.parquet")
-    ix.tf.unpersist(blocking = false)
+    IndexLock.withLock(s, loc) { tok =>
+      val (sc, ss, sch) = docSig(docs)
+      val ix = RetrievalOps.buildIndexTables(docs) // tf cached by the build
+      ix.tf.write.mode("overwrite").parquet(s"$loc/postings.parquet")
+      ix.dl.write.mode("overwrite").parquet(s"$loc/doclen.parquet")
+      ix.dfreq.write.mode("overwrite").parquet(s"$loc/dfreq.parquet")
+      IndexLock.verify(s, tok) // fenced-out builders die before the commit write
+      statsDf(s, ix.nDocs, ix.sumTf, sc, ss, sch)
+        .write.mode("overwrite").parquet(s"$loc/stats.parquet")
+      ix.tf.unpersist(blocking = false)
+    }
   }
 
   private def statsDf(s: SparkSession, nDocs: Long, sumTf: Long,
@@ -172,7 +176,15 @@ object IndexStore {
     */
   def bm25TopKHotTermsFromIndex(s: SparkSession, loc: String, nProbes: Int = 3,
       k: Int = 10): DataFrame =
-    RetrievalOps.hotTermsTopK(loadBm25(s, loc), nProbes, k)
+    // read path holds the SAME exclusive lock as the mutators and
+    // MATERIALIZES (localCheckpoint) before releasing: the returned
+    // frame observed exactly one index state — never old scalars over
+    // new postings (the r12 marker-window race). Top-k output, so the
+    // materialization is rows-bounded.
+    IndexLock.withLock(s, loc) { _ =>
+      RetrievalOps.hotTermsTopK(loadBm25(s, loc), nProbes, k)
+        .localCheckpoint(true)
+    }
 
   /** Build-if-absent (fingerprint-guarded) BM25 index for the `documents`
     * table of a testdata dir; returns the index location. The guard makes
@@ -182,14 +194,16 @@ object IndexStore {
   def ensureBm25(s: SparkSession, dir: String,
       root: String = indexRoot): String = buildLock.synchronized {
     val loc = s"$root/${slug(dir)}/bm25"
-    val docs = Tables.load(s, dir, "documents")
-    val fresh = exists(s, s"$loc/stats.parquet") && {
-      val st = s.read.parquet(s"$loc/stats.parquet").head()
-      val (sc, ss, sch) = docSig(docs)
-      st.getAs[Long]("sig_count") == sc && st.getAs[Long]("sig_sum") == ss &&
-        st.getAs[Long]("sig_chars") == sch
+    IndexLock.withLock(s, loc) { _ => // check+build is one atomic section
+      val docs = Tables.load(s, dir, "documents")
+      val fresh = exists(s, s"$loc/stats.parquet") && {
+        val st = s.read.parquet(s"$loc/stats.parquet").head()
+        val (sc, ss, sch) = docSig(docs)
+        st.getAs[Long]("sig_count") == sc && st.getAs[Long]("sig_sum") == ss &&
+          st.getAs[Long]("sig_chars") == sch
+      }
+      if (!fresh) buildBm25(docs, loc) // reentrant: shares this lock
     }
-    if (!fresh) buildBm25(docs, loc)
     loc
   }
 
@@ -205,31 +219,35 @@ object IndexStore {
     * crash anywhere mid-append leaves an index with no stats: loadBm25
     * fails loudly and ensureBm25's freshness check fails, forcing a
     * rebuild, instead of silently serving batch postings against stale
-    * dfreq/n_docs. Appends require exclusive access to `loc` (no
-    * concurrent readers or writers) — the in-JVM [[buildLock]] covers
-    * gate/test callers; cross-process callers coordinate externally, as
-    * with any shared parquet dataset.
+    * dfreq/n_docs. Exclusive access is ENFORCED by [[IndexLock]] (lock
+    * file + lease + fencing token; r12 VERDICT item 3): every mutator
+    * and every read path takes the loc lock, and the fence re-verify
+    * before the final stats write means a lease-broken zombie aborts
+    * instead of completing a torn write.
     */
   def appendBm25(newDocs: DataFrame, loc: String): Unit = {
     val s = newDocs.sparkSession
-    val (sc, ss, sch) = docSig(newDocs)
-    val st = s.read.parquet(s"$loc/stats.parquet").head() // read BEFORE marking
-    val nix = RetrievalOps.buildIndexTables(newDocs) // batch-sized, cached
-    fs(s, loc).delete(new Path(s"$loc/stats.parquet"), true) // staleness marker
-    nix.tf.write.mode("append").parquet(s"$loc/postings.parquet")
-    nix.dl.write.mode("append").parquet(s"$loc/doclen.parquet")
-    val merged = s.read.parquet(s"$loc/dfreq.parquet")
-      .unionByName(nix.dfreq)
-      .groupBy(col("w")).agg(sum(col("df")).cast("long").as("df"))
-    replaceParquet(s, merged, s"$loc/dfreq.parquet")
-    statsDf(s,
-      st.getAs[Long]("n_docs") + nix.nDocs,
-      st.getAs[Long]("sum_tf") + nix.sumTf,
-      st.getAs[Long]("sig_count") + sc,
-      st.getAs[Long]("sig_sum") + ss,
-      st.getAs[Long]("sig_chars") + sch)
-      .write.mode("overwrite").parquet(s"$loc/stats.parquet")
-    nix.tf.unpersist(blocking = false)
+    IndexLock.withLock(s, loc) { tok =>
+      val (sc, ss, sch) = docSig(newDocs)
+      val st = s.read.parquet(s"$loc/stats.parquet").head() // read BEFORE marking
+      val nix = RetrievalOps.buildIndexTables(newDocs) // batch-sized, cached
+      fs(s, loc).delete(new Path(s"$loc/stats.parquet"), true) // staleness marker
+      nix.tf.write.mode("append").parquet(s"$loc/postings.parquet")
+      nix.dl.write.mode("append").parquet(s"$loc/doclen.parquet")
+      val merged = s.read.parquet(s"$loc/dfreq.parquet")
+        .unionByName(nix.dfreq)
+        .groupBy(col("w")).agg(sum(col("df")).cast("long").as("df"))
+      replaceParquet(s, merged, s"$loc/dfreq.parquet")
+      IndexLock.verify(s, tok) // fenced-out appenders die before the commit write
+      statsDf(s,
+        st.getAs[Long]("n_docs") + nix.nDocs,
+        st.getAs[Long]("sum_tf") + nix.sumTf,
+        st.getAs[Long]("sig_count") + sc,
+        st.getAs[Long]("sig_sum") + ss,
+        st.getAs[Long]("sig_chars") + sch)
+        .write.mode("overwrite").parquet(s"$loc/stats.parquet")
+      nix.tf.unpersist(blocking = false)
+    }
   }
 
   /** Retire documents from a persisted BM25 index WITHOUT a rebuild —
@@ -251,30 +269,33 @@ object IndexStore {
     */
   def deleteBm25(ids: DataFrame, loc: String): Unit = {
     val s = ids.sparkSession
-    val del = ids.select(col("doc_id")).distinct().cache()
-    del.count()
-    val st = s.read.parquet(s"$loc/stats.parquet").head() // read BEFORE marking
-    // exact decrements from the index's OWN tables (only docs actually
-    // indexed count — a deleted id that never had postings changes nothing)
-    val dec = s.read.parquet(s"$loc/doclen.parquet")
-      .join(del, Seq("doc_id"))
-      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
-    val (dDocs, dTf) = (dec.getLong(0), dec.getLong(1))
-    val dfDec = s.read.parquet(s"$loc/postings.parquet")
-      .join(del, Seq("doc_id"))
-      .groupBy(col("w")).agg(count(lit(1)).as("ddf"))
-    fs(s, loc).delete(new Path(s"$loc/stats.parquet"), true) // staleness marker
-    val merged = s.read.parquet(s"$loc/dfreq.parquet")
-      .join(dfDec, Seq("w"), "left")
-      .select(col("w"),
-        (col("df") - coalesce(col("ddf"), lit(0L))).cast("long").as("df"))
-      .filter(col("df") > 0)
-    replaceParquet(s, merged, s"$loc/dfreq.parquet")
-    del.write.mode("append").parquet(s"$loc/deleted.parquet")
-    statsDf(s, st.getAs[Long]("n_docs") - dDocs,
-      st.getAs[Long]("sum_tf") - dTf, -1L, -1L, -1L) // poisoned fingerprint
-      .write.mode("overwrite").parquet(s"$loc/stats.parquet")
-    del.unpersist(blocking = false)
+    IndexLock.withLock(s, loc) { tok =>
+      val del = ids.select(col("doc_id")).distinct().cache()
+      del.count()
+      val st = s.read.parquet(s"$loc/stats.parquet").head() // read BEFORE marking
+      // exact decrements from the index's OWN tables (only docs actually
+      // indexed count — a deleted id that never had postings changes nothing)
+      val dec = s.read.parquet(s"$loc/doclen.parquet")
+        .join(del, Seq("doc_id"))
+        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+      val (dDocs, dTf) = (dec.getLong(0), dec.getLong(1))
+      val dfDec = s.read.parquet(s"$loc/postings.parquet")
+        .join(del, Seq("doc_id"))
+        .groupBy(col("w")).agg(count(lit(1)).as("ddf"))
+      fs(s, loc).delete(new Path(s"$loc/stats.parquet"), true) // staleness marker
+      val merged = s.read.parquet(s"$loc/dfreq.parquet")
+        .join(dfDec, Seq("w"), "left")
+        .select(col("w"),
+          (col("df") - coalesce(col("ddf"), lit(0L))).cast("long").as("df"))
+        .filter(col("df") > 0)
+      replaceParquet(s, merged, s"$loc/dfreq.parquet")
+      del.write.mode("append").parquet(s"$loc/deleted.parquet")
+      IndexLock.verify(s, tok) // fenced-out deleters die before the commit write
+      statsDf(s, st.getAs[Long]("n_docs") - dDocs,
+        st.getAs[Long]("sum_tf") - dTf, -1L, -1L, -1L) // poisoned fingerprint
+        .write.mode("overwrite").parquet(s"$loc/stats.parquet")
+      del.unpersist(blocking = false)
+    }
   }
 
   /** a08's query served from the at-rest index: build-if-absent, then
@@ -306,21 +327,24 @@ object IndexStore {
     * query-from-index is value-identical to the in-memory chain.
     */
   def buildIvfPq(e: DataFrame, loc: String): Unit = {
-    val (sc, ss, sd) = embSig(e)
-    val cents = AnnOps.seededCents(e, 16)
-    cents.write.mode("overwrite").parquet(s"$loc/centroids.parquet")
-    val subs = AnnOps.subvectors(e)
-    val cb = AnnOps.seededCodebook(subs)
-    cb.write.mode("overwrite").parquet(s"$loc/codebooks.parquet")
-    CentroidAssign.nearest(e, cents)
-      .write.mode("overwrite").parquet(s"$loc/assign.parquet")
-    AnnOps.pqEncode(subs.filter(col("vec_id") >= 5), cb)
-      .select(col("vec_id"), col("s"), col("j"))
-      .write.mode("overwrite").parquet(s"$loc/codes.parquet")
     val s = e.sparkSession
-    import s.implicits._
-    Seq((sc, ss, sd)).toDF("sig_count", "sig_sum", "sig_dims")
-      .write.mode("overwrite").parquet(s"$loc/stats.parquet")
+    IndexLock.withLock(s, loc) { tok =>
+      val (sc, ss, sd) = embSig(e)
+      val cents = AnnOps.seededCents(e, 16)
+      cents.write.mode("overwrite").parquet(s"$loc/centroids.parquet")
+      val subs = AnnOps.subvectors(e)
+      val cb = AnnOps.seededCodebook(subs)
+      cb.write.mode("overwrite").parquet(s"$loc/codebooks.parquet")
+      CentroidAssign.nearest(e, cents)
+        .write.mode("overwrite").parquet(s"$loc/assign.parquet")
+      AnnOps.pqEncode(subs.filter(col("vec_id") >= 5), cb)
+        .select(col("vec_id"), col("s"), col("j"))
+        .write.mode("overwrite").parquet(s"$loc/codes.parquet")
+      import s.implicits._
+      IndexLock.verify(s, tok)
+      Seq((sc, ss, sd)).toDF("sig_count", "sig_sum", "sig_dims")
+        .write.mode("overwrite").parquet(s"$loc/stats.parquet")
+    }
   }
 
   /** Build-if-absent (fingerprint-guarded) IVF-PQ index for a testdata
@@ -329,18 +353,20 @@ object IndexStore {
   def ensureIvfPq(s: SparkSession, dir: String,
       root: String = indexRoot): String = buildLock.synchronized {
     val loc = s"$root/${slug(dir)}/ivfpq"
-    val e = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x AS double))").as("emb"))
-    val fresh = exists(s, s"$loc/stats.parquet") && {
-      val st = s.read.parquet(s"$loc/stats.parquet").head()
-      val (sc, ss, sd) = embSig(e)
-      st.getAs[Long]("sig_count") == sc && st.getAs[Long]("sig_sum") == ss &&
-        st.getAs[Long]("sig_dims") == sd
+    IndexLock.withLock(s, loc) { _ => // check+build is one atomic section
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x AS double))").as("emb"))
+      val fresh = exists(s, s"$loc/stats.parquet") && {
+        val st = s.read.parquet(s"$loc/stats.parquet").head()
+        val (sc, ss, sd) = embSig(e)
+        st.getAs[Long]("sig_count") == sc && st.getAs[Long]("sig_sum") == ss &&
+          st.getAs[Long]("sig_dims") == sd
+      }
+      if (!fresh)
+        buildIvfPq(e.withColumn("norm",
+          sqrt(graft.functions.GraftFunctions.vecDot(col("emb"), col("emb")))), loc)
     }
-    if (!fresh)
-      buildIvfPq(e.withColumn("norm",
-        sqrt(graft.functions.GraftFunctions.vecDot(col("emb"), col("emb")))), loc)
     loc
   }
 
@@ -352,7 +378,8 @@ object IndexStore {
     * probes/ADC/refine are the SAME factored cores.
     */
   def ivfPqRefinedFromIndex(s: SparkSession, dir: String, loc: String,
-      nProbes: Int = 4, topK: Int = 10, refineFactor: Int = 8): DataFrame = {
+      nProbes: Int = 4, topK: Int = 10, refineFactor: Int = 8): DataFrame =
+      IndexLock.withLock(s, loc) { _ => // locked read (see bm25TopKHotTermsFromIndex)
     val e = AnnOps.embTable(s, dir) // cached: probes + qsubs + refine fetch
     val cents = s.read.parquet(s"$loc/centroids.parquet")
     // tombstones ([[deleteIvfPq]]): retired vectors drop out of the cell
@@ -384,6 +411,7 @@ object IndexStore {
       .groupBy(col("q_id"), col("vec_id"))
       .agg(round(sum(col("term")), 6).as("adc"))
     val out = AnnOps.refineAdcShortlist(scored, e, topK, refineFactor)
+      .localCheckpoint(true) // materialize inside the lock; top-k bounded
     e.unpersist(blocking = false)
     out
   }
@@ -400,25 +428,28 @@ object IndexStore {
     */
   def buildIvfPqTrained(e: DataFrame, loc: String, k: Int = 16,
       iters: Int = 2): Unit = {
-    val (sc, ss, sd) = embSig(e)
-    val cents = AnnOps.kmeansCentroids(e, k, iters).cache()
-    cents.count() // materialize: persist + assignment both read it
-    cents.write.mode("overwrite").parquet(s"$loc/centroids.parquet")
-    val subs = AnnOps.subvectors(e).cache()
-    subs.count() // codebook training + encode share one fill
-    val cb = AnnOps.pqCodebooks(subs, k).cache()
-    cb.count()
-    cb.write.mode("overwrite").parquet(s"$loc/codebooks.parquet")
-    CentroidAssign.nearest(e, cents)
-      .write.mode("overwrite").parquet(s"$loc/assign.parquet")
-    AnnOps.pqEncode(subs.filter(col("vec_id") >= 5), cb)
-      .select(col("vec_id"), col("s"), col("j"))
-      .write.mode("overwrite").parquet(s"$loc/codes.parquet")
     val s = e.sparkSession
-    import s.implicits._
-    Seq((sc, ss, sd)).toDF("sig_count", "sig_sum", "sig_dims")
-      .write.mode("overwrite").parquet(s"$loc/stats.parquet")
-    Seq(cents, subs, cb).foreach(_.unpersist(blocking = false))
+    IndexLock.withLock(s, loc) { tok =>
+      val (sc, ss, sd) = embSig(e)
+      val cents = AnnOps.kmeansCentroids(e, k, iters).cache()
+      cents.count() // materialize: persist + assignment both read it
+      cents.write.mode("overwrite").parquet(s"$loc/centroids.parquet")
+      val subs = AnnOps.subvectors(e).cache()
+      subs.count() // codebook training + encode share one fill
+      val cb = AnnOps.pqCodebooks(subs, k).cache()
+      cb.count()
+      cb.write.mode("overwrite").parquet(s"$loc/codebooks.parquet")
+      CentroidAssign.nearest(e, cents)
+        .write.mode("overwrite").parquet(s"$loc/assign.parquet")
+      AnnOps.pqEncode(subs.filter(col("vec_id") >= 5), cb)
+        .select(col("vec_id"), col("s"), col("j"))
+        .write.mode("overwrite").parquet(s"$loc/codes.parquet")
+      import s.implicits._
+      IndexLock.verify(s, tok)
+      Seq((sc, ss, sd)).toDF("sig_count", "sig_sum", "sig_dims")
+        .write.mode("overwrite").parquet(s"$loc/stats.parquet")
+      Seq(cents, subs, cb).foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Compact the append-maintained BM25 tables: every [[appendBm25]]
@@ -430,24 +461,26 @@ object IndexStore {
     * file statistics then prune non-matching files), file counts sized
     * at ~128 MB targets.
     */
-  def compactBm25(s: SparkSession, loc: String): Unit = {
-    // fold pending tombstones in: the compacted tables carry only live
-    // rows, and the tombstone file is retired — the load-time anti-join
-    // disappears until the next delete
-    val tomb = tombstones(s, loc)
-    def minus(df: DataFrame): DataFrame =
-      tomb.map(t => df.join(t, Seq("doc_id"), "left_anti")).getOrElse(df)
-    val posts = minus(s.read.parquet(s"$loc/postings.parquet"))
-      .repartition(targetFiles(s, s"$loc/postings.parquet"), col("w"))
-      .sortWithinPartitions(col("w"), col("doc_id"))
-    replaceParquet(s, posts, s"$loc/postings.parquet")
-    val dl = minus(s.read.parquet(s"$loc/doclen.parquet"))
-      .repartition(targetFiles(s, s"$loc/doclen.parquet"), col("doc_id"))
-      .sortWithinPartitions(col("doc_id"))
-    replaceParquet(s, dl, s"$loc/doclen.parquet")
-    if (tomb.isDefined)
-      fs(s, loc).delete(new Path(s"$loc/deleted.parquet"), true)
-  }
+  def compactBm25(s: SparkSession, loc: String): Unit =
+    IndexLock.withLock(s, loc) { tok =>
+      // fold pending tombstones in: the compacted tables carry only live
+      // rows, and the tombstone file is retired — the load-time anti-join
+      // disappears until the next delete
+      val tomb = tombstones(s, loc)
+      def minus(df: DataFrame): DataFrame =
+        tomb.map(t => df.join(t, Seq("doc_id"), "left_anti")).getOrElse(df)
+      val posts = minus(s.read.parquet(s"$loc/postings.parquet"))
+        .repartition(targetFiles(s, s"$loc/postings.parquet"), col("w"))
+        .sortWithinPartitions(col("w"), col("doc_id"))
+      IndexLock.verify(s, tok) // before the first destructive swap
+      replaceParquet(s, posts, s"$loc/postings.parquet")
+      val dl = minus(s.read.parquet(s"$loc/doclen.parquet"))
+        .repartition(targetFiles(s, s"$loc/doclen.parquet"), col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+      replaceParquet(s, dl, s"$loc/doclen.parquet")
+      if (tomb.isDefined)
+        fs(s, loc).delete(new Path(s"$loc/deleted.parquet"), true)
+    }
 
   /** ~128 MB-target output file count for a compaction rewrite. */
   private def targetFiles(s: SparkSession, path: String): Int = {
@@ -465,23 +498,26 @@ object IndexStore {
     */
   def appendIvfPq(newE: DataFrame, loc: String): Unit = {
     val s = newE.sparkSession
-    val (sc, ss, sd) = embSig(newE)
-    // same failure-atomicity discipline as appendBm25: stats is read
-    // first, deleted as the staleness marker, and rewritten LAST
-    val st = s.read.parquet(s"$loc/stats.parquet").head()
-    val cents = s.read.parquet(s"$loc/centroids.parquet")
-    val cb = s.read.parquet(s"$loc/codebooks.parquet")
-    fs(s, loc).delete(new Path(s"$loc/stats.parquet"), true)
-    CentroidAssign.nearest(newE, cents)
-      .write.mode("append").parquet(s"$loc/assign.parquet")
-    AnnOps.pqEncode(AnnOps.subvectors(newE), cb)
-      .select(col("vec_id"), col("s"), col("j"))
-      .write.mode("append").parquet(s"$loc/codes.parquet")
-    import s.implicits._
-    Seq((st.getAs[Long]("sig_count") + sc,
-      st.getAs[Long]("sig_sum") + ss, st.getAs[Long]("sig_dims") + sd))
-      .toDF("sig_count", "sig_sum", "sig_dims")
-      .write.mode("overwrite").parquet(s"$loc/stats.parquet")
+    IndexLock.withLock(s, loc) { tok =>
+      val (sc, ss, sd) = embSig(newE)
+      // same failure-atomicity discipline as appendBm25: stats is read
+      // first, deleted as the staleness marker, and rewritten LAST
+      val st = s.read.parquet(s"$loc/stats.parquet").head()
+      val cents = s.read.parquet(s"$loc/centroids.parquet")
+      val cb = s.read.parquet(s"$loc/codebooks.parquet")
+      fs(s, loc).delete(new Path(s"$loc/stats.parquet"), true)
+      CentroidAssign.nearest(newE, cents)
+        .write.mode("append").parquet(s"$loc/assign.parquet")
+      AnnOps.pqEncode(AnnOps.subvectors(newE), cb)
+        .select(col("vec_id"), col("s"), col("j"))
+        .write.mode("append").parquet(s"$loc/codes.parquet")
+      import s.implicits._
+      IndexLock.verify(s, tok)
+      Seq((st.getAs[Long]("sig_count") + sc,
+        st.getAs[Long]("sig_sum") + ss, st.getAs[Long]("sig_dims") + sd))
+        .toDF("sig_count", "sig_sum", "sig_dims")
+        .write.mode("overwrite").parquet(s"$loc/stats.parquet")
+    }
   }
 
   /** Retire vectors from a persisted IVF-PQ index — the dense twin of
@@ -495,14 +531,17 @@ object IndexStore {
     */
   def deleteIvfPq(ids: DataFrame, loc: String): Unit = {
     val s = ids.sparkSession
-    val del = ids.select(col("vec_id")).distinct()
-    val st = s.read.parquet(s"$loc/stats.parquet").head() // read BEFORE marking
-    fs(s, loc).delete(new Path(s"$loc/stats.parquet"), true) // staleness marker
-    del.write.mode("append").parquet(s"$loc/deleted.parquet")
-    import s.implicits._
-    Seq((-1L, st.getAs[Long]("sig_sum"), st.getAs[Long]("sig_dims")))
-      .toDF("sig_count", "sig_sum", "sig_dims")
-      .write.mode("overwrite").parquet(s"$loc/stats.parquet")
+    IndexLock.withLock(s, loc) { tok =>
+      val del = ids.select(col("vec_id")).distinct()
+      val st = s.read.parquet(s"$loc/stats.parquet").head() // read BEFORE marking
+      fs(s, loc).delete(new Path(s"$loc/stats.parquet"), true) // staleness marker
+      del.write.mode("append").parquet(s"$loc/deleted.parquet")
+      import s.implicits._
+      IndexLock.verify(s, tok)
+      Seq((-1L, st.getAs[Long]("sig_sum"), st.getAs[Long]("sig_dims")))
+        .toDF("sig_count", "sig_sum", "sig_dims")
+        .write.mode("overwrite").parquet(s"$loc/stats.parquet")
+    }
   }
 
   /** Fold IVF-PQ tombstones in and re-cluster the append-accumulated
@@ -511,21 +550,23 @@ object IndexStore {
     * file min/max statistics), codes by vec_id (the candidate point-
     * lookup side). Values untouched; the tombstone file is retired.
     */
-  def compactIvfPq(s: SparkSession, loc: String): Unit = {
-    val tomb = tombstones(s, loc)
-    def minus(df: DataFrame): DataFrame =
-      tomb.map(t => df.join(t, Seq("vec_id"), "left_anti")).getOrElse(df)
-    val assign = minus(s.read.parquet(s"$loc/assign.parquet"))
-      .repartition(targetFiles(s, s"$loc/assign.parquet"), col("c_id"))
-      .sortWithinPartitions(col("c_id"), col("vec_id"))
-    replaceParquet(s, assign, s"$loc/assign.parquet")
-    val codes = minus(s.read.parquet(s"$loc/codes.parquet"))
-      .repartition(targetFiles(s, s"$loc/codes.parquet"), col("vec_id"))
-      .sortWithinPartitions(col("vec_id"), col("s"))
-    replaceParquet(s, codes, s"$loc/codes.parquet")
-    if (tomb.isDefined)
-      fs(s, loc).delete(new Path(s"$loc/deleted.parquet"), true)
-  }
+  def compactIvfPq(s: SparkSession, loc: String): Unit =
+    IndexLock.withLock(s, loc) { tok =>
+      val tomb = tombstones(s, loc)
+      def minus(df: DataFrame): DataFrame =
+        tomb.map(t => df.join(t, Seq("vec_id"), "left_anti")).getOrElse(df)
+      val assign = minus(s.read.parquet(s"$loc/assign.parquet"))
+        .repartition(targetFiles(s, s"$loc/assign.parquet"), col("c_id"))
+        .sortWithinPartitions(col("c_id"), col("vec_id"))
+      IndexLock.verify(s, tok) // before the first destructive swap
+      replaceParquet(s, assign, s"$loc/assign.parquet")
+      val codes = minus(s.read.parquet(s"$loc/codes.parquet"))
+        .repartition(targetFiles(s, s"$loc/codes.parquet"), col("vec_id"))
+        .sortWithinPartitions(col("vec_id"), col("s"))
+      replaceParquet(s, codes, s"$loc/codes.parquet")
+      if (tomb.isDefined)
+        fs(s, loc).delete(new Path(s"$loc/deleted.parquet"), true)
+    }
 
   /** Live-cell occupancy of a persisted IVF index (tombstones excluded):
     * (n_cells, max_cell, mean_cell, skew = max/mean). The drift probe the
@@ -534,7 +575,8 @@ object IndexStore {
     * probe recall decays with no signal; this is the signal.
     * Driver-side scalars: one k-row aggregate (k = cell count).
     */
-  def ivfCellStats(s: SparkSession, loc: String): (Long, Long, Double, Double) = {
+  def ivfCellStats(s: SparkSession, loc: String): (Long, Long, Double, Double) =
+      IndexLock.withLock(s, loc) { _ => // locked read; scalars are eager
     val tomb = tombstones(s, loc)
     val assign = tomb.foldLeft(s.read.parquet(s"$loc/assign.parquet"))(
       (a, t) => a.join(t, Seq("vec_id"), "left_anti"))
@@ -543,7 +585,7 @@ object IndexStore {
         coalesce(avg(col("n")), lit(0.0))).head()
     val (cells, mx, mean) = (r.getLong(0), r.getLong(1), r.getDouble(2))
     (cells, mx, mean, if (mean > 0) mx / mean else 0.0)
-  }
+  } // end withLock
 
   /** MEASURED recall-drift probe: mean and min recall@k of the persisted
     * IVF-PQ index's refined search against the exact brute-force top-k
@@ -563,13 +605,14 @@ object IndexStore {
     * rebuild rung.
     */
   def ivfRecallProbe(s: SparkSession, dir: String, loc: String,
-      k: Int = 10): (Double, Double) = {
-    val got = ivfPqRefinedFromIndex(s, dir, loc, topK = k)
-      .select(col("q_id"), col("vec_id"))
-    val r = AnnOps.recallAtK(got, AnnOps.denseTopK(s, dir, k))
-      .agg(avg(col("recall")), min(col("recall"))).head()
-    (r.getDouble(0), r.getDouble(1))
-  }
+      k: Int = 10): (Double, Double) =
+    IndexLock.withLock(s, loc) { _ => // reentrant: the inner search shares it
+      val got = ivfPqRefinedFromIndex(s, dir, loc, topK = k)
+        .select(col("q_id"), col("vec_id"))
+      val r = AnnOps.recallAtK(got, AnnOps.denseTopK(s, dir, k))
+        .agg(avg(col("recall")), min(col("recall"))).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
 
   /** Re-balance an append-skewed IVF index when cell-size skew crosses
     * `skewBound`: re-train the COARSE quantizer over the current live
@@ -586,23 +629,28 @@ object IndexStore {
   def rebalanceIvfPq(e: DataFrame, loc: String, skewBound: Double = 4.0,
       k: Int = 16, iters: Int = 2): Boolean = {
     val s = e.sparkSession
-    val (_, _, _, skew) = ivfCellStats(s, loc)
-    if (skew <= skewBound) return false
-    val st = s.read.parquet(s"$loc/stats.parquet").head()
-    val tomb = tombstones(s, loc)
-    val live = tomb.foldLeft(e)((d, t) => d.join(t, Seq("vec_id"), "left_anti"))
-    fs(s, loc).delete(new Path(s"$loc/stats.parquet"), true) // staleness marker
-    val cents = AnnOps.kmeansCentroids(live, k, iters).cache()
-    cents.count() // materialize: persist + re-assignment both read it
-    replaceParquet(s, cents, s"$loc/centroids.parquet")
-    replaceParquet(s, CentroidAssign.nearest(live, cents), s"$loc/assign.parquet")
-    import s.implicits._
-    Seq((st.getAs[Long]("sig_count"), st.getAs[Long]("sig_sum"),
-      st.getAs[Long]("sig_dims")))
-      .toDF("sig_count", "sig_sum", "sig_dims")
-      .write.mode("overwrite").parquet(s"$loc/stats.parquet")
-    cents.unpersist(blocking = false)
-    true
+    IndexLock.withLock(s, loc) { tok =>
+      val (_, _, _, skew) = ivfCellStats(s, loc)
+      if (skew <= skewBound) false
+      else {
+        val st = s.read.parquet(s"$loc/stats.parquet").head()
+        val tomb = tombstones(s, loc)
+        val live = tomb.foldLeft(e)((d, t) => d.join(t, Seq("vec_id"), "left_anti"))
+        fs(s, loc).delete(new Path(s"$loc/stats.parquet"), true) // staleness marker
+        val cents = AnnOps.kmeansCentroids(live, k, iters).cache()
+        cents.count() // materialize: persist + re-assignment both read it
+        replaceParquet(s, cents, s"$loc/centroids.parquet")
+        replaceParquet(s, CentroidAssign.nearest(live, cents), s"$loc/assign.parquet")
+        import s.implicits._
+        IndexLock.verify(s, tok)
+        Seq((st.getAs[Long]("sig_count"), st.getAs[Long]("sig_sum"),
+          st.getAs[Long]("sig_dims")))
+          .toDF("sig_count", "sig_sum", "sig_dims")
+          .write.mode("overwrite").parquet(s"$loc/stats.parquet")
+        cents.unpersist(blocking = false)
+        true
+      }
+    }
   }
 
   /** a07's search served from the at-rest index — same oracle verbatim

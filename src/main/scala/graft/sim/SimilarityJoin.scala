@@ -114,6 +114,14 @@ object SimilarityJoin {
     * task that stalls a 100 TB run; the guard bounds every token's
     * contribution at dfCap² while the verify join stays
     * candidate-bounded.
+    *
+    * [[join]]'s overlap lower bound o ≥ t·(k1+k2)/(1+t) is carried too,
+    * made CONSERVATIVE under hot-token removal: the candidate stage
+    * only counts non-hot overlaps, but the true overlap can exceed that
+    * by at most min(h_l, h_r) (each side's own hot-token count), so a
+    * pair is pruned only when o_nonhot + min(h_l, h_r) misses the bound
+    * — no pair [[join]] would emit is ever dropped by the prune (the
+    * dfCap candidate semantics above remain the only divergence).
     */
   def joinGuarded(left: DataFrame, leftId: String, leftText: Column,
            right: DataFrame, rightId: String, rightText: Column,
@@ -134,11 +142,32 @@ object SimilarityJoin {
       .unionByName(rTok.groupBy(col("tok")).agg(count(lit(1)).as("df")))
       .groupBy(col("tok")).agg(max(col("df")).as("df"))
       .filter(col("df") > dfCap).select(col("tok"))
-    val cand = lTok.join(broadcast(hot), Seq("tok"), "left_anti")
-      .join(rTok.join(broadcast(hot), Seq("tok"), "left_anti"), Seq("tok"))
+    // one-row array of the hot vocabulary (bounded by vocab/dfCap keys):
+    // broadcast-nested-loop onto each side so per-doc hot counts (h) and
+    // the non-hot token list fall out of plain array ops, no extra shuffle
+    val hotArr = hot.agg(coalesce(collect_list(col("tok")),
+      array().cast("array<string>")).as("hot_toks"))
+    val lg = l.crossJoin(broadcast(hotArr))
+      .withColumn("l_nh", array_except(col("l_toks"), col("hot_toks")))
+      .withColumn("l_h", col("l_k") - size(col("l_nh")))
+    val rg = r.crossJoin(broadcast(hotArr))
+      .withColumn("r_nh", array_except(col("r_toks"), col("hot_toks")))
+      .withColumn("r_h", col("r_k") - size(col("r_nh")))
+    val lTokNh = lg.select(col("l_id"), col("l_n"), col("l_k"), col("l_h"),
+      explode(col("l_nh")).as("tok"))
+    val rTokNh = rg.select(col("r_id"), col("r_n"), col("r_k"), col("r_h"),
+      explode(col("r_nh")).as("tok"))
+    val cand = lTokNh.join(rTokNh, Seq("tok"))
       .filter(col("r_n") >= col("l_n") * threshold &&
               col("r_n") <= col("l_n") / threshold)
-      .select(col("l_id"), col("r_id")).distinct()
+      .groupBy(col("l_id"), col("r_id"), col("l_k"), col("r_k"),
+        col("l_h"), col("r_h"))
+      .agg(count(lit(1)).as("overlap"))
+      // conservative overlap bound: true overlap ≤ o_nonhot + min(h_l, h_r)
+      // (same epsilon relaxation as join's — see its filter note)
+      .filter(col("overlap") + least(col("l_h"), col("r_h")) >=
+        (col("l_k") + col("r_k")) * threshold / (1 + threshold) - 1e-9)
+      .select(col("l_id"), col("r_id"))
     // exact verify from the FULL token sets — hot tokens count here
     cand.join(l.select(col("l_id"), col("l_toks")), Seq("l_id"))
       .join(r.select(col("r_id"), col("r_toks")), Seq("r_id"))

@@ -63,8 +63,14 @@ object SkewData {
           // (one fixed source vector broadcast onto the mass) — every
           // copy lands in the SAME bucket of every hyperplane band. The
           // query panel (vec_id < 5) is left untouched.
-          val src7 = broadcast(base.filter(col("vec_id") === 7)
-            .select(col("embedding").as("mass_emb")))
+          val src7Rows = base.filter(col("vec_id") === 7)
+            .select(col("embedding").as("mass_emb"))
+          // a missing vec_id 7 would make the crossJoin EMPTY and silently
+          // write an empty embeddings table — fail loudly instead
+          require(src7Rows.count() == 1,
+            s"SkewData: expected exactly one vec_id=7 row in $srcDir/embeddings " +
+              "(the identical-mass source vector); refusing to write an empty table")
+          val src7 = broadcast(src7Rows)
           base.crossJoin(src7)
             .withColumn("embedding",
               when(pmod(col("vec_id"), lit(5)) === 1 && col("vec_id") >= 5,

@@ -20,7 +20,9 @@ sbt -batch "runMain graft.tools.SkewData /root/testdata/sf0.1 /tmp/graft_skew/sf
 sbt -batch "runMain graft.tools.ScaleData /root/testdata/sf0.1 /tmp/graft_scale10 10 documents" \
   > $OUT/gen2.log 2>&1
 for t in region nation customer supplier part orders lineitem events embeddings; do
-  ln -sf /root/testdata/sf0.1/$t.parquet /tmp/graft_scale10/$t.parquet
+  # -n: never dereference an existing symlink-to-directory destination —
+  # without it a rerun would create the link INSIDE the pristine testdata dir
+  ln -sfn /root/testdata/sf0.1/$t.parquet /tmp/graft_scale10/$t.parquet
 done
 sbt -batch "runMain graft.tools.SkewData /tmp/graft_scale10 /tmp/graft_skew10" \
   > $OUT/gen3.log 2>&1

@@ -17,7 +17,10 @@ sbt -batch "runMain graft.tools.SkewData /root/testdata/sf0.1 /tmp/graft_skew/sf
 sbt -batch "runMain graft.tools.ScaleData /root/testdata/sf0.1 /tmp/graft_scale10 10 documents,embeddings" \
   > $OUT/egen2.log 2>&1
 for t in region nation customer supplier part orders lineitem events; do
-  ln -sf /root/testdata/sf0.1/$t.parquet /tmp/graft_scale10/$t.parquet
+  # -n: never dereference an existing symlink-to-directory destination
+  # (skew_bench.sh leaves these behind; plain -sf would link INSIDE the
+  # pristine /root/testdata table directory)
+  ln -sfn /root/testdata/sf0.1/$t.parquet /tmp/graft_scale10/$t.parquet
 done
 sbt -batch "runMain graft.tools.SkewData /tmp/graft_scale10 /tmp/graft_skew10" \
   > $OUT/egen3.log 2>&1
