@@ -69,11 +69,25 @@ object Bench {
             scala.concurrent.duration.Duration(timeoutSec, "s"))
           catch { case _: java.util.concurrent.TimeoutException =>
             spark.sparkContext.cancelJobGroup(group)
+            // Streaming gates are NOT killed by the group cancel: the
+            // stream execution thread submits its micro-batch jobs under
+            // its OWN job group, so the cancel finds nothing and the
+            // query keeps draining in the background — stealing every
+            // core from the gates that follow (the r13 100x run measured
+            // st11 at 517 s under a zombie st10; clean it reads ~linear).
+            // Stopping the active queries ends the stream execution
+            // thread, which also unblocks the worker's drain call.
+            spark.streams.active.foreach(q =>
+              try q.stop() catch { case _: Throwable => () })
             Some(s"timeout after ${timeoutSec}s")
           }
         }
       val elapsed = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // measurements stay independent
+      // belt-and-braces: a failed gate must never leak a running stream
+      // into the next gate's measurement window
+      spark.streams.active.foreach(q =>
+        try q.stop() catch { case _: Throwable => () })
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       if (isolate || forceGc) System.gc()

@@ -17,10 +17,10 @@ import org.apache.spark.sql.SparkSession
   *    (`FileSystem.create(overwrite = false)` — atomic on HDFS and
   *    object-store committers; on the local FS a check-then-create with a
   *    JVM-global mutex making it atomic in-process, which covers every
-  *    same-machine caller of this library). Content: `fence owner mtime`.
-  *  - lease: a lock older than `leaseMs` is presumed dead (crashed
-  *    holder) and BROKEN by the next acquirer. The break is safe because
-  *    of the fence.
+  *    same-machine caller of this library). Content: `fence owner leaseMs`.
+  *  - lease: a lock whose file mtime is older than its HOLDER's declared
+  *    `leaseMs` is presumed dead (crashed holder) and BROKEN by the next
+  *    acquirer. The break is safe because of the fence.
   *  - fencing token: `<loc>/_fence` holds a monotonically increasing
   *    counter; each successful acquire bumps it and stamps its value
   *    into the lock file. A holder must re-[[verify]] its token before
@@ -99,10 +99,14 @@ object IndexLock {
     while (true) {
       val got: Option[Token] = acquireMutex.synchronized {
         if (f.exists(lp)) {
-          // lease check on the lock file's own mtime (monotone enough for
-          // same-filesystem holders; content mtime is advisory)
+          // the lease is the HOLDER's declaration (4th lock-file field),
+          // judged against the lock file's own mtime — an acquirer with a
+          // long lease must still break a short-lease crashed holder
+          val holderLease = readSmall(s, lp)
+            .flatMap(_.split(' ').lift(2)).flatMap(_.toLongOption)
+            .getOrElse(leaseMs)
           val age = System.currentTimeMillis() - f.getFileStatus(lp).getModificationTime
-          if (age > leaseMs) f.delete(lp, false) // stale break; fence protects us
+          if (age > holderLease) f.delete(lp, false) // stale break; fence protects us
           None
         } else {
           val fence = readSmall(s, fencePath(loc)).map(_.split(' ').head.toLong)
@@ -111,8 +115,7 @@ object IndexLock {
           // counter value but can never hand two holders the same fence
           writeSmall(s, fencePath(loc), fence.toString, overwrite = true)
           try {
-            writeSmall(s, lp,
-              s"$fence $owner ${System.currentTimeMillis()}", overwrite = false)
+            writeSmall(s, lp, s"$fence $owner $leaseMs", overwrite = false)
             Some(Token(loc, fence, owner))
           } catch { case _: java.io.IOException => None } // lost the race
         }

@@ -1,0 +1,143 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.IndexStore
+
+/** PQ codebook drift rehearsal (round-12 VERDICT item 5): the append
+  * path assigns and encodes against FROZEN centroids AND codebooks;
+  * [[IndexStore.rebalanceIvfPq]] retrains routing only. On a drifting
+  * embedding distribution the PQ quantization error grows (codebooks
+  * were trained on the old distribution), and no amount of re-routing
+  * recovers it — the question this probe answers with numbers is where
+  * the rebalance rung stops being enough and the
+  * [[IndexStore.retrainIvfPq]] rung (codebooks + full re-encode, the
+  * build-cost op) earns its place.
+  *
+  * Per cycle k: every embedding of the arriving batch (and the query
+  * panel — production queries follow the corpus distribution) is shifted
+  * by k·step along a fixed alternating-sign direction, the batch is
+  * APPENDED against the frozen model, and three readings are taken at
+  * each rung: measured recall@10 vs exact over the drifted panel
+  * (ivfRecallProbe — the alert number), after-append → after-rebalance →
+  * after-retrain. Emitted as the "drift" section of BENCH_INDEX.json.
+  *
+  * Usage: DriftProbe [outPath] ; env SPARK_GRAFT_SF_DIR (default
+  * sf0.1), SPARK_GRAFT_DRIFT_CYCLES (4), SPARK_GRAFT_DRIFT_STEP (0.4).
+  */
+object DriftProbe {
+  /** Shift every coordinate by `drift` with alternating sign — moves the
+    * population mean off the trained codebooks while keeping vectors
+    * finite and comparable (norms recomputed downstream).
+    */
+  private def drifted(emb: org.apache.spark.sql.Column, drift: Double) =
+    expr(s"transform(${emb.toString}, (x, i) -> " +
+      s"cast(x AS double) + $drift * CASE WHEN i % 2 = 0 THEN 1.0 ELSE -1.0 END)")
+
+  private def copyDir(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    val d = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(s).forEach { p =>
+      val t = d.resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  private def shaped(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("emb"))
+      .withColumn("norm",
+        sqrt(graft.functions.GraftFunctions.vecDot(col("emb"), col("emb"))))
+
+  def main(args: Array[String]): Unit = {
+    val outPath = args.headOption.getOrElse("BENCH_INDEX.json")
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cycles = sys.env.getOrElse("SPARK_GRAFT_DRIFT_CYCLES", "4").toInt
+    val step = sys.env.getOrElse("SPARK_GRAFT_DRIFT_STEP", "0.4").toDouble
+    val spark = ToolSession.local()
+    graft.functions.GraftFunctions.register(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    val loc = s"$work/index"
+
+    val base = Tables.load(spark, srcDir, "embeddings").cache()
+    val maxId = base.agg(max(col("vec_id"))).head().getLong(0)
+    val corpus = base.filter(col("vec_id") >= 5)
+    val panel = base.filter(col("vec_id") < 5)
+
+    // cycle 0: the un-drifted world; trained build = the recall floor
+    def cdir(k: Int) = s"$work/c$k"
+    base.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("embedding"))
+      .write.mode("overwrite").parquet(s"${cdir(0)}/embeddings.parquet")
+    IndexStore.buildIvfPqTrained(shaped(
+      spark.read.parquet(s"${cdir(0)}/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))), loc)
+    val (r0m, r0n) = IndexStore.ivfRecallProbe(spark, cdir(0), loc)
+    println(f"[drift] cycle 0 (build floor): recall mean $r0m%.3f min $r0n%.3f")
+    val rows = new scala.collection.mutable.ArrayBuffer[String]
+    rows += s"""{"cycle":0,"drift":0.0,"recall_mean":$r0m,"recall_min":$r0n}"""
+
+    for (k <- 1 to cycles) {
+      val drift = step * k
+      // arriving batch: the corpus re-embedded under the drifted model,
+      // fresh ids (the append contract)
+      val batch = corpus.select(
+        (col("vec_id") + lit(k) * lit(maxId + 1)).as("vec_id"),
+        drifted(col("embedding"), drift).as("embedding"))
+      // the world at cycle k: drifted panel + everything ingested so far
+      val prev = spark.read.parquet(s"${cdir(k - 1)}/embeddings.parquet")
+        .filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("embedding"))
+      panel.select(col("vec_id"), drifted(col("embedding"), drift).as("embedding"))
+        .unionByName(prev).unionByName(batch)
+        .write.mode("overwrite").parquet(s"${cdir(k)}/embeddings.parquet")
+      val world = spark.read.parquet(s"${cdir(k)}/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+
+      // the FROZEN index accumulates drifted appends across cycles (no
+      // maintenance ever) — its recall curve is the cumulative decay;
+      // rebalance/retrain run on per-cycle CLONES so the recovery each
+      // rung buys at this drift level is measured without resetting the
+      // decay baseline
+      IndexStore.appendIvfPq(shaped(batch), loc)
+      val (_, _, _, skewAfterAppend) = IndexStore.ivfCellStats(spark, loc)
+      val (ram, ran) = IndexStore.ivfRecallProbe(spark, cdir(k), loc)
+      val locReb = s"$work/reb$k"; copyDir(loc, locReb)
+      IndexStore.rebalanceIvfPq(shaped(world), locReb, skewBound = 0.0)
+      val (rbm, rbn) = IndexStore.ivfRecallProbe(spark, cdir(k), locReb)
+      val locRt = s"$work/rt$k"; copyDir(loc, locRt)
+      IndexStore.retrainIvfPq(shaped(world), locRt)
+      val (rtm, rtn) = IndexStore.ivfRecallProbe(spark, cdir(k), locRt)
+      println(f"[drift] cycle $k drift $drift%.1f: append $ram%.3f/$ran%.3f " +
+        f"(cell skew $skewAfterAppend%.2f) -> rebalance $rbm%.3f/$rbn%.3f " +
+        f"-> retrain $rtm%.3f/$rtn%.3f")
+      rows += s"""{"cycle":$k,"drift":$drift,"cell_skew_after_append":${f"$skewAfterAppend%.2f"},""" +
+        s""""recall_after_append":{"mean":$ram,"min":$ran},""" +
+        s""""recall_after_rebalance":{"mean":$rbm,"min":$rbn},""" +
+        s""""recall_after_retrain":{"mean":$rtm,"min":$rtn}}"""
+    }
+
+    // merge into the existing BENCH_INDEX.json as a "drift" section
+    val section =
+      s"""{"what":"PQ codebook drift: per cycle the batch AND query panel shift by cycle*${step} along a fixed direction; the frozen index accumulates the appends (recall_after_append = cumulative decay) while rebalance (routing only) and retrain (codebooks + full re-encode) run on per-cycle clones, so each rung's measured recall@10 recovery at that drift level is isolated. Build-floor recall from cycle 0.",
+ "src":"$srcDir","cycles":[
+  ${rows.mkString(",\n  ")}
+ ]}"""
+    val p = java.nio.file.Paths.get(outPath)
+    val updated =
+      if (java.nio.file.Files.exists(p)) {
+        val cur = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+        if (cur.endsWith("}"))
+          cur.dropRight(1) + s""","drift":$section}"""
+        else cur + "\n" + section
+      } else s"""{"drift":$section}"""
+    java.nio.file.Files.writeString(p, updated + "\n")
+    println(s"[drift] wrote drift section -> $outPath")
+    spark.stop()
+  }
+}

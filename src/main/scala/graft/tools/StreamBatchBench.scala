@@ -73,6 +73,59 @@ object StreamBatchBench {
     q1.processAllAvailable(); q1.stop()
     val tail1 = times.drop(1).map(_._3) // batch 0 carries JIT/codegen warmup
     println(f"[sbb] st09 per-batch sec (post-warmup): min ${tail1.min}%.2f, max ${tail1.max}%.2f over ${tail1.size} batches of ~${times.map(_._2).max} docs")
+
+    // ------------------------------------------ st09 HOSTILE micro-batch
+    // The identical-doc flood arriving IN one micro-batch (r12 VERDICT
+    // item 6): batch-side skew cannot blow the admit plan up by design —
+    // the batch joins only the CORPUS index, whose (band, sig) buckets
+    // are capped, so a 50%-identical batch contributes ≤ |hot docs| ×
+    // bandBucketCap × nBands candidate rows, linear in the batch. This
+    // leg measures that claim: two equal-size micro-batches against the
+    // SAME static index, one healthy, one with 50% of its texts replaced
+    // by the SkewData identical passage (the byte-mass that collides
+    // with the index's degenerate bucket when the index dir is a
+    // SkewData corpus). Flat hostile-vs-healthy timing = the guard holds
+    // on the stream side too.
+    val hostSplit = java.nio.file.Files
+      .createTempDirectory("graft_sbb_host").toString
+    val batchDocs = Tables.load(spark, batchDir, "documents")
+      .filter(isNew).cache()
+    val nBatch = batchDocs.count()
+    batchDocs.repartition(1)
+      .write.mode("overwrite").parquet(s"$hostSplit/f0_healthy.parquet")
+    Thread.sleep(1100) // file mtime orders the micro-batches
+    batchDocs.withColumn("text",
+        when(pmod(col("doc_id"), lit(2)) === 0, lit(SkewData.identicalPassage))
+          .otherwise(col("text")))
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$hostSplit/f1_hostile.parquet")
+    batchDocs.unpersist(blocking = false)
+    val hostTimes = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val chkH = java.nio.file.Files.createTempDirectory("graft_sbb_chkh").toString
+    val qh = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$hostSplit/f*.parquet")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.functions.GraftFunctions.register(batch.sparkSession)
+        val t0 = System.nanoTime()
+        val nNew = batch.count()
+        val admitted = DedupOps.admitNewAgainstOld(
+          batch.select(col("doc_id")).distinct(), nNew,
+          DedupOps.shingleArrs(batch), oldArr,
+          oldBandsPre = Some(oldBands)).count()
+        hostTimes += ((id, nNew, admitted, (System.nanoTime() - t0) / 1e9))
+        println(f"[sbb] hostile-leg batch $id%2d: $nNew%6d in, $admitted%6d admitted, ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        ()
+      }
+      .option("checkpointLocation", chkH)
+      .trigger(Trigger.AvailableNow()).start()
+    qh.processAllAvailable(); qh.stop()
+    if (hostTimes.size >= 2) {
+      val healthy = hostTimes(0); val hostile = hostTimes(1)
+      println(f"[sbb] hostile 50%%-identical batch of $nBatch docs: healthy ${healthy._4}%.2f s " +
+        f"vs hostile ${hostile._4}%.2f s (${hostile._4 / math.max(healthy._4, 1e-9)}%.1fx; " +
+        "capBands on the index side bounds the flood's candidates)")
+    }
     Seq(oldBands, oldArr).foreach(_.unpersist(blocking = false))
 
     // ---------------------------------------------------------- st10

@@ -181,4 +181,33 @@ class ErEvalSpec extends AnyFunSuite with graft.SparkTestSession {
       .collect().map(r => (r.getDouble(0), r.getString(1), r.getLong(2))).sorted
     assert(dist === driver)
   }
+
+  test("blockPairs: gramDfCap keeps the candidate curve sub-quadratic in labels") {
+    // The r12-VERDICT load pin at fixture scale (tools.ErLoadProbe
+    // measures the same curve at 1x/10x/100x the reference's 3.6k
+    // labels): the ErLoadProbe vocabulary shape — 3 variants per entity,
+    // the "corp"/"inc" word tokens (and "ent"/"nti"/… grams) hot across
+    // every label of a type. Growing labels 4x must grow CAPPED
+    // candidates ~linearly (cap drops the hot keys from blocking, so
+    // pairs are entity-local) while UNCAPPED candidates go ~quadratic
+    // (each hot key contributes C(df,2) and df grows with the corpus).
+    val cap = 25 // small enough that the hot keys cross it at both scales
+    def n(scale: Int, dfCap: Int): Long =
+      EntityResolution.blockPairs(
+        graft.tools.ErLoadProbe.labels(spark, scale)
+          .filter(org.apache.spark.sql.functions.col("id") < 60L * 3 * scale),
+        dfCap).count()
+    val (cap1, cap4) = (n(1, cap), n(4, cap))
+    val (un1, un4) = (n(1, Int.MaxValue), n(4, Int.MaxValue))
+    val cappedGrowth = cap4.toDouble / cap1
+    val uncappedGrowth = un4.toDouble / un1
+    assert(cappedGrowth <= 8.0,
+      s"capped curve super-linear: $cap1 -> $cap4 (${cappedGrowth}x for 4x labels)")
+    assert(uncappedGrowth >= 10.0,
+      s"uncapped curve unexpectedly tame: $un1 -> $un4 (${uncappedGrowth}x) — " +
+        "the fixture no longer stresses the hot keys the cap exists for")
+    // the cap only ever removes candidates, and every survivor is scored
+    // identically downstream (blocking never touches scoring)
+    assert(cap1 <= un1 && cap4 <= un4)
+  }
 }

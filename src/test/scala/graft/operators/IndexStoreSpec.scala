@@ -303,4 +303,140 @@ class IndexStoreSpec extends AnyFunSuite with graft.SparkTestSession {
         IndexStore.ivfPqRefinedFromIndex(spark, dir, locInc)) ==
       collectSorted(IndexStore.ivfPqRefinedFromIndex(spark, dir, locFull)))
   }
+
+  test("IVF-PQ: retrain rung folds tombstones, re-encodes, recall at the trained floor") {
+    val dir = "/root/testdata/sf0.001"
+    val loc = tmpLoc("ivfpq-retrain")
+    val e = AnnOps.embTable(spark, dir)
+    val nAll = e.count()
+    val del = e.filter(org.apache.spark.sql.functions
+      .expr("vec_id % 11 = 6 AND vec_id >= 16")) // keep seeds/queries
+    val nDel = del.count()
+    IndexStore.buildIvfPq(e, loc)
+    IndexStore.deleteIvfPq(del.select(org.apache.spark.sql.functions
+      .col("vec_id")), loc)
+    val live = e.join(del.select(org.apache.spark.sql.functions
+      .col("vec_id")), Seq("vec_id"), "left_anti")
+    IndexStore.retrainIvfPq(live, loc)
+    // tombstones folded: physical assign carries exactly the live set,
+    // the tombstone file is retired, codes cover the live corpus side
+    assert(!new java.io.File(s"$loc/deleted.parquet").exists())
+    assert(spark.read.parquet(s"$loc/assign.parquet").count() == nAll - nDel)
+    val nLiveCorpus = live.filter(org.apache.spark.sql.functions
+      .col("vec_id") >= 5).count()
+    assert(spark.read.parquet(s"$loc/codes.parquet").count() == nLiveCorpus * 8)
+    // the search is served from retrained model tables at the trained-
+    // build recall floor (trained floats are summation-order dependent,
+    // so the pin is recall + structure, not a hash — the
+    // buildIvfPqTrained convention)
+    val got = IndexStore.ivfPqRefinedFromIndex(spark, dir, loc)
+      .select(org.apache.spark.sql.functions.col("q_id"),
+        org.apache.spark.sql.functions.col("vec_id"))
+    val exact = AnnOps.denseTopK(spark, dir).join(
+      live.select(org.apache.spark.sql.functions.col("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val rec = AnnOps.recallAtK(got, exact)
+      .agg(org.apache.spark.sql.functions.avg(
+        org.apache.spark.sql.functions.col("recall"))).head().getDouble(0)
+    assert(rec >= 0.5, s"retrained index recall $rec below floor")
+    e.unpersist(blocking = false)
+  }
+
+  test("IVF-PQ: maintainIvfPq trigger order — none, rebalance, retrain") {
+    val dir = "/root/testdata/sf0.001"
+    def freshLoc(tag: String): String = {
+      val l = tmpLoc(s"maintain-$tag")
+      val e = AnnOps.embTable(spark, dir)
+      IndexStore.buildIvfPq(e, l)
+      e.unpersist(blocking = false)
+      l
+    }
+    // healthy thresholds: nothing fires
+    assert(IndexStore.maintainIvfPq(spark, dir, freshLoc("none"),
+      skewBound = 1e9, recallFloor = 0.0) == "none")
+    // skew bound forced: the cheap routing rung fires, recall holds
+    assert(IndexStore.maintainIvfPq(spark, dir, freshLoc("reb"),
+      skewBound = 0.0, recallFloor = 0.0) == "rebalance")
+    // recall floor unreachable: the codebook rung fires LAST (after the
+    // rebalance opportunity), per the ladder
+    assert(IndexStore.maintainIvfPq(spark, dir, freshLoc("rt"),
+      skewBound = 1e9, recallFloor = 1.01) == "retrain")
+  }
+
+  // ------------------------------------------------- IndexLock (r12 item 3)
+
+  test("lock: interleaved append+query only ever observes whole index states") {
+    // Two threads on ONE loc: a writer appending two batches, a reader
+    // querying in a loop. Every query result must equal one of the three
+    // legal states (base, base+b1, base+b1+b2) — never a torn mix of old
+    // scalars and new postings. 3 repetitions.
+    val (base, rest) = docsFixture.partition(_._1 < 4L)
+    val (b1, b2) = rest.partition(_._1 < 6L)
+    // reference results per legal state, from independent builds
+    val legal: Seq[Seq[String]] = Seq(base, base ++ b1, base ++ b1 ++ b2)
+      .zipWithIndex.map { case (rows, i) =>
+        val l = tmpLoc(s"lk-ref$i")
+        IndexStore.buildBm25(docsDf(rows), l)
+        collectSorted(IndexStore.bm25TopKHotTermsFromIndex(spark, l))
+      }
+    for (rep <- 0 until 3) {
+      val loc = tmpLoc(s"lk-race$rep")
+      IndexStore.buildBm25(docsDf(base), loc)
+      val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val nQueries = new java.util.concurrent.atomic.AtomicInteger(0)
+      val writer = new Thread(() => {
+        IndexStore.appendBm25(docsDf(b1), loc)
+        Thread.sleep(30)
+        IndexStore.appendBm25(docsDf(b2), loc)
+      })
+      val readerStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val reader = new Thread(() => {
+        while (!readerStop.get()) {
+          val got = collectSorted(
+            IndexStore.bm25TopKHotTermsFromIndex(spark, loc))
+          nQueries.incrementAndGet()
+          if (!legal.contains(got))
+            bad.add(got.mkString("|").take(200))
+        }
+      })
+      reader.start(); writer.start()
+      writer.join()
+      readerStop.set(true); reader.join()
+      assert(bad.isEmpty, s"rep $rep: torn reads: ${bad.size}")
+      assert(nQueries.get() >= 1, s"rep $rep: reader never ran")
+      // final state is the full corpus
+      assert(collectSorted(
+        IndexStore.bm25TopKHotTermsFromIndex(spark, loc)) == legal.last)
+    }
+  }
+
+  test("lock: lease break fences out the old holder before its commit write") {
+    val loc = tmpLoc("lk-fence")
+    val t1 = IndexLock.acquire(spark, loc, leaseMs = 50, timeoutMs = 2000)
+    Thread.sleep(120) // t1's lease expires
+    val t2 = IndexLock.acquire(spark, loc, leaseMs = 60000, timeoutMs = 2000)
+    assert(t2.fence > t1.fence, "fence must be monotonic across a break")
+    // the zombie's pre-commit verify dies loudly…
+    intercept[IllegalStateException] { IndexLock.verify(spark, t1) }
+    // …and its release cannot delete the new holder's lock
+    IndexLock.release(spark, t1)
+    IndexLock.verify(spark, t2)
+    IndexLock.release(spark, t2)
+  }
+
+  test("lock: contention times out, then succeeds after release; reentrant per thread") {
+    val loc = tmpLoc("lk-contend")
+    val t1 = IndexLock.acquire(spark, loc, leaseMs = 60000, timeoutMs = 2000)
+    intercept[java.util.concurrent.TimeoutException] {
+      IndexLock.acquire(spark, loc, leaseMs = 60000, timeoutMs = 300)
+    }
+    IndexLock.release(spark, t1)
+    // nested withLock on one thread shares the outer token (no self-deadlock)
+    IndexLock.withLock(spark, loc) { outer =>
+      IndexLock.withLock(spark, loc) { inner =>
+        assert(inner == outer)
+      }
+      IndexLock.verify(spark, outer) // inner exit must not release it
+    }
+  }
 }
