@@ -51,6 +51,14 @@ object Bench {
     // instead of reading as "fast".
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                 dir: String, forceGc: Boolean = false): (Double, Option[String]) = {
+      // streams active BEFORE this gate belong to someone else (a future
+      // concurrent harness): the cleanup paths below stop only streams
+      // the gate itself started (round-13 ADVICE — stop-ALL was correct
+      // only under the strictly-sequential assumption)
+      val preStreams = spark.streams.active.map(_.id).toSet
+      def stopGateStreams(): Unit =
+        spark.streams.active.filterNot(q => preStreams.contains(q.id))
+          .foreach(q => try q.stop() catch { case _: Throwable => () })
       val t0 = System.nanoTime()
       def exec(): Option[String] =
         try { fn(spark, dir).count(); None } catch {
@@ -75,10 +83,9 @@ object Bench {
             // query keeps draining in the background — stealing every
             // core from the gates that follow (the r13 100x run measured
             // st11 at 517 s under a zombie st10; clean it reads ~linear).
-            // Stopping the active queries ends the stream execution
-            // thread, which also unblocks the worker's drain call.
-            spark.streams.active.foreach(q =>
-              try q.stop() catch { case _: Throwable => () })
+            // Stopping the gate's active queries ends the stream
+            // execution thread, which also unblocks the worker's drain.
+            stopGateStreams()
             Some(s"timeout after ${timeoutSec}s")
           }
         }
@@ -86,8 +93,7 @@ object Bench {
       spark.catalog.clearCache() // measurements stay independent
       // belt-and-braces: a failed gate must never leak a running stream
       // into the next gate's measurement window
-      spark.streams.active.foreach(q =>
-        try q.stop() catch { case _: Throwable => () })
+      stopGateStreams()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       if (isolate || forceGc) System.gc()
@@ -201,6 +207,16 @@ object Bench {
       "g08_louvain_weighted" -> "g05_communities",
       "d13_leakage_safe_split" -> "d06_dedup_resolve",
       "d16_soft_dedup_weights" -> "d06_dedup_resolve")
+    // DESIGNED comparators (r13 VERDICT item 6): gates kept deliberately
+    // unguarded to price what a guard buys — at hostile scale they time
+    // out BY DESIGN while their production twin runs clean. Tagged in the
+    // artifact (gate -> twin) so a CI consumer reading `errors` does not
+    // page on the two rows that are supposed to be slow.
+    val designedComparator = Map(
+      "d04_embed_dup" -> "d20_embed_dup_guarded",
+      "st10_stream_decontam" -> "st11_stream_decontam_fixed",
+      "d11_semantic_dedup" -> "semanticDedupTrained k~sqrt(N) (measured: tools/SemDedupScale)",
+      "t23_curate_learned" -> "curateLearnedScalable approx_percentile (measured: tools/CurateBench)")
 
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -226,7 +242,10 @@ object Bench {
       memoProducer.get(k).map(p => "\"" + k + "\":\"isolated floor rebuilds " +
         p + " memo per rep; compare suite reading\""))
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"isolate":$isolate,"timeout_sec":$timeoutSec,"queries":$qs,"errors":$errs,"auto_refloors":$rf,"auto_refloor_base":$rfBase,"auto_refloor_cap":$refloorCap,"auto_refloors_skipped":${math.max(0, movers.size - refloorCap)},"auto_refloors_skipped_names":$rfSkippedNames,"auto_refloor_memo_notes":$rfMemo,"sf":"$sfDir"}"""
+    val dcTags = results.keys.toSeq.sorted.flatMap(k =>
+      designedComparator.get(k).map(t => "\"" + k + "\":\"" + esc(t) + "\""))
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"isolate":$isolate,"timeout_sec":$timeoutSec,"queries":$qs,"errors":$errs,"designed_comparators":$dcTags,"auto_refloors":$rf,"auto_refloor_base":$rfBase,"auto_refloor_cap":$refloorCap,"auto_refloors_skipped":${math.max(0, movers.size - refloorCap)},"auto_refloors_skipped_names":$rfSkippedNames,"auto_refloor_memo_notes":$rfMemo,"sf":"$sfDir"}"""
     println(line)
     // self-contained artifact (r10 VERDICT item 5): the driver captures
     // stdout, which truncated BENCH_r10.json mid-JSON — so the full

@@ -64,23 +64,51 @@ object EntityResolution {
     * used to guard only grams). Input: (id: Long, label: String,
     * type: String).
     */
-  def blockPairs(labels: DataFrame, gramDfCap: Int = 1000): DataFrame = {
-    def selfJoin(keys: DataFrame): DataFrame =
-      keys.as("a").join(keys.as("b"),
-          col("a.type") === col("b.type") && col("a.tok") === col("b.tok") &&
-          col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.type").as("type"))
-    def capHot(keys: DataFrame): DataFrame = {
-      val hot = keys.groupBy(col("type"), col("tok")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > gramDfCap).select(col("type"), col("tok"))
-      keys.join(hot, Seq("type", "tok"), "left_anti")
-    }
-    val toks = labels.select(col("id"), col("type"),
+  def blockPairs(labels: DataFrame, gramDfCap: Int = 1000): DataFrame =
+    blockSelfJoin(capHotKeys(wordKeys(labels), gramDfCap))
+      .union(blockSelfJoin(capHotKeys(gramKeys(labels), gramDfCap)))
+      .distinct()
+
+  private def blockSelfJoin(keys: DataFrame): DataFrame =
+    keys.as("a").join(keys.as("b"),
+        col("a.type") === col("b.type") && col("a.tok") === col("b.tok") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.type").as("type"))
+
+  private def capHotKeys(keys: DataFrame, gramDfCap: Int): DataFrame = {
+    val hot = keys.groupBy(col("type"), col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > gramDfCap).select(col("type"), col("tok"))
+    keys.join(hot, Seq("type", "tok"), "left_anti")
+  }
+
+  private def wordKeys(labels: DataFrame): DataFrame =
+    labels.select(col("id"), col("type"),
       explode(array_distinct(SimilarityJoin.whitespaceTokens(stripS(lower(col("label")))))).as("tok"))
-    val grams = labels.filter(col("type").isin(charTypes.toSeq: _*))
+
+  private def gramKeys(labels: DataFrame): DataFrame =
+    labels.filter(col("type").isin(charTypes.toSeq: _*))
       .select(col("id"), col("type"),
         explode(array_distinct(SimilarityJoin.qgrams(lower(col("label"))))).as("tok"))
-    selfJoin(capHot(toks)).union(selfJoin(capHot(grams))).distinct()
+
+  /** Probe-facing decomposition of [[blockPairs]]'s candidate volume by
+    * blocking-key FAMILY — (family, pairs) rows for `word` (plural-folded
+    * token channel), `gram` (char-3-gram channel), and `gram_digit`
+    * (pairs discoverable through a digit-bearing 3-gram alone): the
+    * attribution tool for candidate-curve shifts. The cap is applied per
+    * channel over the FULL key population (exactly as [[blockPairs]]
+    * applies it) before any family filter, so each count is "what this
+    * family contributes under production capping"; families overlap, so
+    * the rows do not sum to the distinct union [[blockPairs]] emits.
+    */
+  private[graft] def blockPairsByFamily(labels: DataFrame,
+      gramDfCap: Int = 1000): Seq[(String, Long)] = {
+    val words = capHotKeys(wordKeys(labels), gramDfCap)
+    val grams = capHotKeys(gramKeys(labels), gramDfCap)
+    Seq(
+      "word" -> blockSelfJoin(words).distinct().count(),
+      "gram" -> blockSelfJoin(grams).distinct().count(),
+      "gram_digit" -> blockSelfJoin(
+        grams.filter(col("tok").rlike("[0-9]"))).distinct().count())
   }
 
   /** Feature column names shared by the threshold scorer and the learned

@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -11,40 +10,49 @@ import graft.{QueryDef, Tables}
   * rebuild its signatures/codebooks/inverted index per invocation, but at
   * 100 TB the index is built ONCE, persisted as parquet, and
   * queried/updated many times. This module persists the two retrieval
-  * families' state under a `Tables`-style parquet layout and serves
-  * queries from it through the SAME scoring cores as the in-memory paths
+  * families' state under a versioned parquet layout and serves queries
+  * from it through the SAME scoring cores as the in-memory paths
   * (value-identical by construction — the tables are exact integers /
   * round-tripped doubles, and parity is pinned in IndexStoreSpec plus the
   * a10/a11 oracle gates, which reuse a08/a07's DuckDB SQL verbatim).
   *
-  * Layout (all splittable parquet — at cluster scale each table is a
-  * plain distributed scan with pushdown):
+  * Concurrency model (r13 VERDICT item 1 — snapshot reads):
   *
-  *   <loc>/bm25/
-  *     postings.parquet  (doc_id, w, tf)   — the inverted index
-  *     doclen.parquet    (doc_id, dl)      — length normalization table
-  *     dfreq.parquet     (w, df)           — document frequencies
-  *     stats.parquet     one row: (n_docs, sum_tf, sig_count, sig_sum,
-  *                       sig_chars) — corpus scalars + source fingerprint
-  *   <loc>/ivfpq/
-  *     centroids.parquet (c_id, c_emb, c_norm) — the coarse quantizer
-  *     codebooks.parquet (j, s, cs)             — 16 codes × 8 subspaces
-  *     assign.parquet    (vec_id, c_id)         — cell assignment
-  *     codes.parquet     (vec_id, s, j)         — 4-BIT CODES ONLY for the
-  *                       corpus side: the 64×-compression story — full
-  *                       vectors never enter the search path; ADC decodes
-  *                       through the broadcast codebook at query time
-  *     stats.parquet     one row: (n_vecs, sig_count, sig_sum, sig_dims)
+  *  - WRITERS serialize under [[IndexLock]] (lock file + lease + fencing
+  *    token) and commit by publishing an [[IndexManifest]]: every
+  *    mutation writes NEW immutable table version dirs, verifies its
+  *    fence, and atomically publishes manifest N+1 naming the new state.
+  *    Nothing is ever modified in place, so a crash or a fenced-out
+  *    zombie leaves only unreferenced garbage — never a torn index.
+  *  - READERS never lock: a query resolves the newest manifest once and
+  *    reads only the immutable files it names. N concurrent queries
+  *    against one index run fully parallel and never block (or are
+  *    blocked by) an appender — the Iceberg/Delta reader contract.
+  *    Superseded versions are retained until [[IndexManifest.vacuum]]
+  *    (run by the compaction rungs), so a resolved manifest stays
+  *    readable across later commits.
+  *
+  * Logical tables (each manifest entry is a list of immutable parquet
+  * dirs; multi-entry tables are append families a reader unions):
+  *
+  *   bm25:  postings (doc_id, w, tf) — the inverted index (segments);
+  *          doclen (doc_id, dl) segments; dfreq (w, df); stats one row:
+  *          (n_docs, sum_tf, sig_count, sig_sum, sig_chars);
+  *          deleted (doc_id) tombstone segments.
+  *   ivfpq: centroids (c_id, c_emb, c_norm); codebooks (j, s, cs);
+  *          assign (vec_id, c_id) segments; codes (vec_id, s, j) — 4-BIT
+  *          CODES ONLY for the corpus side: the 64×-compression story;
+  *          stats; deleted (vec_id) segments.
   *
   * Incremental maintenance (the st09 static-corpus-index discipline
   * applied to retrieval state): [[appendBm25]] computes postings/doclen
-  * for the NEW batch only and appends them, then MERGES dfreq and the
-  * scalar stats (never a corpus re-tokenization); [[appendIvfPq]]
-  * assigns + encodes new vectors against the FROZEN quantizer/codebooks
-  * and appends — the standard production contract (re-train is a rebuild,
-  * not an append). Batch doc/vec ids must be disjoint from the indexed
-  * ones (upstream dedup's admit contract, d08/st09). Equivalence to a
-  * full rebuild is pinned in IndexStoreSpec.
+  * for the NEW batch only and commits them as fresh segments, then MERGES
+  * dfreq and the scalar stats (never a corpus re-tokenization);
+  * [[appendIvfPq]] assigns + encodes new vectors against the FROZEN
+  * quantizer/codebooks — the standard production contract (re-train is a
+  * rebuild, not an append). Batch doc/vec ids must be disjoint from the
+  * indexed ones (upstream dedup's admit contract, d08/st09). Equivalence
+  * to a full rebuild is pinned in IndexStoreSpec.
   *
   * Freshness guard: gates must stay correct when the driver regenerates
   * testdata, so [[ensureBm25]]/[[ensureIvfPq]] fingerprint the source
@@ -65,37 +73,49 @@ object IndexStore {
   private def slug(dir: String): String =
     dir.replaceAll("[^A-Za-z0-9._-]", "_")
 
-  /** Serializes concurrent ensure-builds in one JVM (parallel test suites
-    * / notebook threads racing on the same loc); cross-process (and
-    * reader-vs-mutator) exclusion is ENFORCED by [[IndexLock]] — lock
-    * file + lease + fencing token on every mutator and read path.
-    */
-  private val buildLock = new Object
-
   // -------------------------------------------------------------- shared
 
-  private def fs(s: SparkSession, path: String) =
-    new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
-
-  private def exists(s: SparkSession, path: String): Boolean =
-    fs(s, path).exists(new Path(path))
-
-  /** Atomic-ish table replacement for merge-maintained tables (dfreq,
-    * stats): the merged frame is fully WRITTEN to a sibling tmp dir
-    * (which executes the read of the old table) before the old dir is
-    * swapped out — overwriting a path that the plan is still reading
-    * would corrupt the source mid-scan. The delete→rename window is NOT
-    * safe for concurrent readers of the same loc: maintenance requires
-    * exclusive access (see [[appendBm25]]); a production deployment
-    * would swap a manifest/snapshot pointer instead.
+  /** Write `df` as a fresh immutable version dir of `table`; returns the
+    * manifest-relative path. Mutation = new dirs + one manifest publish.
     */
-  private def replaceParquet(s: SparkSession, df: DataFrame, path: String): Unit = {
-    val f = fs(s, path)
-    val tmp = new Path(path + ".tmp")
-    df.write.mode("overwrite").parquet(tmp.toString)
-    f.delete(new Path(path), true)
-    if (!f.rename(tmp, new Path(path)))
-      throw new java.io.IOException(s"rename ${tmp} -> $path failed")
+  private def writeVersion(df: DataFrame, loc: String, table: String): String = {
+    val rel = IndexManifest.newRel(table)
+    df.write.mode("overwrite").parquet(s"$loc/$rel")
+    rel
+  }
+
+  private def manifest(s: SparkSession, loc: String): IndexManifest.Manifest =
+    IndexManifest.current(s, loc).getOrElse(throw new IllegalStateException(
+      s"no committed index state at $loc (build it first)"))
+
+  private def tbl(s: SparkSession, m: IndexManifest.Manifest,
+      table: String): DataFrame = {
+    val ps = m.paths(table)
+    require(ps.nonEmpty, s"manifest v${m.version} at ${m.loc} has no '$table'")
+    s.read.parquet(ps: _*)
+  }
+
+  /** The named logical table under the loc's newest committed manifest —
+    * the spec/tool-facing accessor (physical layout is versioned; nothing
+    * outside this object should hardcode paths).
+    */
+  private[graft] def readTable(s: SparkSession, loc: String,
+      table: String): DataFrame = tbl(s, manifest(s, loc), table)
+
+  /** Absolute parquet dirs currently committed for `table` (empty when
+    * the table has no live entry — e.g. `deleted` after a compaction).
+    */
+  private[graft] def tablePaths(s: SparkSession, loc: String,
+      table: String): Seq[String] =
+    IndexManifest.current(s, loc).map(_.paths(table)).getOrElse(Nil)
+
+  /** Tombstone table under manifest `m`, if any deletes are pending
+    * compaction. Schema: one `doc_id` (BM25) / `vec_id` (IVF-PQ) column.
+    */
+  private def tombstones(s: SparkSession,
+      m: IndexManifest.Manifest): Option[DataFrame] = {
+    val ps = m.paths("deleted")
+    if (ps.isEmpty) None else Some(s.read.parquet(ps: _*))
   }
 
   // ---------------------------------------------------------------- BM25
@@ -110,21 +130,24 @@ object IndexStore {
     (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
-  /** Build the BM25 index tables from `docs` and persist them at `loc`
-    * (overwrite). ONE corpus tokenization — the same
-    * [[RetrievalOps.buildIndexTables]] the in-memory gates score from.
+  /** Build the BM25 index tables from `docs` and commit them at `loc` as
+    * a fresh manifest (replacing any prior state). ONE corpus
+    * tokenization — the same [[RetrievalOps.buildIndexTables]] the
+    * in-memory gates score from.
     */
   def buildBm25(docs: DataFrame, loc: String): Unit = {
     val s = docs.sparkSession
     IndexLock.withLock(s, loc) { tok =>
       val (sc, ss, sch) = docSig(docs)
       val ix = RetrievalOps.buildIndexTables(docs) // tf cached by the build
-      ix.tf.write.mode("overwrite").parquet(s"$loc/postings.parquet")
-      ix.dl.write.mode("overwrite").parquet(s"$loc/doclen.parquet")
-      ix.dfreq.write.mode("overwrite").parquet(s"$loc/dfreq.parquet")
-      IndexLock.verify(s, tok) // fenced-out builders die before the commit write
-      statsDf(s, ix.nDocs, ix.sumTf, sc, ss, sch)
-        .write.mode("overwrite").parquet(s"$loc/stats.parquet")
+      val posts = writeVersion(ix.tf, loc, "postings")
+      val dl = writeVersion(ix.dl, loc, "doclen")
+      val dfq = writeVersion(ix.dfreq, loc, "dfreq")
+      val st = writeVersion(
+        statsDf(s, ix.nDocs, ix.sumTf, sc, ss, sch), loc, "stats")
+      IndexLock.verify(s, tok) // fenced-out builders die before the commit
+      IndexManifest.publish(s, loc, Map("postings" -> Seq(posts),
+        "doclen" -> Seq(dl), "dfreq" -> Seq(dfq), "stats" -> Seq(st)))
       ix.tf.unpersist(blocking = false)
     }
   }
@@ -136,14 +159,17 @@ object IndexStore {
       .toDF("n_docs", "sum_tf", "sig_count", "sig_sum", "sig_chars")
   }
 
-  /** The persisted tables as a [[RetrievalOps.Bm25Index]] — every query
+  /** The committed tables as a [[RetrievalOps.Bm25Index]] — every query
     * core ([[RetrievalOps.hotTermsTopK]], [[RetrievalOps.docQueryTopK]],
-    * [[RetrievalOps.scoreProbes]]) runs on it unchanged. Tables are LAZY
-    * parquet scans (pushdown applies); a caller issuing many queries in
-    * one session may cache `tf` itself.
+    * [[RetrievalOps.scoreProbes]]) runs on it unchanged. ONE manifest
+    * resolve: every table comes from the same committed version, with no
+    * lock — later commits write new dirs, never touch these. Tables are
+    * LAZY parquet scans (pushdown applies); a caller issuing many queries
+    * in one session may cache `tf` itself.
     */
   private[operators] def loadBm25(s: SparkSession, loc: String): RetrievalOps.Bm25Index = {
-    val st = s.read.parquet(s"$loc/stats.parquet").head()
+    val m = manifest(s, loc)
+    val st = tbl(s, m, "stats").head()
     val nDocs = st.getAs[Long]("n_docs")
     val sumTf = st.getAs[Long]("sum_tf")
     // tombstones ([[deleteBm25]]): postings/doclen rows of deleted docs
@@ -151,40 +177,29 @@ object IndexStore {
     // them as an anti-join, and the model scalars/dfreq were decremented
     // EXACTLY at delete time — so the loaded index is value-identical to
     // a rebuild without the docs (IndexStoreSpec pins it).
-    val tomb = tombstones(s, loc)
+    val tomb = tombstones(s, m)
     def minus(df: DataFrame): DataFrame =
       tomb.map(t => df.join(t, Seq("doc_id"), "left_anti")).getOrElse(df)
     RetrievalOps.Bm25Index(
-      tf = minus(s.read.parquet(s"$loc/postings.parquet")),
-      dl = minus(s.read.parquet(s"$loc/doclen.parquet")),
-      dfreq = s.read.parquet(s"$loc/dfreq.parquet"),
+      tf = minus(tbl(s, m, "postings")),
+      dl = minus(tbl(s, m, "doclen")),
+      dfreq = tbl(s, m, "dfreq"),
       nDocs = nDocs,
       avgdl = if (nDocs == 0) 1.0 else sumTf.toDouble / nDocs,
       sumTf = sumTf)
   }
 
-  /** The tombstone table of a loc, if any deletes are pending compaction.
-    * Schema: one `doc_id` (BM25) / `vec_id` (IVF-PQ) column.
-    */
-  private def tombstones(s: SparkSession, loc: String): Option[DataFrame] =
-    if (exists(s, s"$loc/deleted.parquet"))
-      Some(s.read.parquet(s"$loc/deleted.parquet"))
-    else None
-
   /** BM25 top-k from the PERSISTED index (hot-terms probe derivation —
-    * a08's semantics, served build-once/query-many).
+    * a08's semantics, served build-once/query-many). LOCK-FREE snapshot
+    * read: the whole frame derives from one committed manifest, so it
+    * observes exactly one index state — never old scalars over new
+    * postings. Materialized (top-k-bounded) so a later vacuum cannot
+    * pull files out from under a caller that holds the frame.
     */
   def bm25TopKHotTermsFromIndex(s: SparkSession, loc: String, nProbes: Int = 3,
       k: Int = 10): DataFrame =
-    // read path holds the SAME exclusive lock as the mutators and
-    // MATERIALIZES (localCheckpoint) before releasing: the returned
-    // frame observed exactly one index state — never old scalars over
-    // new postings (the r12 marker-window race). Top-k output, so the
-    // materialization is rows-bounded.
-    IndexLock.withLock(s, loc) { _ =>
-      RetrievalOps.hotTermsTopK(loadBm25(s, loc), nProbes, k)
-        .localCheckpoint(true)
-    }
+    RetrievalOps.hotTermsTopK(loadBm25(s, loc), nProbes, k)
+      .localCheckpoint(true)
 
   /** Build-if-absent (fingerprint-guarded) BM25 index for the `documents`
     * table of a testdata dir; returns the index location. The guard makes
@@ -192,60 +207,60 @@ object IndexStore {
     * per distinct corpus state.
     */
   def ensureBm25(s: SparkSession, dir: String,
-      root: String = indexRoot): String = buildLock.synchronized {
+      root: String = indexRoot): String = {
     val loc = s"$root/${slug(dir)}/bm25"
     IndexLock.withLock(s, loc) { _ => // check+build is one atomic section
       val docs = Tables.load(s, dir, "documents")
-      val fresh = exists(s, s"$loc/stats.parquet") && {
-        val st = s.read.parquet(s"$loc/stats.parquet").head()
-        val (sc, ss, sch) = docSig(docs)
-        st.getAs[Long]("sig_count") == sc && st.getAs[Long]("sig_sum") == ss &&
-          st.getAs[Long]("sig_chars") == sch
-      }
+      val fresh = IndexManifest.current(s, loc)
+        .filter(_.tables.contains("stats")).exists { m =>
+          val st = tbl(s, m, "stats").head()
+          val (sc, ss, sch) = docSig(docs)
+          st.getAs[Long]("sig_count") == sc && st.getAs[Long]("sig_sum") == ss &&
+            st.getAs[Long]("sig_chars") == sch
+        }
       if (!fresh) buildBm25(docs, loc) // reentrant: shares this lock
     }
     loc
   }
 
   /** Incrementally admit a new document batch into a persisted BM25
-    * index: batch postings/doclen APPEND (no corpus re-tokenization),
-    * dfreq and the corpus scalars MERGE. `newDocs` ids must be disjoint
-    * from the indexed corpus (the d08/st09 admit contract — violating it
-    * double-counts the shared ids in every table).
+    * index: batch postings/doclen segments APPEND (no corpus
+    * re-tokenization), dfreq and the corpus scalars MERGE into fresh
+    * versions. `newDocs` ids must be disjoint from the indexed corpus
+    * (the d08/st09 admit contract — violating it double-counts the
+    * shared ids in every table).
     *
-    * Failure atomicity (round-11 ADVICE): stats.parquet — the table every
-    * reader and the [[ensureBm25]] fingerprint check load first — is
-    * DELETED before the first partial write and rewritten LAST, so a
-    * crash anywhere mid-append leaves an index with no stats: loadBm25
-    * fails loudly and ensureBm25's freshness check fails, forcing a
-    * rebuild, instead of silently serving batch postings against stale
-    * dfreq/n_docs. Exclusive access is ENFORCED by [[IndexLock]] (lock
-    * file + lease + fencing token; r12 VERDICT item 3): every mutator
-    * and every read path takes the loc lock, and the fence re-verify
-    * before the final stats write means a lease-broken zombie aborts
-    * instead of completing a torn write.
+    * Failure atomicity is the manifest protocol's (r14): all writes land
+    * in NEW dirs, the fence is re-verified, and ONE atomic manifest
+    * publish commits them together — a crash anywhere leaves the prior
+    * manifest serving the prior state, and readers can never see batch
+    * postings against stale dfreq/n_docs (they resolve one manifest).
     */
   def appendBm25(newDocs: DataFrame, loc: String): Unit = {
     val s = newDocs.sparkSession
     IndexLock.withLock(s, loc) { tok =>
+      val m = manifest(s, loc)
       val (sc, ss, sch) = docSig(newDocs)
-      val st = s.read.parquet(s"$loc/stats.parquet").head() // read BEFORE marking
+      val st = tbl(s, m, "stats").head()
       val nix = RetrievalOps.buildIndexTables(newDocs) // batch-sized, cached
-      fs(s, loc).delete(new Path(s"$loc/stats.parquet"), true) // staleness marker
-      nix.tf.write.mode("append").parquet(s"$loc/postings.parquet")
-      nix.dl.write.mode("append").parquet(s"$loc/doclen.parquet")
-      val merged = s.read.parquet(s"$loc/dfreq.parquet")
+      val postSeg = writeVersion(nix.tf, loc, "postings")
+      val dlSeg = writeVersion(nix.dl, loc, "doclen")
+      IndexLock.renew(s, tok) // lease heartbeat between heavy stages
+      val merged = tbl(s, m, "dfreq")
         .unionByName(nix.dfreq)
         .groupBy(col("w")).agg(sum(col("df")).cast("long").as("df"))
-      replaceParquet(s, merged, s"$loc/dfreq.parquet")
-      IndexLock.verify(s, tok) // fenced-out appenders die before the commit write
-      statsDf(s,
+      val dfq = writeVersion(merged, loc, "dfreq")
+      val stV = writeVersion(statsDf(s,
         st.getAs[Long]("n_docs") + nix.nDocs,
         st.getAs[Long]("sum_tf") + nix.sumTf,
         st.getAs[Long]("sig_count") + sc,
         st.getAs[Long]("sig_sum") + ss,
-        st.getAs[Long]("sig_chars") + sch)
-        .write.mode("overwrite").parquet(s"$loc/stats.parquet")
+        st.getAs[Long]("sig_chars") + sch), loc, "stats")
+      IndexLock.verify(s, tok) // fenced-out appenders die before the commit
+      IndexManifest.publish(s, loc, m.tables ++ Map(
+        "postings" -> (m.tables("postings") :+ postSeg),
+        "doclen" -> (m.tables("doclen") :+ dlSeg),
+        "dfreq" -> Seq(dfq), "stats" -> Seq(stV)))
       nix.tf.unpersist(blocking = false)
     }
   }
@@ -253,8 +268,8 @@ object IndexStore {
   /** Retire documents from a persisted BM25 index WITHOUT a rebuild —
     * the lifecycle inverse of [[appendBm25]] (takedowns,
     * decontamination-after-the-fact; round-11 VERDICT "What's missing"
-    * item 1). Tombstone-style: postings/doclen rows stay on disk (an
-    * anti-join at load time hides them — [[loadBm25]]) until
+    * item 1). Tombstone-style: postings/doclen segments stay committed
+    * (an anti-join at load time hides them — [[loadBm25]]) until
     * [[compactBm25]] folds them in, but the MODEL state is maintained
     * exactly and immediately: the deleted docs' own posting lists (a
     * posting-probe-bounded join, never a corpus re-scan) give the exact
@@ -264,36 +279,38 @@ object IndexStore {
     * the driver oracle). The source fingerprint is POISONED (sig_count
     * = −1): an ensure*-managed loc whose corpus still contains the
     * deleted docs must rebuild, not serve the shrunken index as fresh.
-    * Same failure-atomicity + exclusive-access contract as
-    * [[appendBm25]].
+    * Commit discipline: one fenced manifest publish, as everywhere.
     */
   def deleteBm25(ids: DataFrame, loc: String): Unit = {
     val s = ids.sparkSession
     IndexLock.withLock(s, loc) { tok =>
+      val m = manifest(s, loc)
       val del = ids.select(col("doc_id")).distinct().cache()
       del.count()
-      val st = s.read.parquet(s"$loc/stats.parquet").head() // read BEFORE marking
+      val st = tbl(s, m, "stats").head()
       // exact decrements from the index's OWN tables (only docs actually
       // indexed count — a deleted id that never had postings changes nothing)
-      val dec = s.read.parquet(s"$loc/doclen.parquet")
+      val dec = tbl(s, m, "doclen")
         .join(del, Seq("doc_id"))
         .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
       val (dDocs, dTf) = (dec.getLong(0), dec.getLong(1))
-      val dfDec = s.read.parquet(s"$loc/postings.parquet")
+      val dfDec = tbl(s, m, "postings")
         .join(del, Seq("doc_id"))
         .groupBy(col("w")).agg(count(lit(1)).as("ddf"))
-      fs(s, loc).delete(new Path(s"$loc/stats.parquet"), true) // staleness marker
-      val merged = s.read.parquet(s"$loc/dfreq.parquet")
+      val merged = tbl(s, m, "dfreq")
         .join(dfDec, Seq("w"), "left")
         .select(col("w"),
           (col("df") - coalesce(col("ddf"), lit(0L))).cast("long").as("df"))
         .filter(col("df") > 0)
-      replaceParquet(s, merged, s"$loc/dfreq.parquet")
-      del.write.mode("append").parquet(s"$loc/deleted.parquet")
-      IndexLock.verify(s, tok) // fenced-out deleters die before the commit write
-      statsDf(s, st.getAs[Long]("n_docs") - dDocs,
-        st.getAs[Long]("sum_tf") - dTf, -1L, -1L, -1L) // poisoned fingerprint
-        .write.mode("overwrite").parquet(s"$loc/stats.parquet")
+      val dfq = writeVersion(merged, loc, "dfreq")
+      val tombSeg = writeVersion(del, loc, "deleted")
+      val stV = writeVersion(statsDf(s, st.getAs[Long]("n_docs") - dDocs,
+        st.getAs[Long]("sum_tf") - dTf, -1L, -1L, -1L), // poisoned fingerprint
+        loc, "stats")
+      IndexLock.verify(s, tok) // fenced-out deleters die before the commit
+      IndexManifest.publish(s, loc, m.tables ++ Map(
+        "dfreq" -> Seq(dfq), "stats" -> Seq(stV),
+        "deleted" -> (m.tables.getOrElse("deleted", Nil) :+ tombSeg)))
       del.unpersist(blocking = false)
     }
   }
@@ -320,7 +337,12 @@ object IndexStore {
     (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
-  /** Build + persist the seeded IVF-PQ index (a06/a07 conventions: 16
+  private def ivfStatsDf(s: SparkSession, sc: Long, ss: Long, sd: Long): DataFrame = {
+    import s.implicits._
+    Seq((sc, ss, sd)).toDF("sig_count", "sig_sum", "sig_dims")
+  }
+
+  /** Build + commit the seeded IVF-PQ index (a06/a07 conventions: 16
     * seeded cells = `vec_id < 16`, 16 seeded codes per 8-dim subspace,
     * corpus side = `vec_id >= 5`) from a normed embedding frame
     * `(vec_id, emb, norm)`. Doubles round-trip parquet bit-exactly, so
@@ -330,20 +352,19 @@ object IndexStore {
     val s = e.sparkSession
     IndexLock.withLock(s, loc) { tok =>
       val (sc, ss, sd) = embSig(e)
-      val cents = AnnOps.seededCents(e, 16)
-      cents.write.mode("overwrite").parquet(s"$loc/centroids.parquet")
+      val centsDf = AnnOps.seededCents(e, 16)
+      val cents = writeVersion(centsDf, loc, "centroids")
       val subs = AnnOps.subvectors(e)
-      val cb = AnnOps.seededCodebook(subs)
-      cb.write.mode("overwrite").parquet(s"$loc/codebooks.parquet")
-      CentroidAssign.nearest(e, cents)
-        .write.mode("overwrite").parquet(s"$loc/assign.parquet")
-      AnnOps.pqEncode(subs.filter(col("vec_id") >= 5), cb)
-        .select(col("vec_id"), col("s"), col("j"))
-        .write.mode("overwrite").parquet(s"$loc/codes.parquet")
-      import s.implicits._
+      val cbDf = AnnOps.seededCodebook(subs)
+      val cb = writeVersion(cbDf, loc, "codebooks")
+      val asg = writeVersion(CentroidAssign.nearest(e, centsDf), loc, "assign")
+      val codes = writeVersion(AnnOps.pqEncode(subs.filter(col("vec_id") >= 5), cbDf)
+        .select(col("vec_id"), col("s"), col("j")), loc, "codes")
+      val st = writeVersion(ivfStatsDf(s, sc, ss, sd), loc, "stats")
       IndexLock.verify(s, tok)
-      Seq((sc, ss, sd)).toDF("sig_count", "sig_sum", "sig_dims")
-        .write.mode("overwrite").parquet(s"$loc/stats.parquet")
+      IndexManifest.publish(s, loc, Map("centroids" -> Seq(cents),
+        "codebooks" -> Seq(cb), "assign" -> Seq(asg), "codes" -> Seq(codes),
+        "stats" -> Seq(st)))
     }
   }
 
@@ -351,18 +372,19 @@ object IndexStore {
     * dir's `embeddings` table; returns the location.
     */
   def ensureIvfPq(s: SparkSession, dir: String,
-      root: String = indexRoot): String = buildLock.synchronized {
+      root: String = indexRoot): String = {
     val loc = s"$root/${slug(dir)}/ivfpq"
     IndexLock.withLock(s, loc) { _ => // check+build is one atomic section
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"),
           expr("transform(embedding, x -> cast(x AS double))").as("emb"))
-      val fresh = exists(s, s"$loc/stats.parquet") && {
-        val st = s.read.parquet(s"$loc/stats.parquet").head()
-        val (sc, ss, sd) = embSig(e)
-        st.getAs[Long]("sig_count") == sc && st.getAs[Long]("sig_sum") == ss &&
-          st.getAs[Long]("sig_dims") == sd
-      }
+      val fresh = IndexManifest.current(s, loc)
+        .filter(_.tables.contains("stats")).exists { m =>
+          val st = tbl(s, m, "stats").head()
+          val (sc, ss, sd) = embSig(e)
+          st.getAs[Long]("sig_count") == sc && st.getAs[Long]("sig_sum") == ss &&
+            st.getAs[Long]("sig_dims") == sd
+        }
       if (!fresh)
         buildIvfPq(e.withColumn("norm",
           sqrt(graft.functions.GraftFunctions.vecDot(col("emb"), col("emb")))), loc)
@@ -375,31 +397,32 @@ object IndexStore {
     * full-precision corpus vector until the refine point-fetch); queries
     * and the refine fetch read the embeddings table. Same chain as
     * [[AnnOps.ivfPqKnnRefined]] with the persisted tables substituted —
-    * probes/ADC/refine are the SAME factored cores.
+    * probes/ADC/refine are the SAME factored cores. LOCK-FREE snapshot
+    * read (one manifest resolve), materialized top-k.
     */
   def ivfPqRefinedFromIndex(s: SparkSession, dir: String, loc: String,
-      nProbes: Int = 4, topK: Int = 10, refineFactor: Int = 8): DataFrame =
-      IndexLock.withLock(s, loc) { _ => // locked read (see bm25TopKHotTermsFromIndex)
+      nProbes: Int = 4, topK: Int = 10, refineFactor: Int = 8): DataFrame = {
+    val m = manifest(s, loc)
     val e = AnnOps.embTable(s, dir) // cached: probes + qsubs + refine fetch
-    val cents = s.read.parquet(s"$loc/centroids.parquet")
+    val cents = tbl(s, m, "centroids")
     // tombstones ([[deleteIvfPq]]): retired vectors drop out of the cell
     // assignment here, so they can never become candidates — their codes
-    // stay on disk until [[compactIvfPq]] but are unreachable (candidates
-    // drive the code decode, not the other way round)
-    val tomb = tombstones(s, loc)
-    val assign = tomb.foldLeft(s.read.parquet(s"$loc/assign.parquet"))(
+    // stay committed until [[compactIvfPq]] but are unreachable
+    // (candidates drive the code decode, not the other way round)
+    val tomb = tombstones(s, m)
+    val assign = tomb.foldLeft(tbl(s, m, "assign"))(
       (a, t) => a.join(t, Seq("vec_id"), "left_anti"))
     val cand = broadcast(AnnOps.ivfProbes(e, cents, nProbes))
       .join(assign, Seq("c_id"))
       .filter(col("vec_id") >= 5)
       .select(col("q_id"), col("vec_id"))
-    val cb = s.read.parquet(s"$loc/codebooks.parquet")
+    val cb = tbl(s, m, "codebooks")
     // candidate restriction BEFORE the codebook decode: written the other
     // way round (codes ⋈ cb first), every query would decode the WHOLE
     // corpus's codes — without table statistics Catalyst keeps the join
     // order as authored, so the author must order it. Decode work is then
     // bounded by |cand| · 8 subspaces, never the corpus.
-    val candCodes = s.read.parquet(s"$loc/codes.parquet")
+    val candCodes = tbl(s, m, "codes")
       .join(cand, Seq("vec_id"))
     val qsubs = AnnOps.querySubs(
       AnnOps.subvectors(e.filter(col("vec_id") < 5)))
@@ -411,7 +434,7 @@ object IndexStore {
       .groupBy(col("q_id"), col("vec_id"))
       .agg(round(sum(col("term")), 6).as("adc"))
     val out = AnnOps.refineAdcShortlist(scored, e, topK, refineFactor)
-      .localCheckpoint(true) // materialize inside the lock; top-k bounded
+      .localCheckpoint(true) // materialize; top-k bounded
     e.unpersist(blocking = false)
     out
   }
@@ -420,7 +443,7 @@ object IndexStore {
     * beside the seeded gate convention: Lloyd centroids
     * ([[AnnOps.kmeansCentroids]], cosine) for the coarse quantizer and
     * per-subspace L2 Lloyd codebooks ([[AnnOps.pqCodebooks]]), then the
-    * same assign/encode/persist. The layout is IDENTICAL, so
+    * same assign/encode/commit. The layout is IDENTICAL, so
     * [[ivfPqRefinedFromIndex]] serves from either build unchanged.
     * Trained float values are partition-summation-order dependent (the
     * kmeansCentroids contract), so the pin is a RECALL floor plus
@@ -433,59 +456,66 @@ object IndexStore {
       val (sc, ss, sd) = embSig(e)
       val cents = AnnOps.kmeansCentroids(e, k, iters).cache()
       cents.count() // materialize: persist + assignment both read it
-      cents.write.mode("overwrite").parquet(s"$loc/centroids.parquet")
+      val centsRel = writeVersion(cents, loc, "centroids")
       val subs = AnnOps.subvectors(e).cache()
       subs.count() // codebook training + encode share one fill
+      IndexLock.renew(s, tok) // heartbeat: k-means stages are the cost
       val cb = AnnOps.pqCodebooks(subs, k).cache()
       cb.count()
-      cb.write.mode("overwrite").parquet(s"$loc/codebooks.parquet")
-      CentroidAssign.nearest(e, cents)
-        .write.mode("overwrite").parquet(s"$loc/assign.parquet")
-      AnnOps.pqEncode(subs.filter(col("vec_id") >= 5), cb)
-        .select(col("vec_id"), col("s"), col("j"))
-        .write.mode("overwrite").parquet(s"$loc/codes.parquet")
-      import s.implicits._
+      val cbRel = writeVersion(cb, loc, "codebooks")
+      val asg = writeVersion(CentroidAssign.nearest(e, cents), loc, "assign")
+      val codes = writeVersion(AnnOps.pqEncode(subs.filter(col("vec_id") >= 5), cb)
+        .select(col("vec_id"), col("s"), col("j")), loc, "codes")
+      val st = writeVersion(ivfStatsDf(s, sc, ss, sd), loc, "stats")
       IndexLock.verify(s, tok)
-      Seq((sc, ss, sd)).toDF("sig_count", "sig_sum", "sig_dims")
-        .write.mode("overwrite").parquet(s"$loc/stats.parquet")
+      IndexManifest.publish(s, loc, Map("centroids" -> Seq(centsRel),
+        "codebooks" -> Seq(cbRel), "assign" -> Seq(asg), "codes" -> Seq(codes),
+        "stats" -> Seq(st)))
       Seq(cents, subs, cb).foreach(_.unpersist(blocking = false))
     }
   }
 
   /** Compact the append-maintained BM25 tables: every [[appendBm25]]
-    * adds one file set to postings/doclen, and a long-running ingest
+    * commits one segment to postings/doclen, and a long-running ingest
     * accumulates thousands of small files — the standard lakehouse
     * maintenance step. Values are untouched (IndexStoreSpec pins table
-    * equality); postings are re-clustered BY TERM so each posting list
-    * lands contiguously (the layout a term-probe scan wants: min/max
-    * file statistics then prune non-matching files), file counts sized
-    * at ~128 MB targets.
+    * equality); pending tombstones are folded in (the compacted tables
+    * carry only live rows and the tombstone entry is retired — the
+    * load-time anti-join disappears until the next delete); postings are
+    * re-clustered BY TERM so each posting list lands contiguously (the
+    * layout a term-probe scan wants: min/max file statistics then prune
+    * non-matching files), file counts sized at ~128 MB targets. Ends
+    * with a [[IndexManifest.vacuum]] — compaction is where superseded
+    * versions are reclaimed.
     */
-  def compactBm25(s: SparkSession, loc: String): Unit =
+  def compactBm25(s: SparkSession, loc: String): Unit = {
     IndexLock.withLock(s, loc) { tok =>
-      // fold pending tombstones in: the compacted tables carry only live
-      // rows, and the tombstone file is retired — the load-time anti-join
-      // disappears until the next delete
-      val tomb = tombstones(s, loc)
+      val m = manifest(s, loc)
+      val tomb = tombstones(s, m)
       def minus(df: DataFrame): DataFrame =
         tomb.map(t => df.join(t, Seq("doc_id"), "left_anti")).getOrElse(df)
-      val posts = minus(s.read.parquet(s"$loc/postings.parquet"))
-        .repartition(targetFiles(s, s"$loc/postings.parquet"), col("w"))
-        .sortWithinPartitions(col("w"), col("doc_id"))
-      IndexLock.verify(s, tok) // before the first destructive swap
-      replaceParquet(s, posts, s"$loc/postings.parquet")
-      val dl = minus(s.read.parquet(s"$loc/doclen.parquet"))
-        .repartition(targetFiles(s, s"$loc/doclen.parquet"), col("doc_id"))
-        .sortWithinPartitions(col("doc_id"))
-      replaceParquet(s, dl, s"$loc/doclen.parquet")
-      if (tomb.isDefined)
-        fs(s, loc).delete(new Path(s"$loc/deleted.parquet"), true)
+      val posts = writeVersion(minus(tbl(s, m, "postings"))
+        .repartition(targetFiles(s, m.paths("postings")), col("w"))
+        .sortWithinPartitions(col("w"), col("doc_id")), loc, "postings")
+      IndexLock.renew(s, tok)
+      val dl = writeVersion(minus(tbl(s, m, "doclen"))
+        .repartition(targetFiles(s, m.paths("doclen")), col("doc_id"))
+        .sortWithinPartitions(col("doc_id")), loc, "doclen")
+      IndexLock.verify(s, tok)
+      IndexManifest.publish(s, loc, m.tables ++ Map(
+        "postings" -> Seq(posts), "doclen" -> Seq(dl),
+        "deleted" -> Nil))
     }
+    IndexManifest.vacuum(s, loc)
+  }
 
   /** ~128 MB-target output file count for a compaction rewrite. */
-  private def targetFiles(s: SparkSession, path: String): Int = {
-    val f = fs(s, path)
-    val bytes = f.getContentSummary(new Path(path)).getLength
+  private def targetFiles(s: SparkSession, paths: Seq[String]): Int = {
+    val bytes = paths.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(hp).getLength
+    }.sum
     math.max(1, (bytes / (128L << 20)).toInt +
       (if (bytes % (128L << 20) > 0) 1 else 0))
   }
@@ -493,54 +523,56 @@ object IndexStore {
   /** Incrementally admit new vectors into a persisted IVF-PQ index:
     * assign + PQ-encode the batch against the FROZEN centroids/codebooks
     * (the production contract — re-training the quantizer is a rebuild)
-    * and append. Batch vec_ids must be disjoint from the indexed corpus
-    * and ≥ the seed/query id range (a real corpus appends fresh ids).
+    * and commit fresh segments. Batch vec_ids must be disjoint from the
+    * indexed corpus and ≥ the seed/query id range (a real corpus appends
+    * fresh ids).
     */
   def appendIvfPq(newE: DataFrame, loc: String): Unit = {
     val s = newE.sparkSession
     IndexLock.withLock(s, loc) { tok =>
+      val m = manifest(s, loc)
       val (sc, ss, sd) = embSig(newE)
-      // same failure-atomicity discipline as appendBm25: stats is read
-      // first, deleted as the staleness marker, and rewritten LAST
-      val st = s.read.parquet(s"$loc/stats.parquet").head()
-      val cents = s.read.parquet(s"$loc/centroids.parquet")
-      val cb = s.read.parquet(s"$loc/codebooks.parquet")
-      fs(s, loc).delete(new Path(s"$loc/stats.parquet"), true)
-      CentroidAssign.nearest(newE, cents)
-        .write.mode("append").parquet(s"$loc/assign.parquet")
-      AnnOps.pqEncode(AnnOps.subvectors(newE), cb)
-        .select(col("vec_id"), col("s"), col("j"))
-        .write.mode("append").parquet(s"$loc/codes.parquet")
-      import s.implicits._
+      val st = tbl(s, m, "stats").head()
+      val asgSeg = writeVersion(
+        CentroidAssign.nearest(newE, tbl(s, m, "centroids")), loc, "assign")
+      val codeSeg = writeVersion(
+        AnnOps.pqEncode(AnnOps.subvectors(newE), tbl(s, m, "codebooks"))
+          .select(col("vec_id"), col("s"), col("j")), loc, "codes")
+      val stV = writeVersion(ivfStatsDf(s,
+        st.getAs[Long]("sig_count") + sc,
+        st.getAs[Long]("sig_sum") + ss,
+        st.getAs[Long]("sig_dims") + sd), loc, "stats")
       IndexLock.verify(s, tok)
-      Seq((st.getAs[Long]("sig_count") + sc,
-        st.getAs[Long]("sig_sum") + ss, st.getAs[Long]("sig_dims") + sd))
-        .toDF("sig_count", "sig_sum", "sig_dims")
-        .write.mode("overwrite").parquet(s"$loc/stats.parquet")
+      IndexManifest.publish(s, loc, m.tables ++ Map(
+        "assign" -> (m.tables("assign") :+ asgSeg),
+        "codes" -> (m.tables("codes") :+ codeSeg),
+        "stats" -> Seq(stV)))
     }
   }
 
   /** Retire vectors from a persisted IVF-PQ index — the dense twin of
-    * [[deleteBm25]]. Tombstone-style: assign/codes rows stay on disk
-    * until [[compactIvfPq]], but the query path drops tombstoned ids
-    * from the cell assignment ([[ivfPqRefinedFromIndex]]), which makes
-    * their codes unreachable (candidates drive the decode). IVF-PQ holds
-    * no corpus-derived model scalars (centroids/codebooks are frozen
-    * training artifacts), so no merge is needed; the source fingerprint
-    * is POISONED (sig_count = −1) so an ensure*-managed loc rebuilds.
+    * [[deleteBm25]]. Tombstone-style: assign/codes segments stay
+    * committed until [[compactIvfPq]], but the query path drops
+    * tombstoned ids from the cell assignment ([[ivfPqRefinedFromIndex]]),
+    * which makes their codes unreachable (candidates drive the decode).
+    * IVF-PQ holds no corpus-derived model scalars (centroids/codebooks
+    * are frozen training artifacts), so no merge is needed; the source
+    * fingerprint is POISONED (sig_count = −1) so an ensure*-managed loc
+    * rebuilds.
     */
   def deleteIvfPq(ids: DataFrame, loc: String): Unit = {
     val s = ids.sparkSession
     IndexLock.withLock(s, loc) { tok =>
+      val m = manifest(s, loc)
       val del = ids.select(col("vec_id")).distinct()
-      val st = s.read.parquet(s"$loc/stats.parquet").head() // read BEFORE marking
-      fs(s, loc).delete(new Path(s"$loc/stats.parquet"), true) // staleness marker
-      del.write.mode("append").parquet(s"$loc/deleted.parquet")
-      import s.implicits._
+      val st = tbl(s, m, "stats").head()
+      val tombSeg = writeVersion(del, loc, "deleted")
+      val stV = writeVersion(ivfStatsDf(s, -1L,
+        st.getAs[Long]("sig_sum"), st.getAs[Long]("sig_dims")), loc, "stats")
       IndexLock.verify(s, tok)
-      Seq((-1L, st.getAs[Long]("sig_sum"), st.getAs[Long]("sig_dims")))
-        .toDF("sig_count", "sig_sum", "sig_dims")
-        .write.mode("overwrite").parquet(s"$loc/stats.parquet")
+      IndexManifest.publish(s, loc, m.tables ++ Map(
+        "stats" -> Seq(stV),
+        "deleted" -> (m.tables.getOrElse("deleted", Nil) :+ tombSeg)))
     }
   }
 
@@ -548,44 +580,48 @@ object IndexStore {
     * small files — the IVF twin of [[compactBm25]]: assign re-clustered
     * BY CELL (the layout a probe scan wants: prune non-probed cells via
     * file min/max statistics), codes by vec_id (the candidate point-
-    * lookup side). Values untouched; the tombstone file is retired.
+    * lookup side). Values untouched; the tombstone entry is retired;
+    * superseded versions vacuumed.
     */
-  def compactIvfPq(s: SparkSession, loc: String): Unit =
+  def compactIvfPq(s: SparkSession, loc: String): Unit = {
     IndexLock.withLock(s, loc) { tok =>
-      val tomb = tombstones(s, loc)
+      val m = manifest(s, loc)
+      val tomb = tombstones(s, m)
       def minus(df: DataFrame): DataFrame =
         tomb.map(t => df.join(t, Seq("vec_id"), "left_anti")).getOrElse(df)
-      val assign = minus(s.read.parquet(s"$loc/assign.parquet"))
-        .repartition(targetFiles(s, s"$loc/assign.parquet"), col("c_id"))
-        .sortWithinPartitions(col("c_id"), col("vec_id"))
-      IndexLock.verify(s, tok) // before the first destructive swap
-      replaceParquet(s, assign, s"$loc/assign.parquet")
-      val codes = minus(s.read.parquet(s"$loc/codes.parquet"))
-        .repartition(targetFiles(s, s"$loc/codes.parquet"), col("vec_id"))
-        .sortWithinPartitions(col("vec_id"), col("s"))
-      replaceParquet(s, codes, s"$loc/codes.parquet")
-      if (tomb.isDefined)
-        fs(s, loc).delete(new Path(s"$loc/deleted.parquet"), true)
+      val asg = writeVersion(minus(tbl(s, m, "assign"))
+        .repartition(targetFiles(s, m.paths("assign")), col("c_id"))
+        .sortWithinPartitions(col("c_id"), col("vec_id")), loc, "assign")
+      IndexLock.renew(s, tok)
+      val codes = writeVersion(minus(tbl(s, m, "codes"))
+        .repartition(targetFiles(s, m.paths("codes")), col("vec_id"))
+        .sortWithinPartitions(col("vec_id"), col("s")), loc, "codes")
+      IndexLock.verify(s, tok)
+      IndexManifest.publish(s, loc, m.tables ++ Map(
+        "assign" -> Seq(asg), "codes" -> Seq(codes), "deleted" -> Nil))
     }
+    IndexManifest.vacuum(s, loc)
+  }
 
   /** Live-cell occupancy of a persisted IVF index (tombstones excluded):
     * (n_cells, max_cell, mean_cell, skew = max/mean). The drift probe the
     * append path needs — appends assign against FROZEN centroids, so a
     * drifting embedding distribution piles new vectors into few cells and
     * probe recall decays with no signal; this is the signal.
-    * Driver-side scalars: one k-row aggregate (k = cell count).
+    * Driver-side scalars from a lock-free snapshot: one k-row aggregate
+    * (k = cell count) over one committed manifest.
     */
-  def ivfCellStats(s: SparkSession, loc: String): (Long, Long, Double, Double) =
-      IndexLock.withLock(s, loc) { _ => // locked read; scalars are eager
-    val tomb = tombstones(s, loc)
-    val assign = tomb.foldLeft(s.read.parquet(s"$loc/assign.parquet"))(
+  def ivfCellStats(s: SparkSession, loc: String): (Long, Long, Double, Double) = {
+    val m = manifest(s, loc)
+    val tomb = tombstones(s, m)
+    val assign = tomb.foldLeft(tbl(s, m, "assign"))(
       (a, t) => a.join(t, Seq("vec_id"), "left_anti"))
     val r = assign.groupBy(col("c_id")).agg(count(lit(1)).as("n"))
       .agg(count(lit(1)), coalesce(max(col("n")), lit(0L)),
         coalesce(avg(col("n")), lit(0.0))).head()
     val (cells, mx, mean) = (r.getLong(0), r.getLong(1), r.getDouble(2))
     (cells, mx, mean, if (mean > 0) mx / mean else 0.0)
-  } // end withLock
+  }
 
   /** MEASURED recall-drift probe: mean and min recall@k of the persisted
     * IVF-PQ index's refined search against the exact brute-force top-k
@@ -602,17 +638,16 @@ object IndexStore {
     * cadence: after every append batch or on a schedule, alongside
     * [[ivfCellStats]]; recall below the build-time floor triggers
     * [[rebalanceIvfPq]], and failure of THAT to recover triggers the
-    * rebuild rung.
+    * retrain rung. Lock-free (pure snapshot read).
     */
   def ivfRecallProbe(s: SparkSession, dir: String, loc: String,
-      k: Int = 10): (Double, Double) =
-    IndexLock.withLock(s, loc) { _ => // reentrant: the inner search shares it
-      val got = ivfPqRefinedFromIndex(s, dir, loc, topK = k)
-        .select(col("q_id"), col("vec_id"))
-      val r = AnnOps.recallAtK(got, AnnOps.denseTopK(s, dir, k))
-        .agg(avg(col("recall")), min(col("recall"))).head()
-      (r.getDouble(0), r.getDouble(1))
-    }
+      k: Int = 10, nProbes: Int = 4): (Double, Double) = {
+    val got = ivfPqRefinedFromIndex(s, dir, loc, nProbes = nProbes, topK = k)
+      .select(col("q_id"), col("vec_id"))
+    val r = AnnOps.recallAtK(got, AnnOps.denseTopK(s, dir, k))
+      .agg(avg(col("recall")), min(col("recall"))).head()
+    (r.getDouble(0), r.getDouble(1))
+  }
 
   /** Re-balance an append-skewed IVF index when cell-size skew crosses
     * `skewBound`: re-train the COARSE quantizer over the current live
@@ -621,10 +656,10 @@ object IndexStore {
     * FROZEN, so ADC scores are unchanged and only probe routing moves.
     * This is deliberately cheaper than a rebuild (no re-encode of the
     * corpus codes) and is the middle rung of the maintenance ladder:
-    * append (frozen everything) → rebalance (retrain routing) → rebuild
-    * (retrain routing + codebooks). Returns true when a rebalance ran.
-    * Same staleness-marker discipline as the appends; the fingerprint is
-    * PRESERVED (the corpus did not change — only the index layout did).
+    * append (frozen everything) → rebalance (retrain routing) → retrain
+    * (routing + codebooks). Returns true when a rebalance ran. The
+    * fingerprint is PRESERVED (the corpus did not change — only the
+    * index layout did).
     */
   def rebalanceIvfPq(e: DataFrame, loc: String, skewBound: Double = 4.0,
       k: Int = 16, iters: Int = 2): Boolean = {
@@ -633,20 +668,17 @@ object IndexStore {
       val (_, _, _, skew) = ivfCellStats(s, loc)
       if (skew <= skewBound) false
       else {
-        val st = s.read.parquet(s"$loc/stats.parquet").head()
-        val tomb = tombstones(s, loc)
+        val m = manifest(s, loc)
+        val tomb = tombstones(s, m)
         val live = tomb.foldLeft(e)((d, t) => d.join(t, Seq("vec_id"), "left_anti"))
-        fs(s, loc).delete(new Path(s"$loc/stats.parquet"), true) // staleness marker
         val cents = AnnOps.kmeansCentroids(live, k, iters).cache()
         cents.count() // materialize: persist + re-assignment both read it
-        replaceParquet(s, cents, s"$loc/centroids.parquet")
-        replaceParquet(s, CentroidAssign.nearest(live, cents), s"$loc/assign.parquet")
-        import s.implicits._
+        val centsRel = writeVersion(cents, loc, "centroids")
+        IndexLock.renew(s, tok)
+        val asg = writeVersion(CentroidAssign.nearest(live, cents), loc, "assign")
         IndexLock.verify(s, tok)
-        Seq((st.getAs[Long]("sig_count"), st.getAs[Long]("sig_sum"),
-          st.getAs[Long]("sig_dims")))
-          .toDF("sig_count", "sig_sum", "sig_dims")
-          .write.mode("overwrite").parquet(s"$loc/stats.parquet")
+        IndexManifest.publish(s, loc, m.tables ++ Map(
+          "centroids" -> Seq(centsRel), "assign" -> Seq(asg)))
         cents.unpersist(blocking = false)
         true
       }
@@ -661,40 +693,43 @@ object IndexStore {
     * the PQ error was trained on. Ladder: append (frozen everything) →
     * rebalance (retrain routing) → retrain (routing + codebooks +
     * re-encode). Tombstones are folded in (the retrain is computed from
-    * the live set, so the physical tables carry only live rows) and the
+    * the live set, so the committed tables carry only live rows) and the
     * source fingerprint is PRESERVED — the corpus did not change, only
     * the model state did. Cost: one k-means per subspace + one corpus
     * re-encode — the build cost, which is the point of making it the
-    * last rung. IndexStoreSpec pins retrain ≡ a fresh trained build over
-    * the live set at the search level.
+    * last rung. `k` may be RAISED here (the capacity rung above the
+    * ladder: more cells + codes when the drifted world went multi-modal
+    * past what the trained k represents — BENCH_INDEX `drift` measures
+    * what that buys). IndexStoreSpec pins retrain ≡ a fresh trained
+    * build over the live set at the search level.
     */
   def retrainIvfPq(e: DataFrame, loc: String, k: Int = 16,
       iters: Int = 2): Unit = {
     val s = e.sparkSession
     IndexLock.withLock(s, loc) { tok =>
-      val st = s.read.parquet(s"$loc/stats.parquet").head()
-      val tomb = tombstones(s, loc)
+      val m = manifest(s, loc)
+      val st = tbl(s, m, "stats").head()
+      val tomb = tombstones(s, m)
       val live = tomb.foldLeft(e)((d, t) => d.join(t, Seq("vec_id"), "left_anti"))
-      fs(s, loc).delete(new Path(s"$loc/stats.parquet"), true) // staleness marker
       val cents = AnnOps.kmeansCentroids(live, k, iters).cache()
       cents.count()
+      IndexLock.renew(s, tok) // heartbeat between the k-means stages
       val subs = AnnOps.subvectors(live).cache()
       subs.count()
       val cb = AnnOps.pqCodebooks(subs, k).cache()
       cb.count()
-      replaceParquet(s, cents, s"$loc/centroids.parquet")
-      replaceParquet(s, cb, s"$loc/codebooks.parquet")
-      replaceParquet(s, CentroidAssign.nearest(live, cents), s"$loc/assign.parquet")
-      replaceParquet(s, AnnOps.pqEncode(subs.filter(col("vec_id") >= 5), cb)
-        .select(col("vec_id"), col("s"), col("j")), s"$loc/codes.parquet")
-      if (tomb.isDefined)
-        fs(s, loc).delete(new Path(s"$loc/deleted.parquet"), true)
-      import s.implicits._
+      IndexLock.renew(s, tok)
+      val centsRel = writeVersion(cents, loc, "centroids")
+      val cbRel = writeVersion(cb, loc, "codebooks")
+      val asg = writeVersion(CentroidAssign.nearest(live, cents), loc, "assign")
+      val codes = writeVersion(AnnOps.pqEncode(subs.filter(col("vec_id") >= 5), cb)
+        .select(col("vec_id"), col("s"), col("j")), loc, "codes")
+      val stV = writeVersion(ivfStatsDf(s, st.getAs[Long]("sig_count"),
+        st.getAs[Long]("sig_sum"), st.getAs[Long]("sig_dims")), loc, "stats")
       IndexLock.verify(s, tok)
-      Seq((st.getAs[Long]("sig_count"), st.getAs[Long]("sig_sum"),
-        st.getAs[Long]("sig_dims")))
-        .toDF("sig_count", "sig_sum", "sig_dims")
-        .write.mode("overwrite").parquet(s"$loc/stats.parquet")
+      IndexManifest.publish(s, loc, Map("centroids" -> Seq(centsRel),
+        "codebooks" -> Seq(cbRel), "assign" -> Seq(asg), "codes" -> Seq(codes),
+        "stats" -> Seq(stV)))
       Seq(cents, subs, cb).foreach(_.unpersist(blocking = false))
     }
   }

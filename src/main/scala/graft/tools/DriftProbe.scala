@@ -59,6 +59,8 @@ object DriftProbe {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cycles = sys.env.getOrElse("SPARK_GRAFT_DRIFT_CYCLES", "4").toInt
     val step = sys.env.getOrElse("SPARK_GRAFT_DRIFT_STEP", "0.4").toDouble
+    // capacity-rung k (cells AND codes per subspace); probes scale with it
+    val kBump = sys.env.getOrElse("SPARK_GRAFT_DRIFT_KBUMP", "64").toInt
     val spark = ToolSession.local()
     graft.functions.GraftFunctions.register(spark)
     val work = java.nio.file.Files.createTempDirectory("graft_drift").toString
@@ -113,30 +115,40 @@ object DriftProbe {
       val locRt = s"$work/rt$k"; copyDir(loc, locRt)
       IndexStore.retrainIvfPq(shaped(world), locRt)
       val (rtm, rtn) = IndexStore.ivfRecallProbe(spark, cdir(k), locRt)
-      println(f"[drift] cycle $k drift $drift%.1f: append $ram%.3f/$ran%.3f " +
+      // the per-cycle TRAINED FLOOR the retrain caption leans on (r13
+      // VERDICT What's-wrong #3): a fresh k=16 trained build over this
+      // cycle's world — the best the frozen-k model class can do here
+      val locFb = s"$work/fb$k"
+      IndexStore.buildIvfPqTrained(shaped(world), locFb)
+      val (fbm, fbn) = IndexStore.ivfRecallProbe(spark, cdir(k), locFb)
+      // the CAPACITY rung above the ladder (r13 VERDICT item 2): retrain
+      // with k bumped 16→64 cells+codes, probes scaled 4→16 so the probed
+      // cell FRACTION stays 1/4 — isolates model capacity from probe
+      // budget. RUNBOOK's bump-k-and-rebuild rule, measured.
+      val locRtK = s"$work/rtk$k"; copyDir(loc, locRtK)
+      IndexStore.retrainIvfPq(shaped(world), locRtK, k = kBump)
+      val (rkm, rkn) = IndexStore.ivfRecallProbe(spark, cdir(k), locRtK,
+        nProbes = 4 * kBump / 16)
+      println(f"[drift] cycle $k drift $drift%.2f: append $ram%.3f/$ran%.3f " +
         f"(cell skew $skewAfterAppend%.2f) -> rebalance $rbm%.3f/$rbn%.3f " +
-        f"-> retrain $rtm%.3f/$rtn%.3f")
+        f"-> retrain $rtm%.3f/$rtn%.3f | fresh-k16 floor $fbm%.3f/$fbn%.3f " +
+        f"| retrain-k$kBump $rkm%.3f/$rkn%.3f")
       rows += s"""{"cycle":$k,"drift":$drift,"cell_skew_after_append":${f"$skewAfterAppend%.2f"},""" +
         s""""recall_after_append":{"mean":$ram,"min":$ran},""" +
         s""""recall_after_rebalance":{"mean":$rbm,"min":$rbn},""" +
-        s""""recall_after_retrain":{"mean":$rtm,"min":$rtn}}"""
+        s""""recall_after_retrain":{"mean":$rtm,"min":$rtn},""" +
+        s""""recall_fresh_trained_k16":{"mean":$fbm,"min":$fbn},""" +
+        s""""recall_after_retrain_k$kBump":{"mean":$rkm,"min":$rkn}}"""
     }
 
     // merge into the existing BENCH_INDEX.json as a "drift" section
+    // (parsed and key-replaced — idempotent under re-runs)
     val section =
-      s"""{"what":"PQ codebook drift: per cycle the batch AND query panel shift by cycle*${step} along a fixed direction; the frozen index accumulates the appends (recall_after_append = cumulative decay) while rebalance (routing only) and retrain (codebooks + full re-encode) run on per-cycle clones, so each rung's measured recall@10 recovery at that drift level is isolated. Build-floor recall from cycle 0.",
+      s"""{"what":"PQ codebook drift: per cycle the batch AND query panel shift by cycle*${step} along a fixed direction; the frozen index accumulates the appends (recall_after_append = cumulative decay) while rebalance (routing only), retrain (codebooks + full re-encode, frozen k=16), a FRESH k=16 trained build (the per-cycle floor retrain is judged against), and a k=$kBump retrain with probes scaled to the same probed-cell fraction (the capacity rung) run on per-cycle clones — each rung's measured recall@10 recovery at that drift level is isolated. Build-floor recall from cycle 0.",
  "src":"$srcDir","cycles":[
   ${rows.mkString(",\n  ")}
  ]}"""
-    val p = java.nio.file.Paths.get(outPath)
-    val updated =
-      if (java.nio.file.Files.exists(p)) {
-        val cur = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
-        if (cur.endsWith("}"))
-          cur.dropRight(1) + s""","drift":$section}"""
-        else cur + "\n" + section
-      } else s"""{"drift":$section}"""
-    java.nio.file.Files.writeString(p, updated + "\n")
+    ArtifactJson.merge(outPath, "drift", section)
     println(s"[drift] wrote drift section -> $outPath")
     spark.stop()
   }

@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.er.EntityResolution
+import graft.graph.GraphAlgs
+
+/** The two adjudications BENCH_ER.json still owed after round 13
+  * (VERDICT items 4 and 5):
+  *
+  *  1. "phases": the capped production chain's 773 s at 100× broken into
+  *     block → score+threshold → connected-components wall times, so the
+  *     next scale decision (distributed-CC cutover? feature pruning in
+  *     the score stage?) is data- rather than total-driven. Stages are
+  *     cached at the boundaries so each timing bills one stage.
+  *  2. "family": [[EntityResolution.blockPairsByFamily]] per scale — the
+  *     capped pairs/label rise (456 → 421 → 622) attributed to its
+  *     blocking-key family. The vocabulary's word channel is entity-local
+  *     (df ≤ 3 after the hot corp/inc tokens leave), so the curve lives
+  *     in the char-3-gram channel; splitting out digit-bearing grams
+  *     tests the saturation hypothesis: entity NUMBERS share 3-grams at
+  *     a rate that grows with corpus size yet stays under the 1000 cap,
+  *     so pairs-per-digit-gram grow quadratically until the cap bites.
+  *
+  * Merged into BENCH_ER.json (key-replaced, idempotent) beside the
+  * committed r13 curve. Usage: ErPhaseProbe [outPath]; env
+  * SPARK_GRAFT_ER_SCALES (default "1,10,100").
+  */
+object ErPhaseProbe {
+  def main(args: Array[String]): Unit = {
+    val outPath = args.headOption.getOrElse("BENCH_ER.json")
+    val scales = sys.env.getOrElse("SPARK_GRAFT_ER_SCALES", "1,10,100")
+      .split(',').map(_.trim.toInt).toSeq
+    val spark = ToolSession.local()
+    def secs[T](body: => T): (Double, T) = {
+      val t0 = System.nanoTime()
+      val r = body
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+
+    val phaseRows = new scala.collection.mutable.ArrayBuffer[String]
+    val famRows = new scala.collection.mutable.ArrayBuffer[String]
+    for (l <- scales) {
+      val lbl = ErLoadProbe.labels(spark, l).cache()
+      val nLabels = lbl.count()
+
+      // ---- family attribution (capped, the production default)
+      val fams = EntityResolution.blockPairsByFamily(lbl)
+      val famJson = fams.map { case (f, n) =>
+        s""""$f":{"pairs":$n,"pairs_per_label":${f"${n.toDouble / nLabels}%.2f"}}"""
+      }.mkString(",")
+      famRows += s"""{"scale":$l,"labels":$nLabels,$famJson}"""
+      println(s"[erphase] scale $l family: ${famRows.last}")
+
+      // ---- phase split of the capped chain (block -> score -> CC),
+      // cached at stage boundaries so each wall time is one stage
+      val (tBlock, blocked) = secs {
+        val b = EntityResolution.blockPairs(lbl).cache()
+        b.count(); b
+      }
+      val (tScore, edges) = secs {
+        val e = EntityResolution.scorePairs(blocked, lbl)
+          .filter(col("score") >= 0.6)
+          .select(col("id_a"), col("id_b")).cache()
+        e.count(); e
+      }
+      val (tCc, nClusters) = secs {
+        GraphAlgs.connectedComponents(
+            GraphAlgs.buildGraph(edges, "id_a", "id_b"))
+          .select(col("component")).distinct().count()
+      }
+      blocked.unpersist(blocking = true)
+      edges.unpersist(blocking = true)
+      lbl.unpersist(blocking = true)
+      phaseRows +=
+        s"""{"scale":$l,"labels":$nLabels,"block_sec":${f"$tBlock%.2f"},""" +
+        s""""score_threshold_sec":${f"$tScore%.2f"},"cc_sec":${f"$tCc%.2f"},""" +
+        s""""clusters":$nClusters}"""
+      println(s"[erphase] scale $l phases: ${phaseRows.last}")
+
+      // incremental flush: a late-scale failure keeps earlier rows
+      ArtifactJson.merge(outPath, "phases",
+        s"""{"what":"capped production chain wall time split block -> score+threshold(0.6) -> connected components; stage outputs cached at the boundaries so each timing bills one stage","rows":[${phaseRows.mkString(",")}]}""")
+      ArtifactJson.merge(outPath, "family",
+        s"""{"what":"capped candidate pairs by blocking-key family (word tokens / char 3-grams / digit-bearing 3-grams alone); families overlap so rows need not sum to the distinct union","rows":[${famRows.mkString(",")}]}""")
+    }
+    println(s"[erphase] wrote phases+family -> $outPath")
+    spark.stop()
+  }
+}

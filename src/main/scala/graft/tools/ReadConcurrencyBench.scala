@@ -1,0 +1,110 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{IndexLock, IndexStore}
+
+/** Read-path concurrency before/after (r13 VERDICT items 1+7): the r13
+  * design served every index query under the same EXCLUSIVE lock as the
+  * mutators — N concurrent BM25 queries against one index executed one
+  * at a time, and any query blocked appends for its duration. r14's
+  * manifest snapshots make reads lock-free. This bench measures what
+  * that buys, on the same corpus and query, four ways:
+  *
+  *   - locked / snapshot: K reader threads × M queries each, wall clock
+  *     (the locked leg wraps each query in IndexLock.withLock — the r13
+  *     read path's exact semantics, kept here as the measurement-only
+  *     "before");
+  *   - *_with_appender: the same storm while one writer thread commits
+  *     append batches to the SAME index — reader/writer interference.
+  *     Each leg runs on its own CLONE of one built index so corpora are
+  *     identical.
+  *
+  * Emitted as the "read_concurrency" section of BENCH_INDEX.json.
+  * Usage: ReadConcurrencyBench [outPath]; env SPARK_GRAFT_SF_DIR
+  * (default sf0.1), SPARK_GRAFT_READERS (8), SPARK_GRAFT_READS_EACH (4).
+  */
+object ReadConcurrencyBench {
+  private def copyDir(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    val d = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(s).forEach { p =>
+      val t = d.resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outPath = args.headOption.getOrElse("BENCH_INDEX.json")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val readers = sys.env.getOrElse("SPARK_GRAFT_READERS", "8").toInt
+    val readsEach = sys.env.getOrElse("SPARK_GRAFT_READS_EACH", "4").toInt
+    val spark = ToolSession.local()
+    val work = java.nio.file.Files.createTempDirectory("graft_readbench").toString
+
+    val docs = Tables.load(spark, dir, "documents").cache()
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val base = s"$work/base"
+    IndexStore.buildBm25(docs, base)
+    // append batches for the interference legs: fresh ids, corpus-shaped
+    def batch(i: Int) = docs.filter(pmod(col("doc_id"), lit(5)) === i % 5)
+      .select((col("doc_id") + lit((i + 1).toLong * (maxId + 1))).as("doc_id"),
+        col("text"))
+
+    def query(loc: String, locked: Boolean): Unit =
+      if (locked)
+        IndexLock.withLock(spark, loc) { _ =>
+          IndexStore.bm25TopKHotTermsFromIndex(spark, loc).count(); ()
+        }
+      else { IndexStore.bm25TopKHotTermsFromIndex(spark, loc).count(); () }
+
+    /** (storm_sec, appender_sec: -1 when no appender ran). */
+    def leg(tag: String, locked: Boolean, appender: Boolean): (Double, Double) = {
+      val loc = s"$work/$tag"; copyDir(base, loc)
+      query(loc, locked = false) // warm codegen/caches off the clock
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(readers + 1)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val appendSec = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val t0 = System.nanoTime()
+      val app = if (!appender) None else Some(scala.concurrent.Future {
+        val a0 = System.nanoTime()
+        (0 until 2).foreach(i => IndexStore.appendBm25(batch(i), loc))
+        appendSec.set(System.nanoTime() - a0)
+      })
+      val storm = scala.concurrent.Future.sequence((1 to readers).map(_ =>
+        scala.concurrent.Future { (1 to readsEach).foreach(_ => query(loc, locked)) }))
+      scala.concurrent.Await.result(storm,
+        scala.concurrent.duration.Duration(1200, "s"))
+      val stormSec = (System.nanoTime() - t0) / 1e9
+      app.foreach(f => scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration(1200, "s")))
+      pool.shutdown()
+      val aSec = if (appendSec.get() < 0) -1.0 else appendSec.get() / 1e9
+      println(f"[readbench] $tag: storm $stormSec%.2f s" +
+        (if (appender) f", appender $aSec%.2f s" else ""))
+      (stormSec, aSec)
+    }
+
+    val (lockedSec, _) = leg("locked", locked = true, appender = false)
+    val (snapSec, _) = leg("snapshot", locked = false, appender = false)
+    val (lockedAppSec, lockedAppW) = leg("locked_app", locked = true, appender = true)
+    val (snapAppSec, snapAppW) = leg("snapshot_app", locked = false, appender = true)
+    docs.unpersist(blocking = false)
+
+    val nQ = readers * readsEach
+    ArtifactJson.merge(outPath, "read_concurrency",
+      s"""{"what":"$readers reader threads x $readsEach BM25 top-k queries each against ONE at-rest index; locked = every query wrapped in the loc's exclusive IndexLock (the r13 read path, kept as the measurement-only before); snapshot = lock-free manifest-resolved reads (r14). *_with_appender legs run the same storm while one writer commits two append batches to the same index. Each leg on its own clone of one build.",
+ "sf":"$dir","readers":$readers,"reads_each":$readsEach,
+ "locked_storm_sec":${f"$lockedSec%.2f"},"snapshot_storm_sec":${f"$snapSec%.2f"},
+ "locked_qps":${f"${nQ / lockedSec}%.2f"},"snapshot_qps":${f"${nQ / snapSec}%.2f"},
+ "locked_with_appender":{"storm_sec":${f"$lockedAppSec%.2f"},"appender_sec":${f"$lockedAppW%.2f"}},
+ "snapshot_with_appender":{"storm_sec":${f"$snapAppSec%.2f"},"appender_sec":${f"$snapAppW%.2f"}}}""")
+    println(s"[readbench] wrote read_concurrency -> $outPath")
+    spark.stop()
+  }
+}

@@ -35,6 +35,12 @@ class IndexStoreSpec extends AnyFunSuite with graft.SparkTestSession {
   private def collectSorted(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  /** The committed logical table (layout is versioned under a manifest —
+    * specs compare table CONTENT, never physical paths).
+    */
+  private def table(loc: String, name: String) =
+    IndexStore.readTable(spark, loc, name)
+
   test("BM25: query-from-index is value-identical to the in-memory build") {
     val loc = tmpLoc("bm25")
     val docs = docsDf(docsFixture)
@@ -56,10 +62,9 @@ class IndexStoreSpec extends AnyFunSuite with graft.SparkTestSession {
     IndexStore.buildBm25(docsDf(oldRows), locInc)
     IndexStore.appendBm25(docsDf(newRows), locInc)
     IndexStore.buildBm25(docsDf(docsFixture), locFull)
-    for (t <- Seq("postings.parquet", "doclen.parquet", "dfreq.parquet",
-        "stats.parquet"))
-      assert(collectSorted(spark.read.parquet(s"$locInc/$t")) ==
-        collectSorted(spark.read.parquet(s"$locFull/$t")), s"table $t diverged")
+    for (t <- Seq("postings", "doclen", "dfreq", "stats"))
+      assert(collectSorted(table(locInc, t)) ==
+        collectSorted(table(locFull, t)), s"table $t diverged")
     assert(collectSorted(
         IndexStore.bm25TopKHotTermsFromIndex(spark, locInc)) ==
       collectSorted(IndexStore.bm25TopKHotTermsFromIndex(spark, locFull)))
@@ -69,18 +74,19 @@ class IndexStoreSpec extends AnyFunSuite with graft.SparkTestSession {
     val root = tmpLoc("bm25-ensure")
     val dir = "/root/testdata/sf0.001"
     val loc = IndexStore.ensureBm25(spark, dir, root)
-    def successMtime: Long = java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(s"$loc/stats.parquet/_SUCCESS")).toMillis
-    val t1 = successMtime
-    Thread.sleep(1100)
+    // the manifest version is the commit counter: a skipped ensure must
+    // not publish, a rebuild must
+    val v1 = IndexManifest.currentVersion(spark, loc)
     assert(IndexStore.ensureBm25(spark, dir, root) == loc)
-    assert(successMtime == t1, "fresh index was rebuilt")
+    assert(IndexManifest.currentVersion(spark, loc) == v1,
+      "fresh index was rebuilt")
     // desync the index from the source (append a doc the dir lacks):
     // the fingerprint must force a rebuild back to source state
     IndexStore.appendBm25(docsDf(Seq((999999L, "qqq www"))), loc)
     IndexStore.ensureBm25(spark, dir, root)
-    assert(successMtime > t1, "stale index was not rebuilt")
-    val st = spark.read.parquet(s"$loc/stats.parquet").head()
+    assert(IndexManifest.currentVersion(spark, loc) == v1 + 2,
+      "stale index was not rebuilt") // one append commit + one rebuild commit
+    val st = table(loc, "stats").head()
     val nd = graft.Tables.load(spark, dir, "documents").count()
     assert(st.getAs[Long]("sig_count") == nd)
   }
@@ -123,10 +129,9 @@ class IndexStoreSpec extends AnyFunSuite with graft.SparkTestSession {
     q.processAllAvailable(); q.stop()
     val locFull = tmpLoc("bm25-stream-full")
     IndexStore.buildBm25(docsDf(docsFixture), locFull)
-    for (t <- Seq("postings.parquet", "doclen.parquet", "dfreq.parquet",
-        "stats.parquet"))
-      assert(collectSorted(spark.read.parquet(s"$loc/$t")) ==
-        collectSorted(spark.read.parquet(s"$locFull/$t")), s"table $t diverged")
+    for (t <- Seq("postings", "doclen", "dfreq", "stats"))
+      assert(collectSorted(table(loc, t)) ==
+        collectSorted(table(locFull, t)), s"table $t diverged")
     assert(collectSorted(IndexStore.bm25TopKHotTermsFromIndex(spark, loc)) ==
       collectSorted(IndexStore.bm25TopKHotTermsFromIndex(spark, locFull)))
   }
@@ -137,16 +142,26 @@ class IndexStoreSpec extends AnyFunSuite with graft.SparkTestSession {
     val groups = docsFixture.grouped(3).toSeq
     IndexStore.buildBm25(docsDf(groups.head), loc)
     groups.tail.foreach(g => IndexStore.appendBm25(docsDf(g), loc))
-    def nFiles(t: String): Int = new java.io.File(s"$loc/$t").listFiles
-      .count(_.getName.startsWith("part-"))
-    val before = collectSorted(spark.read.parquet(s"$loc/postings.parquet"))
+    def nFiles(t: String): Int = IndexStore.tablePaths(spark, loc, t)
+      .map(p => new java.io.File(p).listFiles
+        .count(_.getName.startsWith("part-"))).sum
+    val before = collectSorted(table(loc, "postings"))
     val beforeQ = collectSorted(IndexStore.bm25TopKHotTermsFromIndex(spark, loc))
-    val filesBefore = nFiles("postings.parquet")
+    val filesBefore = nFiles("postings")
     assert(filesBefore > 1, "appends should have accumulated files")
+    assert(IndexStore.tablePaths(spark, loc, "postings").size > 1,
+      "appends should have accumulated segments")
     IndexStore.compactBm25(spark, loc)
-    assert(nFiles("postings.parquet") < filesBefore)
-    assert(collectSorted(spark.read.parquet(s"$loc/postings.parquet")) == before)
+    assert(nFiles("postings") < filesBefore)
+    assert(IndexStore.tablePaths(spark, loc, "postings").size == 1)
+    assert(collectSorted(table(loc, "postings")) == before)
     assert(collectSorted(IndexStore.bm25TopKHotTermsFromIndex(spark, loc)) == beforeQ)
+    // compaction vacuums: only dirs the retained manifests reference remain
+    val live = (IndexManifest.current(spark, loc).toSeq.flatMap(_.tables.values.flatten)
+      ++ Seq.empty).toSet
+    val onDisk = new java.io.File(s"$loc/postings").listFiles.map(_.getName).toSet
+    assert(onDisk.exists(n => live.contains(s"postings/$n")),
+      "current postings version must survive the vacuum")
   }
 
   test("IVF-PQ: trained-quantizer build serves from the same layout, recall-floored") {
@@ -158,8 +173,8 @@ class IndexStoreSpec extends AnyFunSuite with graft.SparkTestSession {
     IndexStore.buildIvfPqTrained(e, loc)
     e.unpersist(blocking = false)
     // same layout, trained tables: full structure present
-    assert(spark.read.parquet(s"$loc/centroids.parquet").count() == 16L)
-    assert(spark.read.parquet(s"$loc/codes.parquet").count() == 8L * (nVecs - 5))
+    assert(table(loc, "centroids").count() == 16L)
+    assert(table(loc, "codes").count() == 8L * (nVecs - 5))
     // the a03/a07 retrieval-quality convention vs the exact baseline
     val got = IndexStore.ivfPqRefinedFromIndex(spark, dir, loc)
       .select(col("q_id"), col("vec_id"))
@@ -187,17 +202,17 @@ class IndexStoreSpec extends AnyFunSuite with graft.SparkTestSession {
       collectSorted(RetrievalOps.docQueryTopK(
         IndexStore.loadBm25(spark, locRef), nQuery = 3, k = 5)))
     // the merge-maintained model table is exact immediately
-    assert(collectSorted(spark.read.parquet(s"$locDel/dfreq.parquet")) ==
-      collectSorted(spark.read.parquet(s"$locRef/dfreq.parquet")))
-    // compaction folds the tombstones: physical tables now equal the
-    // rebuild's, and the tombstone file is retired
+    assert(collectSorted(table(locDel, "dfreq")) ==
+      collectSorted(table(locRef, "dfreq")))
+    // compaction folds the tombstones: committed tables now equal the
+    // rebuild's, and the tombstone entry is retired
     IndexStore.compactBm25(spark, locDel)
-    for (t <- Seq("postings.parquet", "doclen.parquet", "dfreq.parquet"))
-      assert(collectSorted(spark.read.parquet(s"$locDel/$t")) ==
-        collectSorted(spark.read.parquet(s"$locRef/$t")), s"table $t diverged")
-    assert(!new java.io.File(s"$locDel/deleted.parquet").exists)
-    val a = spark.read.parquet(s"$locDel/stats.parquet").head()
-    val b = spark.read.parquet(s"$locRef/stats.parquet").head()
+    for (t <- Seq("postings", "doclen", "dfreq"))
+      assert(collectSorted(table(locDel, t)) ==
+        collectSorted(table(locRef, t)), s"table $t diverged")
+    assert(IndexStore.tablePaths(spark, locDel, "deleted").isEmpty)
+    val a = table(locDel, "stats").head()
+    val b = table(locRef, "stats").head()
     assert(a.getAs[Long]("n_docs") == b.getAs[Long]("n_docs"))
     assert(a.getAs[Long]("sum_tf") == b.getAs[Long]("sum_tf"))
     // the fingerprint is poisoned by design: an ensure*-managed loc whose
@@ -212,7 +227,7 @@ class IndexStoreSpec extends AnyFunSuite with graft.SparkTestSession {
     val loc = IndexStore.ensureBm25(spark, dir, root)
     IndexStore.deleteBm25(Seq(1L).toDF("doc_id"), loc)
     assert(IndexStore.ensureBm25(spark, dir, root) == loc)
-    val st = spark.read.parquet(s"$loc/stats.parquet").head()
+    val st = table(loc, "stats").head()
     assert(st.getAs[Long]("sig_count") ==
       graft.Tables.load(spark, dir, "documents").count(),
       "delete on an ensure-managed loc must force a rebuild back to source")
@@ -235,12 +250,11 @@ class IndexStoreSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(collectSorted(IndexStore.ivfPqRefinedFromIndex(spark, dir, locDel)) ==
       collectSorted(IndexStore.ivfPqRefinedFromIndex(spark, dir, locRef)))
     IndexStore.compactIvfPq(spark, locDel)
-    for (t <- Seq("assign.parquet", "codes.parquet"))
-      assert(collectSorted(spark.read.parquet(s"$locDel/$t")) ==
-        collectSorted(spark.read.parquet(s"$locRef/$t")), s"table $t diverged")
-    assert(!new java.io.File(s"$locDel/deleted.parquet").exists)
-    assert(spark.read.parquet(s"$locDel/stats.parquet")
-      .head().getAs[Long]("sig_count") == -1L)
+    for (t <- Seq("assign", "codes"))
+      assert(collectSorted(table(locDel, t)) ==
+        collectSorted(table(locRef, t)), s"table $t diverged")
+    assert(IndexStore.tablePaths(spark, locDel, "deleted").isEmpty)
+    assert(table(locDel, "stats").head().getAs[Long]("sig_count") == -1L)
   }
 
   test("IVF-PQ: cell-skew rebalance retrains routing only, recall at the rebuild floor") {
@@ -254,15 +268,15 @@ class IndexStoreSpec extends AnyFunSuite with graft.SparkTestSession {
     IndexStore.appendIvfPq(e.filter(col("vec_id") >= 60), loc)
     val (cells, mx, mean, skew) = IndexStore.ivfCellStats(spark, loc)
     assert(cells == 16L && mx >= mean && skew >= 1.0)
-    val cbBefore = collectSorted(spark.read.parquet(s"$loc/codebooks.parquet"))
-    val codesBefore = collectSorted(spark.read.parquet(s"$loc/codes.parquet"))
+    val cbBefore = collectSorted(table(loc, "codebooks"))
+    val codesBefore = collectSorted(table(loc, "codes"))
     // below-bound skew: no-op (the maintenance loop's common case)
     assert(!IndexStore.rebalanceIvfPq(e, loc, skewBound = 1e9))
     // force the rebalance: coarse quantizer retrains, codebooks and codes
     // stay FROZEN (ADC scores unchanged — only probe routing moves)
     assert(IndexStore.rebalanceIvfPq(e, loc, skewBound = math.max(1.0, skew - 0.01)))
-    assert(collectSorted(spark.read.parquet(s"$loc/codebooks.parquet")) == cbBefore)
-    assert(collectSorted(spark.read.parquet(s"$loc/codes.parquet")) == codesBefore)
+    assert(collectSorted(table(loc, "codebooks")) == cbBefore)
+    assert(collectSorted(table(loc, "codes")) == codesBefore)
     val (_, _, _, skewAfter) = IndexStore.ivfCellStats(spark, loc)
     assert(skewAfter <= skew + 1e-9,
       s"rebalance worsened skew: $skew -> $skewAfter")
@@ -295,10 +309,9 @@ class IndexStoreSpec extends AnyFunSuite with graft.SparkTestSession {
       .col("vec_id") >= 60), locInc)
     IndexStore.buildIvfPq(e, locFull)
     e.unpersist(blocking = false)
-    for (t <- Seq("centroids.parquet", "codebooks.parquet", "assign.parquet",
-        "codes.parquet", "stats.parquet"))
-      assert(collectSorted(spark.read.parquet(s"$locInc/$t")) ==
-        collectSorted(spark.read.parquet(s"$locFull/$t")), s"table $t diverged")
+    for (t <- Seq("centroids", "codebooks", "assign", "codes", "stats"))
+      assert(collectSorted(table(locInc, t)) ==
+        collectSorted(table(locFull, t)), s"table $t diverged")
     assert(collectSorted(
         IndexStore.ivfPqRefinedFromIndex(spark, dir, locInc)) ==
       collectSorted(IndexStore.ivfPqRefinedFromIndex(spark, dir, locFull)))
@@ -318,13 +331,13 @@ class IndexStoreSpec extends AnyFunSuite with graft.SparkTestSession {
     val live = e.join(del.select(org.apache.spark.sql.functions
       .col("vec_id")), Seq("vec_id"), "left_anti")
     IndexStore.retrainIvfPq(live, loc)
-    // tombstones folded: physical assign carries exactly the live set,
-    // the tombstone file is retired, codes cover the live corpus side
-    assert(!new java.io.File(s"$loc/deleted.parquet").exists())
-    assert(spark.read.parquet(s"$loc/assign.parquet").count() == nAll - nDel)
+    // tombstones folded: committed assign carries exactly the live set,
+    // the tombstone entry is retired, codes cover the live corpus side
+    assert(IndexStore.tablePaths(spark, loc, "deleted").isEmpty)
+    assert(table(loc, "assign").count() == nAll - nDel)
     val nLiveCorpus = live.filter(org.apache.spark.sql.functions
       .col("vec_id") >= 5).count()
-    assert(spark.read.parquet(s"$loc/codes.parquet").count() == nLiveCorpus * 8)
+    assert(table(loc, "codes").count() == nLiveCorpus * 8)
     // the search is served from retrained model tables at the trained-
     // build recall floor (trained floats are summation-order dependent,
     // so the pin is recall + structure, not a hash — the
@@ -438,5 +451,100 @@ class IndexStoreSpec extends AnyFunSuite with graft.SparkTestSession {
       }
       IndexLock.verify(spark, outer) // inner exit must not release it
     }
+  }
+
+  // --------------------------------------- snapshot reads (r13 item 1/r14)
+
+  test("snapshot reads: N readers complete while a writer HOLDS the lock, and never lock") {
+    // The r14 contract: reads resolve the committed manifest and never
+    // touch IndexLock. Proof by construction — the main thread acquires
+    // the loc's writer lock and sits on it; 4 concurrent readers must
+    // all return (lock-free) the committed pre-mutation state well
+    // within the writer's hold, then an append commits and a fresh read
+    // observes it.
+    val loc = tmpLoc("snap-read")
+    val (base, batch) = docsFixture.partition(_._1 < 6L)
+    IndexStore.buildBm25(docsDf(base), loc)
+    val expect = collectSorted(IndexStore.bm25TopKHotTermsFromIndex(spark, loc))
+    val tok = IndexLock.acquire(spark, loc, leaseMs = 60000, timeoutMs = 2000)
+    try {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val reads = scala.concurrent.Future.sequence((1 to 4).map(_ =>
+        scala.concurrent.Future(collectSorted(
+          IndexStore.bm25TopKHotTermsFromIndex(spark, loc)))))
+      // a locked read path would TimeoutException here (the lock is held)
+      val got = scala.concurrent.Await.result(reads,
+        scala.concurrent.duration.Duration(60, "s"))
+      pool.shutdown()
+      assert(got.forall(_ == expect),
+        "a reader observed something other than the committed state")
+    } finally IndexLock.release(spark, tok)
+    // writer proceeds after its hold; a post-commit read sees the new state
+    IndexStore.appendBm25(docsDf(batch), loc)
+    val locFull = tmpLoc("snap-read-full")
+    IndexStore.buildBm25(docsDf(docsFixture), locFull)
+    assert(collectSorted(IndexStore.bm25TopKHotTermsFromIndex(spark, loc)) ==
+      collectSorted(IndexStore.bm25TopKHotTermsFromIndex(spark, locFull)))
+  }
+
+  test("snapshot reads: a resolved frame survives a later commit (immutable versions)") {
+    // A reader that loaded the index BEFORE a commit keeps reading the
+    // state it resolved — later commits create new dirs, never touch the
+    // resolved ones (no vacuum runs in between here).
+    val loc = tmpLoc("snap-stable")
+    val (base, batch) = docsFixture.partition(_._1 < 6L)
+    IndexStore.buildBm25(docsDf(base), loc)
+    val ix = IndexStore.loadBm25(spark, loc) // lazy frames over v1's files
+    val dfreqBefore = collectSorted(ix.dfreq)
+    IndexStore.appendBm25(docsDf(batch), loc) // commits v2
+    assert(collectSorted(ix.dfreq) == dfreqBefore,
+      "a pre-commit snapshot changed under the reader")
+    // while a FRESH resolve sees the appended state
+    assert(collectSorted(IndexStore.loadBm25(spark, loc).dfreq) != dfreqBefore)
+  }
+
+  test("lock: exclusive create is OS-atomic — concurrent raw claims admit exactly one winner") {
+    // The cross-process guarantee (r13 What's-wrong #1): on file: paths
+    // the claim is java.nio.file.Files.createFile — O_EXCL, atomic across
+    // PROCESSES by OS contract. Two JVMs race the same syscall this test
+    // races from 8 threads DIRECTLY through tryCreateLockFile, bypassing
+    // the in-JVM acquire mutex — the mutex is an optimization, not the
+    // guarantee.
+    for (rep <- 0 until 5) {
+      val loc = tmpLoc(s"lk-atomic$rep")
+      val barrier = new java.util.concurrent.CyclicBarrier(8)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (0 until 8).map { i =>
+        new Thread(() => {
+          barrier.await()
+          if (IndexLock.tryCreateLockFile(spark, loc, s"1 owner-$i 60000"))
+            wins.incrementAndGet()
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(wins.get() == 1, s"rep $rep: ${wins.get()} concurrent claims won")
+    }
+  }
+
+  test("lock: renew restarts the lease clock so a live slow holder is not broken") {
+    val loc = tmpLoc("lk-renew")
+    val t1 = IndexLock.acquire(spark, loc, leaseMs = 400, timeoutMs = 2000)
+    // renew inside the lease: the holder stays alive past its original term
+    for (_ <- 0 until 3) { Thread.sleep(250); IndexLock.renew(spark, t1) }
+    // 750ms elapsed > 400ms lease, but the last renew was 0ms ago: a
+    // contender must NOT break the lock (it times out instead)
+    intercept[java.util.concurrent.TimeoutException] {
+      IndexLock.acquire(spark, loc, leaseMs = 400, timeoutMs = 300)
+    }
+    IndexLock.verify(spark, t1) // still the holder
+    IndexLock.release(spark, t1)
+    // a superseded holder cannot renew (resurrect its lease)
+    val t2 = IndexLock.acquire(spark, loc, leaseMs = 50, timeoutMs = 2000)
+    Thread.sleep(120)
+    val t3 = IndexLock.acquire(spark, loc, leaseMs = 60000, timeoutMs = 2000)
+    intercept[IllegalStateException] { IndexLock.renew(spark, t2) }
+    IndexLock.release(spark, t3)
   }
 }
