@@ -204,20 +204,24 @@ object IndexStore {
   /** Build-if-absent (fingerprint-guarded) BM25 index for the `documents`
     * table of a testdata dir; returns the index location. The guard makes
     * repeated gate invocations query-only — the build cost is paid once
-    * per distinct corpus state.
+    * per distinct corpus state. The FRESH case (every call after the
+    * first) is LOCK-FREE: the fingerprint check is a manifest-snapshot
+    * read, so a query-dominant caller never touches the writer lock;
+    * only a stale verdict takes it, and re-checks under it (two stale
+    * observers race here — the loser finds the winner's build fresh).
     */
   def ensureBm25(s: SparkSession, dir: String,
       root: String = indexRoot): String = {
     val loc = s"$root/${slug(dir)}/bm25"
-    IndexLock.withLock(s, loc) { _ => // check+build is one atomic section
-      val docs = Tables.load(s, dir, "documents")
-      val fresh = IndexManifest.current(s, loc)
-        .filter(_.tables.contains("stats")).exists { m =>
-          val st = tbl(s, m, "stats").head()
-          val (sc, ss, sch) = docSig(docs)
-          st.getAs[Long]("sig_count") == sc && st.getAs[Long]("sig_sum") == ss &&
-            st.getAs[Long]("sig_chars") == sch
-        }
+    val docs = Tables.load(s, dir, "documents")
+    def fresh: Boolean = IndexManifest.current(s, loc)
+      .filter(_.tables.contains("stats")).exists { m =>
+        val st = tbl(s, m, "stats").head()
+        val (sc, ss, sch) = docSig(docs)
+        st.getAs[Long]("sig_count") == sc && st.getAs[Long]("sig_sum") == ss &&
+          st.getAs[Long]("sig_chars") == sch
+      }
+    if (!fresh) IndexLock.withLock(s, loc) { _ =>
       if (!fresh) buildBm25(docs, loc) // reentrant: shares this lock
     }
     loc
@@ -369,22 +373,23 @@ object IndexStore {
   }
 
   /** Build-if-absent (fingerprint-guarded) IVF-PQ index for a testdata
-    * dir's `embeddings` table; returns the location.
+    * dir's `embeddings` table; returns the location. Fresh case
+    * lock-free, stale case locked + re-checked — see [[ensureBm25]].
     */
   def ensureIvfPq(s: SparkSession, dir: String,
       root: String = indexRoot): String = {
     val loc = s"$root/${slug(dir)}/ivfpq"
-    IndexLock.withLock(s, loc) { _ => // check+build is one atomic section
-      val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> cast(x AS double))").as("emb"))
-      val fresh = IndexManifest.current(s, loc)
-        .filter(_.tables.contains("stats")).exists { m =>
-          val st = tbl(s, m, "stats").head()
-          val (sc, ss, sd) = embSig(e)
-          st.getAs[Long]("sig_count") == sc && st.getAs[Long]("sig_sum") == ss &&
-            st.getAs[Long]("sig_dims") == sd
-        }
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("emb"))
+    def fresh: Boolean = IndexManifest.current(s, loc)
+      .filter(_.tables.contains("stats")).exists { m =>
+        val st = tbl(s, m, "stats").head()
+        val (sc, ss, sd) = embSig(e)
+        st.getAs[Long]("sig_count") == sc && st.getAs[Long]("sig_sum") == ss &&
+          st.getAs[Long]("sig_dims") == sd
+      }
+    if (!fresh) IndexLock.withLock(s, loc) { _ =>
       if (!fresh)
         buildIvfPq(e.withColumn("norm",
           sqrt(graft.functions.GraftFunctions.vecDot(col("emb"), col("emb")))), loc)

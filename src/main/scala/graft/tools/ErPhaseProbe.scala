@@ -51,17 +51,24 @@ object ErPhaseProbe {
       }.mkString(",")
       famRows += s"""{"scale":$l,"labels":$nLabels,$famJson}"""
       println(s"[erphase] scale $l family: ${famRows.last}")
+      // flush family BEFORE the phase leg: a phase-stage failure at the
+      // largest scale must not lose the attribution rows
+      ArtifactJson.merge(outPath, "family",
+        s"""{"what":"capped candidate pairs by blocking-key family (word tokens / char 3-grams / digit-bearing 3-grams alone); families overlap so rows need not sum to the distinct union","rows":[${famRows.mkString(",")}]}""")
 
       // ---- phase split of the capped chain (block -> score -> CC),
-      // cached at stage boundaries so each wall time is one stage
+      // persisted at stage boundaries so each wall time is one stage;
+      // DISK_ONLY — the 100x blocked set is 227M rows, heap caching OOMs
       val (tBlock, blocked) = secs {
-        val b = EntityResolution.blockPairs(lbl).cache()
+        val b = EntityResolution.blockPairs(lbl)
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
         b.count(); b
       }
       val (tScore, edges) = secs {
         val e = EntityResolution.scorePairs(blocked, lbl)
           .filter(col("score") >= 0.6)
-          .select(col("id_a"), col("id_b")).cache()
+          .select(col("id_a"), col("id_b"))
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
         e.count(); e
       }
       val (tCc, nClusters) = secs {
@@ -80,9 +87,7 @@ object ErPhaseProbe {
 
       // incremental flush: a late-scale failure keeps earlier rows
       ArtifactJson.merge(outPath, "phases",
-        s"""{"what":"capped production chain wall time split block -> score+threshold(0.6) -> connected components; stage outputs cached at the boundaries so each timing bills one stage","rows":[${phaseRows.mkString(",")}]}""")
-      ArtifactJson.merge(outPath, "family",
-        s"""{"what":"capped candidate pairs by blocking-key family (word tokens / char 3-grams / digit-bearing 3-grams alone); families overlap so rows need not sum to the distinct union","rows":[${famRows.mkString(",")}]}""")
+        s"""{"what":"capped production chain wall time split block -> score+threshold(0.6) -> connected components; stage outputs persisted (DISK_ONLY) at the boundaries so each timing bills one stage","rows":[${phaseRows.mkString(",")}]}""")
     }
     println(s"[erphase] wrote phases+family -> $outPath")
     spark.stop()

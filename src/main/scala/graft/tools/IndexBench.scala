@@ -121,7 +121,7 @@ object IndexBench {
       f"$pqDel%.2f / $pqQDel%.2f / $pqCompact%.2f s")
     e2.unpersist(blocking = false)
 
-    println(s"""{"bm25_build_sec":$bmBuild,"bm25_query_sec":$bmQ,""" +
+    val json = s"""{"bm25_build_sec":$bmBuild,"bm25_query_sec":$bmQ,""" +
       s""""bm25_rebuild_per_query_sec":$bmLegacy,""" +
       s""""ivfpq_build_sec":$pqBuild,"ivfpq_query_sec":$pqQ,""" +
       s""""ivfpq_rebuild_per_query_sec":$pqLegacy,""" +
@@ -137,7 +137,12 @@ object IndexBench {
       s""""ivf_cell_skew_after_rebalance":$skewAfter,""" +
       s""""ivf_recall_after_rebalance":{"mean":$recAfterMean,"min":$recAfterMin},""" +
       s""""ivfpq_delete_sec":$pqDel,"ivfpq_query_after_delete_sec":$pqQDel,""" +
-      s""""ivfpq_compact_sec":$pqCompact},"reps":$reps,"sf":"$dir"}""")
+      s""""ivfpq_compact_sec":$pqCompact},"reps":$reps,"sf":"$dir"}"""
+    println(json)
+    // SPARK_GRAFT_IXBENCH_KEY=sf0.1 merges the run into BENCH_INDEX.json
+    // under that key (the committed-artifact path; stdout stays primary)
+    sys.env.get("SPARK_GRAFT_IXBENCH_KEY").foreach(k =>
+      ArtifactJson.merge("BENCH_INDEX.json", k, json))
     spark.stop()
   }
 }

@@ -355,6 +355,55 @@ class IndexStoreSpec extends AnyFunSuite with graft.SparkTestSession {
     e.unpersist(blocking = false)
   }
 
+  test("IVF-PQ: capacity rung — k-bumped retrain serves the bumped layout and holds recall at moderate drift") {
+    import org.apache.spark.sql.functions._
+    // The rung ABOVE the maintenance ladder (BENCH_INDEX `drift`
+    // measures it at sf0.1: +0.10 mean recall at drift ≤ 0.30, a wash at
+    // ≥ 0.45): retrain with k bumped 16→64 cells+codes, probes scaled
+    // 4→16 so the probed-cell FRACTION holds. This pins the mechanics at
+    // fixture scale — the bumped layout trains/serves end-to-end and its
+    // recall on a cycle-1-shaped drifted world is no worse than the
+    // frozen-k retrain's.
+    val dir = "/root/testdata/sf0.001"
+    val work = tmpLoc("kbump")
+    val e = AnnOps.embTable(spark, dir).cache()
+    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+    def drifted(c: String, d: Double) =
+      expr(s"transform($c, (x, i) -> x + $d * CASE WHEN i % 2 = 0 THEN 1.0 ELSE -1.0 END)")
+    // the world after one moderate-drift ingest cycle: drifted query
+    // panel + original corpus + the drifted batch under fresh ids
+    val panel = e.filter(col("vec_id") < 5)
+      .select(col("vec_id"), drifted("emb", 0.15).as("embedding"))
+    val corpus = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id"), col("emb").as("embedding"))
+    val batch = e.filter(col("vec_id") >= 5)
+      .select((col("vec_id") + lit(maxId + 1)).as("vec_id"),
+        drifted("emb", 0.15).as("embedding"))
+    val wdir = s"$work/world"
+    panel.unionByName(corpus).unionByName(batch)
+      .write.mode("overwrite").parquet(s"$wdir/embeddings.parquet")
+    def shaped(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("embedding").as("emb"))
+        .withColumn("norm",
+          sqrt(graft.functions.GraftFunctions.vecDot(col("emb"), col("emb"))))
+    val world = shaped(spark.read.parquet(s"$wdir/embeddings.parquet"))
+    val loc16 = s"$work/ix16"
+    val loc64 = s"$work/ix64"
+    // trained builds stand in for the retrain rungs: retrain ≡ fresh
+    // trained build over the live set is pinned above (and measured
+    // equal per-cycle in BENCH_INDEX drift)
+    IndexStore.buildIvfPqTrained(world, loc64, k = 64)
+    IndexStore.buildIvfPqTrained(world, loc16, k = 16)
+    // the bumped layout is real: 64 cells, codes within the 64-id space
+    assert(table(loc64, "centroids").count() == 64L)
+    assert(table(loc64, "codebooks").select(col("j")).distinct().count() == 64L)
+    val (m16, _) = IndexStore.ivfRecallProbe(spark, wdir, loc16)
+    val (m64, _) = IndexStore.ivfRecallProbe(spark, wdir, loc64, nProbes = 16)
+    e.unpersist(blocking = false)
+    assert(m64 >= m16,
+      s"capacity bump regressed recall at moderate drift: k16 $m16 vs k64 $m64")
+  }
+
   test("IVF-PQ: maintainIvfPq trigger order — none, rebalance, retrain") {
     val dir = "/root/testdata/sf0.001"
     def freshLoc(tag: String): String = {
