@@ -86,6 +86,22 @@ object IndexManifest {
   def currentVersion(s: SparkSession, loc: String): Long =
     versions(s, loc).lastOption.getOrElse(0L)
 
+  /** All RETAINED committed versions, ascending — what a time-travel
+    * read may pin ([[at]]). Superseded versions disappear once
+    * [[vacuum]] reclaims them, so retention is the deployer's
+    * `keepManifests` choice, not an unbounded log.
+    */
+  def retainedVersions(s: SparkSession, loc: String): Seq[Long] =
+    versions(s, loc)
+
+  /** A SPECIFIC committed state, if still retained — the time-travel /
+    * audit read: the returned manifest names immutable files, so a
+    * pinned version replays bit-identically for as long as vacuum
+    * retention keeps it.
+    */
+  def at(s: SparkSession, loc: String, version: Long): Option[Manifest] =
+    versions(s, loc).find(_ == version).map(v => read(s, loc, v))
+
   private def read(s: SparkSession, loc: String, v: Long): Manifest = {
     val p = new Path(s"$loc/_manifests/m.$v")
     val in = fs(s, loc).open(p)

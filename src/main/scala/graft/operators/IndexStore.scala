@@ -84,9 +84,14 @@ object IndexStore {
     rel
   }
 
-  private def manifest(s: SparkSession, loc: String): IndexManifest.Manifest =
-    IndexManifest.current(s, loc).getOrElse(throw new IllegalStateException(
-      s"no committed index state at $loc (build it first)"))
+  private def manifest(s: SparkSession, loc: String,
+      at: Option[Long] = None): IndexManifest.Manifest =
+    at.map(v => IndexManifest.at(s, loc, v).getOrElse(
+        throw new IllegalStateException(
+          s"index version $v at $loc is not retained (vacuumed or never committed)")))
+      .orElse(IndexManifest.current(s, loc))
+      .getOrElse(throw new IllegalStateException(
+        s"no committed index state at $loc (build it first)"))
 
   private def tbl(s: SparkSession, m: IndexManifest.Manifest,
       table: String): DataFrame = {
@@ -165,10 +170,13 @@ object IndexStore {
     * resolve: every table comes from the same committed version, with no
     * lock — later commits write new dirs, never touch these. Tables are
     * LAZY parquet scans (pushdown applies); a caller issuing many queries
-    * in one session may cache `tf` itself.
+    * in one session may cache `tf` itself. `at` pins a RETAINED older
+    * version (time travel: immutable files replay bit-identically until
+    * vacuum retention drops them — the audit/repro read).
     */
-  private[operators] def loadBm25(s: SparkSession, loc: String): RetrievalOps.Bm25Index = {
-    val m = manifest(s, loc)
+  private[operators] def loadBm25(s: SparkSession, loc: String,
+      at: Option[Long] = None): RetrievalOps.Bm25Index = {
+    val m = manifest(s, loc, at)
     val st = tbl(s, m, "stats").head()
     val nDocs = st.getAs[Long]("n_docs")
     val sumTf = st.getAs[Long]("sum_tf")
@@ -197,8 +205,8 @@ object IndexStore {
     * pull files out from under a caller that holds the frame.
     */
   def bm25TopKHotTermsFromIndex(s: SparkSession, loc: String, nProbes: Int = 3,
-      k: Int = 10): DataFrame =
-    RetrievalOps.hotTermsTopK(loadBm25(s, loc), nProbes, k)
+      k: Int = 10, at: Option[Long] = None): DataFrame =
+    RetrievalOps.hotTermsTopK(loadBm25(s, loc, at), nProbes, k)
       .localCheckpoint(true)
 
   /** Build-if-absent (fingerprint-guarded) BM25 index for the `documents`
@@ -406,8 +414,9 @@ object IndexStore {
     * read (one manifest resolve), materialized top-k.
     */
   def ivfPqRefinedFromIndex(s: SparkSession, dir: String, loc: String,
-      nProbes: Int = 4, topK: Int = 10, refineFactor: Int = 8): DataFrame = {
-    val m = manifest(s, loc)
+      nProbes: Int = 4, topK: Int = 10, refineFactor: Int = 8,
+      at: Option[Long] = None): DataFrame = {
+    val m = manifest(s, loc, at)
     val e = AnnOps.embTable(s, dir) // cached: probes + qsubs + refine fetch
     val cents = tbl(s, m, "centroids")
     // tombstones ([[deleteIvfPq]]): retired vectors drop out of the cell

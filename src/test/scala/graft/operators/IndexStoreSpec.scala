@@ -554,6 +554,35 @@ class IndexStoreSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(collectSorted(IndexStore.loadBm25(spark, loc).dfreq) != dfreqBefore)
   }
 
+  test("snapshot reads: time travel — a retained version replays exactly until vacuum drops it") {
+    val loc = tmpLoc("snap-tt")
+    val (base, batch) = docsFixture.partition(_._1 < 6L)
+    IndexStore.buildBm25(docsDf(base), loc) // v1
+    val v1 = IndexManifest.currentVersion(spark, loc)
+    val atBuild = collectSorted(IndexStore.bm25TopKHotTermsFromIndex(spark, loc))
+    IndexStore.appendBm25(docsDf(batch), loc) // v2
+    assert(IndexManifest.retainedVersions(spark, loc) == Seq(v1, v1 + 1))
+    // pinned read at v1 = the pre-append state, bit-identical, while the
+    // latest read serves the appended corpus
+    assert(collectSorted(IndexStore.bm25TopKHotTermsFromIndex(spark, loc,
+      at = Some(v1))) == atBuild)
+    assert(collectSorted(IndexStore.bm25TopKHotTermsFromIndex(spark, loc)) != atBuild)
+    // a crashed writer's orphan (a version dir no manifest references) is
+    // invisible to readers and reclaimed by vacuum alongside superseded
+    // versions; the retained state is untouched
+    val orphan = new java.io.File(s"$loc/postings/v-orphan-crashed")
+    orphan.mkdirs()
+    val latest = collectSorted(IndexStore.bm25TopKHotTermsFromIndex(spark, loc))
+    IndexManifest.vacuum(spark, loc, keepManifests = 1)
+    assert(!orphan.exists, "vacuum must reclaim unreferenced dirs")
+    assert(IndexManifest.retainedVersions(spark, loc) == Seq(v1 + 1))
+    assert(IndexManifest.at(spark, loc, v1).isEmpty)
+    intercept[IllegalStateException] {
+      IndexStore.bm25TopKHotTermsFromIndex(spark, loc, at = Some(v1))
+    }
+    assert(collectSorted(IndexStore.bm25TopKHotTermsFromIndex(spark, loc)) == latest)
+  }
+
   test("lock: exclusive create is OS-atomic — concurrent raw claims admit exactly one winner") {
     // The cross-process guarantee (r13 What's-wrong #1): on file: paths
     // the claim is java.nio.file.Files.createFile — O_EXCL, atomic across
