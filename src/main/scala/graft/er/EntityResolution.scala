@@ -129,25 +129,87 @@ object EntityResolution {
     * Input pairs: (id_a, id_b, type); output adds label_a/label_b + the
     * feature columns.
     */
-  def withFeatures(pairs: DataFrame, labels: DataFrame): DataFrame = {
+  /** Labels up to this row count take the precomputed-feature BROADCAST
+    * path in [[withFeatures]]; above it the original narrow per-pair
+    * form runs (value-identical, spec-pinned). ~2M rows of (label +
+    * token/gram arrays) ≈ hundreds of MB — the executor-memory bound,
+    * the [[graft.operators.DedupOps]] broadcastRowLimit convention.
+    */
+  val FeatureBroadcastLabelLimit: Int = 2000000
+
+  def withFeatures(pairs: DataFrame, labels: DataFrame): DataFrame =
+    withFeatures(pairs, labels, FeatureBroadcastLabelLimit)
+
+  /** Pairwise features with the per-label work HOISTED across the join:
+    * tokenization, q-grams, and the plural fold are per-LABEL quantities,
+    * and candidate pairs outnumber labels by ~400× on the measured curve
+    * (BENCH_ER: 421-622 pairs/label) — Catalyst does not hoist
+    * expressions across a join, so the original per-pair form multiplied
+    * the string work by that factor (the r14 phase split named scoring
+    * as 75% of the 100× chain). Values are EXACTLY the per-pair
+    * originals: same expressions, same inputs, evaluated earlier.
+    *
+    * The hoisted form is only a win when the array-widened label side
+    * BROADCASTS (row-count-probed, the DedupOps convention): letting the
+    * wide side into a sort-merge join would shuffle the array-laden
+    * intermediate for the second key — measured 4× WORSE than the
+    * original at 10× (123 s vs 29 s) — so above the limit the narrow
+    * per-pair form runs instead. Both branches are value-identical
+    * (ErEvalSpec pins the forced fallback).
+    */
+  private[graft] def withFeatures(pairs: DataFrame, labels: DataFrame,
+      broadcastLabelLimit: Int): DataFrame = {
     val l = labels.select(col("id"), lower(col("label")).as("label"))
-    val withLabels = pairs
-      .join(l.withColumnRenamed("id", "id_a").withColumnRenamed("label", "label_a"), Seq("id_a"))
-      .join(l.withColumnRenamed("id", "id_b").withColumnRenamed("label", "label_b"), Seq("id_b"))
-    withLabels
-      .withColumn("f_word_jac", SimilarityJoin.jaccard(
-        array_distinct(SimilarityJoin.whitespaceTokens(col("label_a"))),
-        array_distinct(SimilarityJoin.whitespaceTokens(col("label_b")))))
-      .withColumn("f_lev_sim",
-        lit(1.0) - levenshtein(col("label_a"), col("label_b")).cast("double") /
-          greatest(length(col("label_a")), length(col("label_b"))).cast("double"))
-      .withColumn("f_plural_eq",
-        when(stripS(col("label_a")) === stripS(col("label_b")), 1.0).otherwise(0.0))
-      .withColumn("f_gram_jac", SimilarityJoin.jaccard(
-        array_distinct(SimilarityJoin.qgrams(col("label_a"))),
-        array_distinct(SimilarityJoin.qgrams(col("label_b")))))
-      .withColumn("f_is_char",
-        when(col("type").isin(charTypes.toSeq: _*), 1.0).otherwise(0.0))
+    val probeN = // +1 without Int overflow at a no-limit setting
+      math.min(broadcastLabelLimit.toLong + 1L, Int.MaxValue.toLong).toInt
+    val smallEnough =
+      l.limit(probeN).count() <= broadcastLabelLimit
+    if (smallEnough) {
+      val pre = l
+        .withColumn("toks",
+          array_distinct(SimilarityJoin.whitespaceTokens(col("label"))))
+        .withColumn("grams",
+          array_distinct(SimilarityJoin.qgrams(col("label"))))
+        .withColumn("folded", stripS(col("label")))
+      def side(suffix: String) = broadcast(pre.select(
+        col("id").as(s"id_$suffix"), col("label").as(s"label_$suffix"),
+        col("toks").as(s"toks_$suffix"), col("grams").as(s"grams_$suffix"),
+        col("folded").as(s"folded_$suffix")))
+      pairs
+        .join(side("a"), Seq("id_a"))
+        .join(side("b"), Seq("id_b"))
+        .withColumn("f_word_jac",
+          SimilarityJoin.jaccard(col("toks_a"), col("toks_b")))
+        .withColumn("f_lev_sim",
+          lit(1.0) - levenshtein(col("label_a"), col("label_b")).cast("double") /
+            greatest(length(col("label_a")), length(col("label_b"))).cast("double"))
+        .withColumn("f_plural_eq",
+          when(col("folded_a") === col("folded_b"), 1.0).otherwise(0.0))
+        .withColumn("f_gram_jac",
+          SimilarityJoin.jaccard(col("grams_a"), col("grams_b")))
+        .withColumn("f_is_char",
+          when(col("type").isin(charTypes.toSeq: _*), 1.0).otherwise(0.0))
+        .drop("toks_a", "toks_b", "grams_a", "grams_b", "folded_a", "folded_b")
+    } else {
+      // huge-vocabulary fallback: narrow joins, per-pair features
+      val withLabels = pairs
+        .join(l.withColumnRenamed("id", "id_a").withColumnRenamed("label", "label_a"), Seq("id_a"))
+        .join(l.withColumnRenamed("id", "id_b").withColumnRenamed("label", "label_b"), Seq("id_b"))
+      withLabels
+        .withColumn("f_word_jac", SimilarityJoin.jaccard(
+          array_distinct(SimilarityJoin.whitespaceTokens(col("label_a"))),
+          array_distinct(SimilarityJoin.whitespaceTokens(col("label_b")))))
+        .withColumn("f_lev_sim",
+          lit(1.0) - levenshtein(col("label_a"), col("label_b")).cast("double") /
+            greatest(length(col("label_a")), length(col("label_b"))).cast("double"))
+        .withColumn("f_plural_eq",
+          when(stripS(col("label_a")) === stripS(col("label_b")), 1.0).otherwise(0.0))
+        .withColumn("f_gram_jac", SimilarityJoin.jaccard(
+          array_distinct(SimilarityJoin.qgrams(col("label_a"))),
+          array_distinct(SimilarityJoin.qgrams(col("label_b")))))
+        .withColumn("f_is_char",
+          when(col("type").isin(charTypes.toSeq: _*), 1.0).otherwise(0.0))
+    }
   }
 
   /** Similarity features + combined score for candidate pairs, all on

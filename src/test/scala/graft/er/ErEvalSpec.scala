@@ -182,6 +182,28 @@ class ErEvalSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(dist === driver)
   }
 
+  test("withFeatures: broadcast-hoisted and narrow per-pair branches are value-identical") {
+    import spark.implicits._
+    // the hoisted branch precomputes token/gram/fold per LABEL and
+    // broadcasts; the huge-vocabulary fallback computes them per PAIR —
+    // same expressions, same values, pinned here by forcing the fallback
+    // (broadcastLabelLimit = 0) on a variant-rich fixture
+    val labels = Seq(
+      (0L, "Entity1 Corp", "ORG"), (1L, "Entity1 Corp inc", "ORG"),
+      (2L, "Entity1 Corps", "ORG"), (3L, "Acme Systems", "ORG"),
+      (4L, "North Atlantica", "GPE"), (5L, "North Atlantic", "GPE"),
+      (6L, "Kimsukys", "PERSON"), (7L, "Kimsuky", "PERSON"))
+      .toDF("id", "label", "type")
+    val pairs = EntityResolution.blockPairs(labels)
+    val cols = Seq("id_a", "id_b") ++ EntityResolution.featureCols
+    def rows(limit: Int): Seq[String] =
+      EntityResolution.withFeatures(pairs, labels, limit)
+        .select(cols.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toString).sorted.toSeq
+    assert(pairs.count() > 0)
+    assert(rows(Int.MaxValue) == rows(0), "hoisted vs per-pair branch diverged")
+  }
+
   test("blockPairs: gramDfCap keeps the candidate curve sub-quadratic in labels") {
     // The r12-VERDICT load pin at fixture scale (tools.ErLoadProbe
     // measures the same curve at 1x/10x/100x the reference's 3.6k
