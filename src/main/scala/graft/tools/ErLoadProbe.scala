@@ -85,12 +85,12 @@ object ErLoadProbe {
 
     val rows = new scala.collection.mutable.ArrayBuffer[String]
     def flush(): Unit = { // incremental: a late-scale failure keeps earlier rows
-      val out =
-        s"""{"what":"EntityResolution.blockPairs candidate-pairs-vs-labels curve at 1x/10x/100x the reference's 3.6k NER labels (PipelineBench vocabulary shape: 3 variants/entity, corp/inc tokens hot across each type). gramDfCap=1000 (production default) vs uncapped; chain = blockPairs -> scorePairs -> threshold 0.6 -> connected components at the default cap. Uncapped legs bounded by SPARK_GRAFT_ER_TIMEOUT_SEC=${timeoutSec}s (-1 = timeout/failure, see note).",
- "curve":[
-  ${rows.mkString(",\n  ")}
- ]}"""
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), out + "\n")
+      // key-replacing merge (ArtifactJson): the artifact also carries the
+      // phases/family/reading sections other probes own — a curve re-run
+      // must refresh ONLY the curve
+      ArtifactJson.merge(outPath, "what",
+        s""""EntityResolution.blockPairs candidate-pairs-vs-labels curve at 1x/10x/100x the reference's 3.6k NER labels (PipelineBench vocabulary shape: 3 variants/entity, corp/inc tokens hot across each type). gramDfCap=1000 (production default) vs uncapped; chain = blockPairs -> scorePairs -> threshold 0.6 -> connected components at the default cap. Uncapped legs bounded by SPARK_GRAFT_ER_TIMEOUT_SEC=${timeoutSec}s (-1 = timeout/failure, see note)."""")
+      ArtifactJson.merge(outPath, "curve", s"[${rows.mkString(",")}]")
     }
     def noteJson(key: String, n: Option[String]): String =
       n.map(s => s""","$key":"${s.replace("\"", "'")}"""").getOrElse("")
