@@ -25,7 +25,9 @@ import graft.operators.IndexStore
   * after-retrain. Emitted as the "drift" section of BENCH_INDEX.json.
   *
   * Usage: DriftProbe [outPath] ; env SPARK_GRAFT_SF_DIR (default
-  * sf0.1), SPARK_GRAFT_DRIFT_CYCLES (4), SPARK_GRAFT_DRIFT_STEP (0.4).
+  * sf0.1), SPARK_GRAFT_DRIFT_CYCLES (4), SPARK_GRAFT_DRIFT_STEP (0.4),
+  * SPARK_GRAFT_DRIFT_KBUMP (64 — the capacity-rung k; probes scale
+  * with it so the probed-cell fraction holds).
   */
 object DriftProbe {
   /** Shift every coordinate by `drift` with alternating sign — moves the
