@@ -31,24 +31,35 @@ import org.apache.spark.sql.SparkSession
   *    not the whole operation; the default acquisition timeout is kept
   *    BELOW the lease so a contender gives up before it would break a
   *    live holder that has not yet had a chance to renew.
-  *  - fencing token: `<loc>/_fence` holds a monotonically increasing
-  *    counter; each successful acquire bumps it and stamps its value
-  *    into the lock file. A holder must re-[[verify]] its token before
-  *    the COMMIT of its operation (the [[IndexManifest.publish]] rename)
-  *    — a zombie that slept past its lease and was broken finds a
-  *    different (or no) fence and ABORTS. Because mutators only create
-  *    NEW immutable dirs before that commit point, a fenced-out zombie's
-  *    partial output is unreferenced garbage, never corruption — the
-  *    fence does not need to win every race, only to gate the commit.
+  *  - fencing token: `<loc>/_fence` holds a counter; each successful
+  *    acquire bumps it and stamps its value into the lock file. The
+  *    counter's contract is UNIQUE PER (fence, owner) as [[verify]]
+  *    matches it — monotonic only as observed by successful acquirers:
+  *    under a cross-process race two acquirers can read N concurrently
+  *    and both write N+1, so a later holder may see a REUSED fence
+  *    value; nothing may order events by fence alone. A holder must
+  *    re-[[verify]] its token before the COMMIT of its operation (the
+  *    [[IndexManifest.publish]]) — a zombie that slept past its lease
+  *    and was broken finds a different (or no) fence and ABORTS. Because
+  *    mutators only create NEW immutable dirs before that commit point,
+  *    a fenced-out zombie's partial output is unreferenced garbage,
+  *    never corruption — the fence does not need to win every race, only
+  *    to gate the commit; the publish itself is additionally
+  *    put-if-absent on the manifest version (the CAS backstop for a
+  *    holder broken between verify and publish).
   *
   * Stale-break residual race: between judging a lock stale and deleting
   * it, another process may have broken it first and created a fresh
-  * lock; the delete then kills the fresh holder's lock file. The break
-  * therefore RE-READS the lock immediately before deleting and only
-  * deletes if the content still matches the stale holder; if the window
-  * is lost anyway (no atomic compare-and-delete on a filesystem), the
-  * fenced commit still guarantees at most one of the contending holders
-  * publishes — the cost is wasted work, never a torn index.
+  * lock, or the judged holder may have [[renew]]ed; the delete then
+  * kills a LIVE lock file. The break therefore re-reads the lock
+  * immediately before deleting and only deletes if BOTH the content
+  * still matches the stale holder AND the mtime still matches the one
+  * the staleness was judged from (renew rewrites identical content with
+  * a fresh mtime — content alone would miss it); if the window is lost
+  * anyway (no atomic compare-and-delete on a filesystem), the fenced
+  * commit plus the put-if-absent manifest publish still guarantee at
+  * most one of the contending holders commits — the cost is wasted
+  * work, never a torn index.
   *
   * Reentrant per thread (a mutator that calls another locked mutator —
   * e.g. [[IndexStore.maintainIvfPq]] → rebalance/retrain — must not
@@ -154,11 +165,19 @@ object IndexLock {
           val holderLease = cur
             .flatMap(_.split(' ').lift(2)).flatMap(_.toLongOption)
             .getOrElse(leaseMs)
-          val age = System.currentTimeMillis() - f.getFileStatus(lp).getModificationTime
+          val judgedMtime = f.getFileStatus(lp).getModificationTime
+          val age = System.currentTimeMillis() - judgedMtime
           // re-read right before the break: only delete the lock we
-          // judged stale, never a fresh one raced in by another process
-          // (see the class doc for the residual window the fence covers)
-          if (age > holderLease && readSmall(s, lp) == cur)
+          // judged stale, never a fresh one raced in by another process.
+          // BOTH content and mtime must still match the staleness
+          // judgment — renew() rewrites IDENTICAL content with a fresh
+          // mtime, so a content-only check would delete a live renewing
+          // holder's lock (r14 ADVICE). (See the class doc for the
+          // residual window the fence + CAS publish cover.)
+          def unrenewed: Boolean =
+            try f.getFileStatus(lp).getModificationTime == judgedMtime
+            catch { case _: java.io.FileNotFoundException => false }
+          if (age > holderLease && readSmall(s, lp) == cur && unrenewed)
             f.delete(lp, false)
           None
         } else {

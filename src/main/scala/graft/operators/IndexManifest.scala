@@ -19,10 +19,10 @@ import org.apache.spark.sql.SparkSession
   * Layout under an index loc:
   *
   *   <loc>/_manifests/m.<version>      committed manifests (immutable;
-  *                                     written as .tmp then RENAMED —
-  *                                     rename is atomic on local FS and
-  *                                     HDFS, so a listed manifest is
-  *                                     always complete)
+  *                                     written as .tmp then committed by
+  *                                     an EXCLUSIVE create — atomic, so a
+  *                                     listed manifest is always complete
+  *                                     and a version can commit only once)
   *   <loc>/<table>/v-<uuid>            immutable table version/segment
   *                                     dirs; mutators only ever CREATE
   *                                     new ones, never modify or append
@@ -35,21 +35,37 @@ import org.apache.spark.sql.SparkSession
   * codebooks).
   *
   * Commit protocol (writers hold [[IndexLock]], so publishes never race
-  * each other): write all new table dirs → [[IndexLock.verify]] the fence
-  * → publish manifest version N+1. The manifest publish is the ONLY
-  * commit point; a crash (or a fenced-out zombie aborting at verify)
-  * leaves orphan table dirs that no manifest references — invisible to
-  * every reader, reclaimed by [[vacuum]]. This retires the r11 staleness-
-  * marker discipline (delete stats first, rewrite last): there is no
-  * in-place mutation left to tear.
+  * each other): resolve the base manifest (version B) → write all new
+  * table dirs → [[IndexLock.verify]] the fence → publish manifest
+  * version B+1. The publish is PUT-IF-ABSENT on the version number (the
+  * Delta/Iceberg conditional commit): the manifest body is written to a
+  * tmp file and committed by an exclusive-create of `m.(B+1)` — a hard
+  * link on `file:` paths (atomic + fails-if-exists by POSIX contract),
+  * a rename elsewhere (fails-if-exists on HDFS) — so a writer whose
+  * lease expired mid-operation and whose lock was broken CANNOT land a
+  * stale-based state over the new holder's commit even if it slips past
+  * the fence check: its base version is no longer current, its target
+  * name is taken, and the publish throws. At most one publish per
+  * version ever succeeds. A crash (or a fenced-out zombie aborting at
+  * verify/publish) leaves orphan table dirs that no manifest references
+  * — invisible to every reader, reclaimed by [[vacuum]]. This retires
+  * the r11 staleness-marker discipline (delete stats first, rewrite
+  * last): there is no in-place mutation left to tear.
   *
-  * Readers: [[current]] lists `_manifests` and takes the highest version
-  * — one listing + one small-file read per query, no lock, no waiting.
-  * Old versions are retained until an explicit [[vacuum]] (writers never
-  * delete data at commit), so a reader holding a resolved manifest stays
-  * consistent even across later commits; [[IndexStore]] read paths
-  * additionally materialize their (top-k-bounded) results, which bounds
-  * the window a vacuum could race.
+  * Readers: [[current]] resolves the newest committed version with a
+  * LIST-free fast path when possible — committed versions are dense
+  * (put-if-absent publish) and vacuum retains a contiguous newest
+  * suffix, so from the JVM's last-known version it probes `m.(v+1)`,
+  * `m.(v+2)`, … by existence (HEAD, not LIST — the cheap operation on
+  * an object store at service QPS) and only falls back to listing
+  * `_manifests` when the probe chain has a vacuumed gap or the loc was
+  * never seen. The fast path can never resolve BELOW a version this JVM
+  * already observed (the cache is monotone max). Old versions are
+  * retained until an explicit [[vacuum]] (writers never delete data at
+  * commit), so a reader holding a resolved manifest stays consistent
+  * even across later commits; [[IndexStore]] read paths additionally
+  * materialize their (top-k-bounded) results, which bounds the window a
+  * vacuum could race.
   */
 object IndexManifest {
   final case class Manifest(loc: String, version: Long,
@@ -63,8 +79,25 @@ object IndexManifest {
     new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
 
   private def mdir(loc: String) = new Path(s"$loc/_manifests")
+  private def mpath(loc: String, v: Long) = new Path(s"$loc/_manifests/m.$v")
 
   private val NameRx = """m\.(\d+)""".r
+
+  /** Newest version this JVM has observed per loc — the LIST-free resolve
+    * fast path's starting point. Monotone max: a resolve can never go
+    * BELOW a version already observed here.
+    */
+  private val lastKnown =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[graft] def noteVersion(loc: String, v: Long): Unit =
+    lastKnown.merge(loc, v,
+      (a, b) => if (a.longValue >= b.longValue) a else b)
+
+  /** Test hook: drop the loc's cached version so a spec can exercise the
+    * cold / stale-cache resolve paths a cross-process reader would see.
+    */
+  private[graft] def forget(loc: String): Unit = lastKnown.remove(loc)
 
   /** All committed manifest versions at `loc`, ascending (empty if the
     * loc has never committed).
@@ -78,13 +111,37 @@ object IndexManifest {
     }).sorted
   }
 
+  /** Newest committed version, fast path first: from the JVM's last-known
+    * version walk `m.(v+1)`, `m.(v+2)`, … by EXISTENCE probes (committed
+    * versions are dense and vacuum keeps a contiguous newest suffix, so
+    * if `m.(v+1)` exists the walk reaches the newest; if it doesn't,
+    * either `v` is still newest — `m.v` exists, the newest is never
+    * vacuumed — or the chain was vacuumed past `v` and the LIST fallback
+    * runs). A cold cache LISTs once and is warm thereafter.
+    */
+  private def resolveNewest(s: SparkSession, loc: String): Option[Long] = {
+    val f = fs(s, loc)
+    val cached = Option(lastKnown.get(loc)).map(_.longValue).getOrElse(0L)
+    val fast: Option[Long] =
+      if (cached <= 0L) None
+      else if (f.exists(mpath(loc, cached + 1))) {
+        var v = cached + 1
+        while (f.exists(mpath(loc, v + 1))) v += 1
+        Some(v)
+      } else if (f.exists(mpath(loc, cached))) Some(cached)
+      else None
+    val out = fast.orElse(versions(s, loc).lastOption)
+    out.foreach(noteVersion(loc, _))
+    out
+  }
+
   /** Newest committed state, resolved once — the reader entry point. */
   def current(s: SparkSession, loc: String): Option[Manifest] =
-    versions(s, loc).lastOption.map(v => read(s, loc, v))
+    resolveNewest(s, loc).map(v => read(s, loc, v))
 
   /** Newest committed version number; 0 if never committed. */
   def currentVersion(s: SparkSession, loc: String): Long =
-    versions(s, loc).lastOption.getOrElse(0L)
+    resolveNewest(s, loc).getOrElse(0L)
 
   /** All RETAINED committed versions, ascending — what a time-travel
     * read may pin ([[at]]). Superseded versions disappear once
@@ -121,24 +178,55 @@ object IndexManifest {
     Manifest(loc, v, tables)
   }
 
-  /** Commit `tables` as the next manifest version and return it. Caller
-    * MUST hold the loc's [[IndexLock]] (single writer) and have verified
-    * its fence immediately before calling — the rename here is the
-    * commit.
+  /** Commit `tables` as manifest version `base + 1` and return it, where
+    * `base` is the version the mutation RESOLVED and derived its state
+    * from (0 for a from-scratch build). Put-if-absent on the version
+    * number: if `m.(base+1)` already exists — another writer committed
+    * since the caller resolved `base` — the publish throws loudly
+    * instead of silently discarding the other commit. Caller MUST hold
+    * the loc's [[IndexLock]] (single writer) and have verified its fence
+    * immediately before calling; this CAS is the backstop for the
+    * residual window the lease/fence protocol cannot close (a holder
+    * broken between verify and publish).
     */
   def publish(s: SparkSession, loc: String,
-      tables: Map[String, Seq[String]]): Long = {
+      tables: Map[String, Seq[String]], base: Long): Long = {
     val f = fs(s, loc)
     f.mkdirs(mdir(loc))
-    val v = currentVersion(s, loc) + 1
+    val v = base + 1
     val body = tables.toSeq.sortBy(_._1)
       .map { case (t, rels) => s"$t=${rels.mkString(",")}" }.mkString("\n")
-    val tmp = new Path(s"$loc/_manifests/m.$v.tmp")
+    val tmp = new Path(
+      s"$loc/_manifests/m.$v.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    val dst = new Path(s"$loc/_manifests/m.$v")
-    if (!f.rename(tmp, dst))
-      throw new java.io.IOException(s"manifest publish rename $tmp -> $dst failed")
+    val dst = mpath(loc, v)
+    def conflict(): Nothing = {
+      f.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"manifest publish conflict at $loc: version $v already committed " +
+          s"(this writer's base $base is stale — its lease expired and " +
+          "another holder committed); aborting, uncommitted table dirs " +
+          "stay unreferenced")
+    }
+    if (f.getScheme == "file") {
+      // exclusive create via hard link: atomic AND fails-if-exists by
+      // POSIX contract (rename would silently overwrite here)
+      try java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.Paths.get(tmp.toUri.getPath))
+      catch { case _: java.nio.file.FileAlreadyExistsException => conflict() }
+      f.delete(tmp, false)
+    } else {
+      // HDFS rename fails when the destination exists; the pre-check
+      // narrows the window on filesystems where it doesn't
+      if (f.exists(dst)) conflict()
+      if (!f.rename(tmp, dst)) {
+        if (f.exists(dst)) conflict()
+        throw new java.io.IOException(s"manifest publish rename $tmp -> $dst failed")
+      }
+    }
+    noteVersion(loc, v)
     v
   }
 
@@ -146,19 +234,42 @@ object IndexManifest {
   def newRel(table: String): String =
     s"$table/v-${java.util.UUID.randomUUID().toString.take(13)}"
 
+  /** Retention floor for [[vacuum]]: a superseded manifest YOUNGER than
+    * this many ms is retained regardless of `keepManifests` — the
+    * operator-facing answer to "how long may an external reader or
+    * auditor hold a resolved version?" (commit COUNTS are not a unit a
+    * deployment can reason about; wall time is). 0 (the gate/dev
+    * default) disables the floor; production sizes it to the longest
+    * un-materialized scan / audit window (RUNBOOK "At-rest index
+    * maintenance").
+    */
+  def defaultVacuumMinAgeMs: Long = sys.env.getOrElse(
+    "SPARK_GRAFT_INDEX_VACUUM_MIN_AGE_MS", "0").toLong
+
   /** Reclaim table dirs no retained manifest references, and manifests
-    * older than the newest `keepManifests`. Takes the loc's [[IndexLock]]
+    * older than the newest `keepManifests` — except that any manifest
+    * younger than `minAgeMs` is retained regardless of count (the
+    * age-based reader-protection floor). Takes the loc's [[IndexLock]]
     * (deleting data is the one destructive act left in the protocol).
     * `keepManifests` ≥ 1; the default 2 keeps one superseded state so a
     * reader that resolved just before the newest commit can still finish
-    * an un-materialized scan.
+    * an un-materialized scan. Young manifests are the NEWEST ones
+    * (publishes are serialized), so the retained set stays a contiguous
+    * newest suffix — the invariant the [[current]] fast path probes on.
     */
-  def vacuum(s: SparkSession, loc: String, keepManifests: Int = 2): Unit =
+  def vacuum(s: SparkSession, loc: String, keepManifests: Int = 2,
+      minAgeMs: Long = defaultVacuumMinAgeMs): Unit =
     IndexLock.withLock(s, loc) { _ =>
       val f = fs(s, loc)
       val vs = versions(s, loc)
       if (vs.nonEmpty) {
-        val keep = vs.takeRight(math.max(1, keepManifests))
+        val youngFloor = System.currentTimeMillis() - minAgeMs
+        val young =
+          if (minAgeMs <= 0) Set.empty[Long]
+          else vs.filter(v =>
+            f.getFileStatus(mpath(loc, v)).getModificationTime >= youngFloor).toSet
+        val keep = (vs.takeRight(math.max(1, keepManifests)).toSet ++ young)
+          .toSeq.sorted
         val referenced: Set[String] =
           keep.flatMap(v => read(s, loc, v).tables.values.flatten).toSet
         // drop superseded manifests (and crashed-publish .tmp leftovers)

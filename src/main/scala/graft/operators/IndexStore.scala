@@ -143,6 +143,7 @@ object IndexStore {
   def buildBm25(docs: DataFrame, loc: String): Unit = {
     val s = docs.sparkSession
     IndexLock.withLock(s, loc) { tok =>
+      val base = IndexManifest.currentVersion(s, loc) // CAS base: replace-all still commits base+1
       val (sc, ss, sch) = docSig(docs)
       val ix = RetrievalOps.buildIndexTables(docs) // tf cached by the build
       val posts = writeVersion(ix.tf, loc, "postings")
@@ -152,7 +153,7 @@ object IndexStore {
         statsDf(s, ix.nDocs, ix.sumTf, sc, ss, sch), loc, "stats")
       IndexLock.verify(s, tok) // fenced-out builders die before the commit
       IndexManifest.publish(s, loc, Map("postings" -> Seq(posts),
-        "doclen" -> Seq(dl), "dfreq" -> Seq(dfq), "stats" -> Seq(st)))
+        "doclen" -> Seq(dl), "dfreq" -> Seq(dfq), "stats" -> Seq(st)), base)
       ix.tf.unpersist(blocking = false)
     }
   }
@@ -272,7 +273,7 @@ object IndexStore {
       IndexManifest.publish(s, loc, m.tables ++ Map(
         "postings" -> (m.tables("postings") :+ postSeg),
         "doclen" -> (m.tables("doclen") :+ dlSeg),
-        "dfreq" -> Seq(dfq), "stats" -> Seq(stV)))
+        "dfreq" -> Seq(dfq), "stats" -> Seq(stV)), m.version)
       nix.tf.unpersist(blocking = false)
     }
   }
@@ -322,7 +323,7 @@ object IndexStore {
       IndexLock.verify(s, tok) // fenced-out deleters die before the commit
       IndexManifest.publish(s, loc, m.tables ++ Map(
         "dfreq" -> Seq(dfq), "stats" -> Seq(stV),
-        "deleted" -> (m.tables.getOrElse("deleted", Nil) :+ tombSeg)))
+        "deleted" -> (m.tables.getOrElse("deleted", Nil) :+ tombSeg)), m.version)
       del.unpersist(blocking = false)
     }
   }
@@ -363,6 +364,7 @@ object IndexStore {
   def buildIvfPq(e: DataFrame, loc: String): Unit = {
     val s = e.sparkSession
     IndexLock.withLock(s, loc) { tok =>
+      val base = IndexManifest.currentVersion(s, loc)
       val (sc, ss, sd) = embSig(e)
       val centsDf = AnnOps.seededCents(e, 16)
       val cents = writeVersion(centsDf, loc, "centroids")
@@ -376,7 +378,7 @@ object IndexStore {
       IndexLock.verify(s, tok)
       IndexManifest.publish(s, loc, Map("centroids" -> Seq(cents),
         "codebooks" -> Seq(cb), "assign" -> Seq(asg), "codes" -> Seq(codes),
-        "stats" -> Seq(st)))
+        "stats" -> Seq(st)), base)
     }
   }
 
@@ -467,6 +469,7 @@ object IndexStore {
       iters: Int = 2): Unit = {
     val s = e.sparkSession
     IndexLock.withLock(s, loc) { tok =>
+      val base = IndexManifest.currentVersion(s, loc)
       val (sc, ss, sd) = embSig(e)
       val cents = AnnOps.kmeansCentroids(e, k, iters).cache()
       cents.count() // materialize: persist + assignment both read it
@@ -484,7 +487,7 @@ object IndexStore {
       IndexLock.verify(s, tok)
       IndexManifest.publish(s, loc, Map("centroids" -> Seq(centsRel),
         "codebooks" -> Seq(cbRel), "assign" -> Seq(asg), "codes" -> Seq(codes),
-        "stats" -> Seq(st)))
+        "stats" -> Seq(st)), base)
       Seq(cents, subs, cb).foreach(_.unpersist(blocking = false))
     }
   }
@@ -518,7 +521,7 @@ object IndexStore {
       IndexLock.verify(s, tok)
       IndexManifest.publish(s, loc, m.tables ++ Map(
         "postings" -> Seq(posts), "doclen" -> Seq(dl),
-        "deleted" -> Nil))
+        "deleted" -> Nil), m.version)
     }
     IndexManifest.vacuum(s, loc)
   }
@@ -560,7 +563,7 @@ object IndexStore {
       IndexManifest.publish(s, loc, m.tables ++ Map(
         "assign" -> (m.tables("assign") :+ asgSeg),
         "codes" -> (m.tables("codes") :+ codeSeg),
-        "stats" -> Seq(stV)))
+        "stats" -> Seq(stV)), m.version)
     }
   }
 
@@ -586,7 +589,7 @@ object IndexStore {
       IndexLock.verify(s, tok)
       IndexManifest.publish(s, loc, m.tables ++ Map(
         "stats" -> Seq(stV),
-        "deleted" -> (m.tables.getOrElse("deleted", Nil) :+ tombSeg)))
+        "deleted" -> (m.tables.getOrElse("deleted", Nil) :+ tombSeg)), m.version)
     }
   }
 
@@ -612,7 +615,7 @@ object IndexStore {
         .sortWithinPartitions(col("vec_id"), col("s")), loc, "codes")
       IndexLock.verify(s, tok)
       IndexManifest.publish(s, loc, m.tables ++ Map(
-        "assign" -> Seq(asg), "codes" -> Seq(codes), "deleted" -> Nil))
+        "assign" -> Seq(asg), "codes" -> Seq(codes), "deleted" -> Nil), m.version)
     }
     IndexManifest.vacuum(s, loc)
   }
@@ -692,7 +695,7 @@ object IndexStore {
         val asg = writeVersion(CentroidAssign.nearest(live, cents), loc, "assign")
         IndexLock.verify(s, tok)
         IndexManifest.publish(s, loc, m.tables ++ Map(
-          "centroids" -> Seq(centsRel), "assign" -> Seq(asg)))
+          "centroids" -> Seq(centsRel), "assign" -> Seq(asg)), m.version)
         cents.unpersist(blocking = false)
         true
       }
@@ -743,7 +746,7 @@ object IndexStore {
       IndexLock.verify(s, tok)
       IndexManifest.publish(s, loc, Map("centroids" -> Seq(centsRel),
         "codebooks" -> Seq(cbRel), "assign" -> Seq(asg), "codes" -> Seq(codes),
-        "stats" -> Seq(stV)))
+        "stats" -> Seq(stV)), m.version)
       Seq(cents, subs, cb).foreach(_.unpersist(blocking = false))
     }
   }

@@ -607,22 +607,127 @@ class IndexStoreSpec extends AnyFunSuite with graft.SparkTestSession {
   }
 
   test("lock: renew restarts the lease clock so a live slow holder is not broken") {
+    // margins sized so the INVARIANT, not scheduler luck, decides: each
+    // renew lands 1.5s inside the 2s lease, and the contender's 1s
+    // timeout leaves a full second of slack (r14 ADVICE — the old
+    // 250ms-vs-400ms margins flaked under a >150ms GC pause)
     val loc = tmpLoc("lk-renew")
-    val t1 = IndexLock.acquire(spark, loc, leaseMs = 400, timeoutMs = 2000)
+    val t1 = IndexLock.acquire(spark, loc, leaseMs = 2000, timeoutMs = 5000)
     // renew inside the lease: the holder stays alive past its original term
-    for (_ <- 0 until 3) { Thread.sleep(250); IndexLock.renew(spark, t1) }
-    // 750ms elapsed > 400ms lease, but the last renew was 0ms ago: a
+    for (_ <- 0 until 5) { Thread.sleep(500); IndexLock.renew(spark, t1) }
+    // 2.5s elapsed > 2s lease, but the last renew was 0ms ago: a
     // contender must NOT break the lock (it times out instead)
     intercept[java.util.concurrent.TimeoutException] {
-      IndexLock.acquire(spark, loc, leaseMs = 400, timeoutMs = 300)
+      IndexLock.acquire(spark, loc, leaseMs = 2000, timeoutMs = 1000)
     }
     IndexLock.verify(spark, t1) // still the holder
     IndexLock.release(spark, t1)
     // a superseded holder cannot renew (resurrect its lease)
-    val t2 = IndexLock.acquire(spark, loc, leaseMs = 50, timeoutMs = 2000)
-    Thread.sleep(120)
-    val t3 = IndexLock.acquire(spark, loc, leaseMs = 60000, timeoutMs = 2000)
+    val t2 = IndexLock.acquire(spark, loc, leaseMs = 100, timeoutMs = 2000)
+    Thread.sleep(300)
+    val t3 = IndexLock.acquire(spark, loc, leaseMs = 60000, timeoutMs = 5000)
     intercept[IllegalStateException] { IndexLock.renew(spark, t2) }
     IndexLock.release(spark, t3)
+  }
+
+  test("lock: stale-break deletes only when content AND mtime match the judgment") {
+    // r14 ADVICE (low): renew rewrites IDENTICAL content with a fresh
+    // mtime, so a content-only re-read before the break would still
+    // delete a live renewing holder's lock; the guard now also requires
+    // the mtime to equal the one the staleness was judged from. The
+    // delete leg (stale content + unchanged mtime): a crashed holder's
+    // lock, aged past its lease with no renew, is still broken.
+    val loc = tmpLoc("lk-break")
+    val crashed = IndexLock.acquire(spark, loc, leaseMs = 200, timeoutMs = 2000)
+    // age the lock file well past the lease (a crashed holder's state)
+    val lockFile = new java.io.File(s"$loc/_lock")
+    assert(lockFile.setLastModified(System.currentTimeMillis() - 60000))
+    val t2 = IndexLock.acquire(spark, loc, leaseMs = 60000, timeoutMs = 2000)
+    assert(t2.fence > crashed.fence, "the breaker must carry a newer fence")
+    // the spare leg: a holder that RENEWED after wall-clock lease expiry
+    // (identical content, fresh mtime) is not breakable — the contender
+    // re-judges against the fresh mtime and times out instead
+    IndexLock.release(spark, t2)
+    val t3 = IndexLock.acquire(spark, loc, leaseMs = 300, timeoutMs = 2000)
+    Thread.sleep(600) // lease expired by wall clock
+    IndexLock.renew(spark, t3) // live holder heartbeats late but in time
+    intercept[java.util.concurrent.TimeoutException] {
+      IndexLock.acquire(spark, loc, leaseMs = 300, timeoutMs = 150)
+    }
+    IndexLock.verify(spark, t3) // the renewing holder survived the contender
+    IndexLock.release(spark, t3)
+  }
+
+  // ------------------------------------- manifest commit protocol (r15)
+
+  test("manifest publish is put-if-absent: a stale-based publish conflicts loudly") {
+    // r14 ADVICE (medium): publish used to compute version at commit
+    // time and rename (which overwrites on POSIX), so a writer whose
+    // lease expired in the verify->publish window could land a
+    // stale-based state AS the newest manifest, silently discarding the
+    // new holder's commit. Now the commit is CAS on the base version.
+    val loc = tmpLoc("m-cas")
+    IndexStore.buildBm25(docsDf(docsFixture), loc) // v1
+    val base = IndexManifest.currentVersion(spark, loc)
+    val m = IndexManifest.current(spark, loc).get
+    // winner commits base+1
+    IndexManifest.publish(spark, loc, m.tables, base)
+    // the zombie (same base) must fail loudly, not overwrite
+    val before = collectSorted(table(loc, "postings"))
+    intercept[java.util.ConcurrentModificationException] {
+      IndexManifest.publish(spark, loc,
+        Map("postings" -> Seq("postings/v-zombie")), base)
+    }
+    assert(IndexManifest.currentVersion(spark, loc) == base + 1)
+    assert(collectSorted(table(loc, "postings")) == before,
+      "a conflicting publish must leave the committed state untouched")
+  }
+
+  test("vacuum age floor: a young superseded manifest survives a count-based vacuum") {
+    // r14 VERDICT item 3: keepManifests counts commits, which an
+    // operator can't size an audit window in. minAgeMs retains any
+    // manifest younger than the floor regardless of count.
+    val loc = tmpLoc("m-age")
+    val (base, batch) = docsFixture.partition(_._1 < 6L)
+    IndexStore.buildBm25(docsDf(base), loc) // v1
+    val v1 = IndexManifest.currentVersion(spark, loc)
+    IndexStore.appendBm25(docsDf(batch), loc) // v2
+    IndexManifest.vacuum(spark, loc, keepManifests = 1, minAgeMs = 3600000L)
+    assert(IndexManifest.retainedVersions(spark, loc) == Seq(v1, v1 + 1),
+      "a manifest younger than the age floor must survive keepManifests=1")
+    // the young retained version still time-travels
+    assert(IndexStore.bm25TopKHotTermsFromIndex(spark, loc,
+      at = Some(v1)).count() > 0)
+    // with the floor off, the count rule applies as before
+    IndexManifest.vacuum(spark, loc, keepManifests = 1, minAgeMs = 0L)
+    assert(IndexManifest.retainedVersions(spark, loc) == Seq(v1 + 1))
+  }
+
+  test("manifest resolve fast path: probe walk reaches the newest without listing; gaps fall back") {
+    val loc = tmpLoc("m-fast")
+    val (base, batch) = docsFixture.partition(_._1 < 6L)
+    IndexStore.buildBm25(docsDf(base), loc) // v1
+    IndexStore.appendBm25(docsDf(batch.take(2)), loc) // v2
+    IndexStore.appendBm25(docsDf(batch.drop(2)), loc) // v3
+    val newest = IndexManifest.currentVersion(spark, loc)
+    // cold cache (a fresh process): LIST fallback resolves the newest
+    IndexManifest.forget(loc)
+    assert(IndexManifest.currentVersion(spark, loc) == newest)
+    // stale cache two commits behind, all retained: the existence-probe
+    // walk reaches the newest without a LIST
+    IndexManifest.forget(loc)
+    IndexManifest.noteVersion(loc, newest - 2)
+    assert(IndexManifest.currentVersion(spark, loc) == newest)
+    // cache AT the newest: one probe miss + one hit, same answer
+    assert(IndexManifest.currentVersion(spark, loc) == newest)
+    // vacuumed gap: cache points below the retained suffix — the probe
+    // chain misses and the LIST fallback still resolves correctly
+    IndexManifest.vacuum(spark, loc, keepManifests = 1, minAgeMs = 0L)
+    IndexManifest.forget(loc)
+    IndexManifest.noteVersion(loc, newest - 2)
+    assert(IndexManifest.currentVersion(spark, loc) == newest)
+    // monotone: the resolve never goes below a version already observed
+    IndexManifest.noteVersion(loc, newest)
+    assert(IndexManifest.currentVersion(spark, loc) == newest)
   }
 }
