@@ -127,6 +127,25 @@ object Bench {
       (best, None)
     }
 
+    // fixed machine-speed calibration (r14 VERDICT "What's wrong" #3):
+    // the SAME tiny workload in every round's artifact, so cross-round
+    // suite totals self-normalize (the r13→r14 57→70 s drift needed a
+    // forensic re-bench of the old tree to adjudicate as machine speed).
+    // One CPU-bound scan + one small shuffle, constants frozen forever;
+    // min-of-3 after one untimed JIT warm. Read round deltas as
+    // total/calibration ratios, not raw seconds.
+    def calibrationOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 50000000L, 1L, 8)
+        .selectExpr("sum(id % 1000003) AS s").collect()
+      spark.range(0L, 2000000L, 1L, 8)
+        .selectExpr("id % 4096 AS k").groupBy("k").count()
+        .selectExpr("sum(count) AS n").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrationOnce() // untimed: JIT + codegen warm for the probe itself
+    val calibrationSec = (1 to 3).map(_ => calibrationOnce()).min
+
     // untimed warmup: JIT + codegen caches, tiny scale (one rep is enough)
     if (warmupDir.nonEmpty && new java.io.File(warmupDir).isDirectory)
       SparkEntry.queries.filter(kv => selected(kv._1))
@@ -245,7 +264,7 @@ object Bench {
     val dcTags = results.keys.toSeq.sorted.flatMap(k =>
       designedComparator.get(k).map(t => "\"" + k + "\":\"" + esc(t) + "\""))
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"isolate":$isolate,"timeout_sec":$timeoutSec,"queries":$qs,"errors":$errs,"designed_comparators":$dcTags,"auto_refloors":$rf,"auto_refloor_base":$rfBase,"auto_refloor_cap":$refloorCap,"auto_refloors_skipped":${math.max(0, movers.size - refloorCap)},"auto_refloors_skipped_names":$rfSkippedNames,"auto_refloor_memo_notes":$rfMemo,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"isolate":$isolate,"timeout_sec":$timeoutSec,"calibration_sec":$calibrationSec,"queries":$qs,"errors":$errs,"designed_comparators":$dcTags,"auto_refloors":$rf,"auto_refloor_base":$rfBase,"auto_refloor_cap":$refloorCap,"auto_refloors_skipped":${math.max(0, movers.size - refloorCap)},"auto_refloors_skipped_names":$rfSkippedNames,"auto_refloor_memo_notes":$rfMemo,"sf":"$sfDir"}"""
     println(line)
     // self-contained artifact (r10 VERDICT item 5): the driver captures
     // stdout, which truncated BENCH_r10.json mid-JSON — so the full

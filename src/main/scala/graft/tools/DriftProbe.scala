@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.IndexStore
+import graft.operators.{AnnOps, EpochIndex, IndexStore}
 
 /** PQ codebook drift rehearsal (round-12 VERDICT item 5): the append
   * path assigns and encodes against FROZEN centroids AND codebooks;
@@ -82,9 +82,33 @@ object DriftProbe {
       spark.read.parquet(s"${cdir(0)}/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))), loc)
     val (r0m, r0n) = IndexStore.ivfRecallProbe(spark, cdir(0), loc)
+    // the per-epoch split (r14 VERDICT Next #1): each cycle's arrivals go
+    // to their OWN epoch index, trained on that cycle's distribution;
+    // queries fan out and merge by exact refined cosine
+    val epochRoot = s"$work/epochs"
+    EpochIndex.ingest(shaped(
+      spark.read.parquet(s"${cdir(0)}/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") >= 5)), epochRoot, "0")
     println(f"[drift] cycle 0 (build floor): recall mean $r0m%.3f min $r0n%.3f")
     val rows = new scala.collection.mutable.ArrayBuffer[String]
     rows += s"""{"cycle":0,"drift":0.0,"recall_mean":$r0m,"recall_min":$r0n}"""
+
+    def epochLeg(cycleDir: String, k: Int): (Double, Double, Double, Double) = {
+      val t0 = System.nanoTime()
+      val got = EpochIndex.searchTopK(spark, cycleDir, epochRoot)
+        .select(col("q_id"), col("vec_id"))
+      got.count()
+      val tEpoch = (System.nanoTime() - t0) / 1e9
+      val r = AnnOps.recallAtK(got, AnnOps.denseTopK(spark, cycleDir, 10))
+        .agg(avg(col("recall")), min(col("recall"))).head()
+      // cost control: the monolithic frozen index's query on the same
+      // cycle world (the fan-out pays ~n_epochs of these)
+      val t1 = System.nanoTime()
+      IndexStore.ivfPqRefinedFromIndex(spark, cycleDir, loc).count()
+      val tSingle = (System.nanoTime() - t1) / 1e9
+      (r.getDouble(0), r.getDouble(1), tEpoch, tSingle)
+    }
 
     for (k <- 1 to cycles) {
       val drift = step * k
@@ -131,22 +155,32 @@ object DriftProbe {
       IndexStore.retrainIvfPq(shaped(world), locRtK, k = kBump)
       val (rkm, rkn) = IndexStore.ivfRecallProbe(spark, cdir(k), locRtK,
         nProbes = 4 * kBump / 16)
+      // per-epoch split: this cycle's batch becomes its own epoch index
+      // (trained on the drifted distribution), then the fan-out query
+      // runs against ALL epochs so far — the only rung whose model class
+      // can track an arbitrarily-drifted corpus
+      EpochIndex.ingest(shaped(batch), epochRoot, k.toString)
+      val (epm, epn, tEpoch, tSingle) = epochLeg(cdir(k), k)
       println(f"[drift] cycle $k drift $drift%.2f: append $ram%.3f/$ran%.3f " +
         f"(cell skew $skewAfterAppend%.2f) -> rebalance $rbm%.3f/$rbn%.3f " +
         f"-> retrain $rtm%.3f/$rtn%.3f | fresh-k16 floor $fbm%.3f/$fbn%.3f " +
-        f"| retrain-k$kBump $rkm%.3f/$rkn%.3f")
+        f"| retrain-k$kBump $rkm%.3f/$rkn%.3f | epoch-split $epm%.3f/$epn%.3f " +
+        f"(${k + 1} epochs, $tEpoch%.1fs vs single $tSingle%.1fs)")
       rows += s"""{"cycle":$k,"drift":$drift,"cell_skew_after_append":${f"$skewAfterAppend%.2f"},""" +
         s""""recall_after_append":{"mean":$ram,"min":$ran},""" +
         s""""recall_after_rebalance":{"mean":$rbm,"min":$rbn},""" +
         s""""recall_after_retrain":{"mean":$rtm,"min":$rtn},""" +
         s""""recall_fresh_trained_k16":{"mean":$fbm,"min":$fbn},""" +
-        s""""recall_after_retrain_k$kBump":{"mean":$rkm,"min":$rkn}}"""
+        s""""recall_after_retrain_k$kBump":{"mean":$rkm,"min":$rkn},""" +
+        s""""recall_epoch_split":{"mean":$epm,"min":$epn},""" +
+        s""""epoch_n":${k + 1},"epoch_query_sec":${f"$tEpoch%.2f"},""" +
+        s""""single_query_sec":${f"$tSingle%.2f"}}"""
     }
 
     // merge into the existing BENCH_INDEX.json as a "drift" section
     // (parsed and key-replaced — idempotent under re-runs)
     val section =
-      s"""{"what":"PQ codebook drift: per cycle the batch AND query panel shift by cycle*${step} along a fixed direction; the frozen index accumulates the appends (recall_after_append = cumulative decay) while rebalance (routing only), retrain (codebooks + full re-encode, frozen k=16), a FRESH k=16 trained build (the per-cycle floor retrain is judged against), and a k=$kBump retrain with probes scaled to the same probed-cell fraction (the capacity rung) run on per-cycle clones — each rung's measured recall@10 recovery at that drift level is isolated. Build-floor recall from cycle 0.",
+      s"""{"what":"PQ codebook drift: per cycle the batch AND query panel shift by cycle*${step} along a fixed direction; the frozen index accumulates the appends (recall_after_append = cumulative decay) while rebalance (routing only), retrain (codebooks + full re-encode, frozen k=16), a FRESH k=16 trained build (the per-cycle floor retrain is judged against), and a k=$kBump retrain with probes scaled to the same probed-cell fraction (the capacity rung) run on per-cycle clones — each rung's measured recall@10 recovery at that drift level is isolated. Build-floor recall from cycle 0. recall_epoch_split = the r15 rung above the ladder: each cycle's batch is its own trained epoch index (EpochIndex), queries fan across all epochs and merge by exact refined cosine; epoch_query_sec vs single_query_sec prices the fan-out.",
  "src":"$srcDir","cycles":[
   ${rows.mkString(",\n  ")}
  ]}"""

@@ -65,7 +65,10 @@ object ErPhaseProbe {
         b.count(); b
       }
       val (tScore, edges) = secs {
-        val e = EntityResolution.scorePairs(blocked, lbl)
+        // pruneBelow mirrors cluster(): the production chain skips
+        // levenshtein on pairs whose cheap upper bound can't reach 0.6
+        val e = EntityResolution.scorePairs(blocked, lbl,
+            pruneBelow = Some(lit(0.6)))
           .filter(col("score") >= 0.6)
           .select(col("id_a"), col("id_b"))
           .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)

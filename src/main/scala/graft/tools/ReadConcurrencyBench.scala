@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{IndexLock, IndexStore}
+import graft.operators.{IndexLock, IndexManifest, IndexStore}
 
 /** Read-path concurrency before/after (r13 VERDICT items 1+7): the r13
   * design served every index query under the same EXCLUSIVE lock as the
@@ -96,6 +96,45 @@ object ReadConcurrencyBench {
     val (snapAppSec, snapAppW) = leg("snapshot_app", locked = false, appender = true)
     docs.unpersist(blocking = false)
 
+    // ---- manifest resolve cost vs commit count (r14 VERDICT Next #6):
+    // the fast path probes m.(lastKnown+1)… by existence, so a warm
+    // resolve should stay FLAT as commits accumulate while the LIST
+    // fallback (cold cache — a fresh process) scales with the retained
+    // manifest count. Measured on a tiny index: resolve cost is metadata
+    // I/O, not data.
+    val resolveRows = {
+      val loc = s"$work/resolve"
+      val tiny = docs.limit(10).cache(); tiny.count()
+      IndexStore.buildBm25(tiny, loc)
+      val tinyMax = 10000000L
+      def usPer(iters: Int)(body: => Unit): Double = {
+        val t0 = System.nanoTime()
+        (0 until iters).foreach(_ => body)
+        (System.nanoTime() - t0) / 1e3 / iters
+      }
+      val checkpoints = Seq(1, 8, 32)
+      val rows = checkpoints.zipWithIndex.map { case (target, i) =>
+        var have = IndexManifest.retainedVersions(spark, loc).size
+        var j = 0
+        while (have < target) {
+          IndexStore.appendBm25(tiny.select(
+            (col("doc_id") + lit(tinyMax * (i * 64 + j + 1))).as("doc_id"),
+            col("text")), loc)
+          have += 1; j += 1
+        }
+        IndexManifest.currentVersion(spark, loc) // prime the cache
+        val warm = usPer(200)(IndexManifest.currentVersion(spark, loc))
+        val cold = usPer(200) {
+          IndexManifest.forget(loc)
+          IndexManifest.currentVersion(spark, loc)
+        }
+        println(f"[readbench] resolve @ $target manifests: warm $warm%.1f us, cold(LIST) $cold%.1f us")
+        s"""{"manifests":$target,"warm_fastpath_us":${f"$warm%.1f"},"cold_list_us":${f"$cold%.1f"}}"""
+      }
+      tiny.unpersist(blocking = false)
+      rows
+    }
+
     val nQ = readers * readsEach
     ArtifactJson.merge(outPath, "read_concurrency",
       s"""{"what":"$readers reader threads x $readsEach BM25 top-k queries each against ONE at-rest index; locked = every query wrapped in the loc's exclusive IndexLock (the r13 read path, kept as the measurement-only before); snapshot = lock-free manifest-resolved reads (r14). *_with_appender legs run the same storm while one writer commits two append batches to the same index. Each leg on its own clone of one build.",
@@ -103,7 +142,8 @@ object ReadConcurrencyBench {
  "locked_storm_sec":${f"$lockedSec%.2f"},"snapshot_storm_sec":${f"$snapSec%.2f"},
  "locked_qps":${f"${nQ / lockedSec}%.2f"},"snapshot_qps":${f"${nQ / snapSec}%.2f"},
  "locked_with_appender":{"storm_sec":${f"$lockedAppSec%.2f"},"appender_sec":${f"$lockedAppW%.2f"}},
- "snapshot_with_appender":{"storm_sec":${f"$snapAppSec%.2f"},"appender_sec":${f"$snapAppW%.2f"}}}""")
+ "snapshot_with_appender":{"storm_sec":${f"$snapAppSec%.2f"},"appender_sec":${f"$snapAppW%.2f"}},
+ "resolve":{"what":"per-query manifest resolution cost as commits accumulate: warm = the r15 existence-probe fast path (expected flat), cold = cache dropped per call, the LIST fallback a fresh process pays once (expected to grow with retained manifests)","rows":[${resolveRows.mkString(",")}]}}""")
     println(s"[readbench] wrote read_concurrency -> $outPath")
     spark.stop()
   }

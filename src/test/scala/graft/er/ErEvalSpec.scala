@@ -204,6 +204,65 @@ class ErEvalSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(rows(Int.MaxValue) == rows(0), "hoisted vs per-pair branch diverged")
   }
 
+  test("withFeatures: a long-label vocabulary under the row limit forces the narrow fallback") {
+    import spark.implicits._
+    // r14 VERDICT "What's wrong" #1: the broadcast guard was a row-count
+    // proxy for a BYTE hazard. The byte probe (count × avg label length)
+    // must refuse to broadcast a vocabulary whose rows fit but whose
+    // bytes don't — and the two branches stay value-identical either way
+    // (the branch-parity test above).
+    val short = Seq((0L, "Acme Corp", "ORG"), (1L, "Acme Corps", "ORG"))
+      .toDF("id", "label", "type")
+      .select(col("id"), lower(col("label")).as("label"))
+    val long = Seq(
+      (0L, "Acme " * 400 + "Corp", "ORG"), (1L, "Acme " * 400 + "Corps", "ORG"))
+      .toDF("id", "label", "type")
+      .select(col("id"), lower(col("label")).as("label"))
+    val byteLimit = 10000L // 2 rows × ~2000 chars × 16 B/char >> this
+    assert(EntityResolution.featureBroadcastFits(short, 1000, byteLimit),
+      "a short-label vocabulary under both limits must broadcast")
+    assert(!EntityResolution.featureBroadcastFits(long, 1000, byteLimit),
+      "a long-label vocabulary under the ROW limit must still fall back on bytes")
+    assert(!EntityResolution.featureBroadcastFits(short, 1, Long.MaxValue),
+      "the row limit still applies on its own")
+  }
+
+  test("scorePairs prune: bounds dominate the score, so pruned == unpruned above the threshold") {
+    import spark.implicits._
+    // the r14 VERDICT item 2 contract: lev_sim ≤ 1 − |Δlen|/maxlen, so a
+    // pair whose cheap-bound combined score sits under the threshold can
+    // skip levenshtein entirely — surviving pairs are value-identical
+    // and no passer is ever pruned. Fixture mixes near-dups, length-
+    // mismatched pairs (the prune's target), and plural folds.
+    val labels = Seq(
+      (0L, "Entity1 Corp", "ORG"), (1L, "Entity1 Corp inc", "ORG"),
+      (2L, "Entity1 Corps", "ORG"), (3L, "Acme Systems", "ORG"),
+      (4L, "Acme Systems Worldwide Holdings International", "ORG"),
+      (5L, "North Atlantica", "GPE"), (6L, "North Atlantic", "GPE"),
+      (7L, "Kimsukys", "PERSON"), (8L, "Kimsuky", "PERSON"),
+      (9L, "K", "PERSON"))
+      .toDF("id", "label", "type")
+    val pairs = EntityResolution.blockPairs(labels)
+    val thr = lit(0.6)
+    def edges(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.filter(col("score") >= 0.6)
+        .select(col("id_a"), col("id_b"), col("score"))
+        .collect().map(_.toString).sorted.toSeq
+    val unpruned = EntityResolution.scorePairs(pairs, labels)
+    val pruned = EntityResolution.scorePairs(pairs, labels, Some(thr))
+    assert(edges(pruned) == edges(unpruned),
+      "prune changed the above-threshold edge set or its scores")
+    // the prune actually prunes on this fixture (length-mismatched pairs)
+    assert(pruned.count() < unpruned.count(),
+      "fixture exercised no pruning — bound filter had no effect")
+    // every surviving pair's score is the exact unpruned score (not just
+    // the passers): the bound only gates WHICH pairs get lev, never values
+    val joined = pruned.select(col("id_a"), col("id_b"), col("score").as("sp"))
+      .join(unpruned.select(col("id_a"), col("id_b"), col("score").as("su")),
+        Seq("id_a", "id_b"))
+    assert(joined.filter(col("sp") =!= col("su")).isEmpty)
+  }
+
   test("blockPairs: gramDfCap keeps the candidate curve sub-quadratic in labels") {
     // The r12-VERDICT load pin at fixture scale (tools.ErLoadProbe
     // measures the same curve at 1x/10x/100x the reference's 3.6k
