@@ -262,22 +262,40 @@ object EntityResolution {
     *
     * `pruneBelow`: a per-pair threshold Column (may reference `type`)
     * below which the caller will DISCARD the pair anyway — scoring then
-    * skips [[levSim]] (the one expensive feature, and 51% of the 100×
-    * chain per BENCH_ER `phases`) for every pair whose cheap UPPER BOUND
-    * already sits under it. The bound substitutes lev_sim ≤
-    * 1 − |len_a−len_b|/max_len (one subtraction on already-joined
-    * lengths) into the exact score formula, so bound ≥ score and no
-    * pruned pair could have passed — pairs AT or ABOVE the threshold are
-    * value-identical to the unpruned scorer (ErEvalSpec pins it). Pairs
-    * with bound ≥ threshold > score still come back (correctly scored);
-    * the caller's own filter drops them as before.
+    * skips [[levSim]] wherever a cheap argument decides the outcome:
+    * fold-equal pairs score exactly 1.0, and a pair whose cheap upper
+    * bound (lev_sim ≤ 1 − |len_a−len_b|/max_len substituted into the
+    * exact formula) sits under the threshold comes back scored AS its
+    * bound (< threshold, so the caller's filter drops it identically).
+    * Value contract pinned by ErEvalSpec: above-threshold rows are
+    * exactly the unpruned scores; placeholders dominate the true score
+    * and stay below the threshold.
+    *
+    * MEASURED NEGATIVE (BENCH_ER r15 `phases` A/B) — production paths
+    * ([[cluster]], [[elbowSweep]]) deliberately do NOT use it: on the
+    * reference-shaped vocabulary the prune reads 2–3.9× SLOWER than the
+    * plain scorer at 1×/10×/100× in BOTH implementations tried. The
+    * arithmetic: the whole per-pair score costs ~0.8 µs of which lev is
+    * ≲25%, so a perfect skip caps at ~20% — while a bound FILTER gets
+    * its predicate pushed through the feature projection (jaccards
+    * computed twice), and this CaseWhen form widens the projection past
+    * what codegen handles well; near-equal-length labels also keep the
+    * length bound ≈ 1, so little prunes. Retained as an opt-in for
+    * corpora with real label-length dispersion — measure with the
+    * BENCH_ER A/B before enabling.
     */
   def scorePairs(pairs: DataFrame, labels: DataFrame,
       pruneBelow: Option[Column] = None): DataFrame = {
     val cheap = withCheapFeatures(pairs, labels,
       FeatureBroadcastLabelLimit, FeatureBroadcastByteLimit)
-    val pruned = pruneBelow match {
-      case None => cheap
+    val scored = pruneBelow match {
+      case None =>
+        val f = cheap.withColumn("f_lev_sim", levSim)
+        val wordScore = col("f_word_jac") * 0.5 + col("f_lev_sim") * 0.5
+        val charScore = when(col("f_is_char") === 1.0,
+          col("f_gram_jac") * 0.5 + col("f_lev_sim") * 0.5).otherwise(0.0)
+        f.withColumn("score",
+          greatest(wordScore, col("f_plural_eq"), charScore))
       case Some(thr) =>
         val levUb = lit(1.0) -
           abs(length(col("label_a")) - length(col("label_b"))).cast("double") /
@@ -285,14 +303,17 @@ object EntityResolution {
         val wordUb = col("f_word_jac") * 0.5 + levUb * 0.5
         val charUb = when(col("f_is_char") === 1.0,
           col("f_gram_jac") * 0.5 + levUb * 0.5).otherwise(0.0)
-        cheap.filter(greatest(wordUb, col("f_plural_eq"), charUb) >= thr)
+        val bound = greatest(wordUb, col("f_plural_eq"), charUb)
+        val lev = levSim
+        val wordScore = col("f_word_jac") * 0.5 + lev * 0.5
+        val charScore = when(col("f_is_char") === 1.0,
+          col("f_gram_jac") * 0.5 + lev * 0.5).otherwise(0.0)
+        cheap.withColumn("score",
+          when(col("f_plural_eq") === 1.0, lit(1.0)) // exact: greatest is 1.0
+            .when(bound < thr, bound) // exact enough: can't pass, caller drops
+            .otherwise(greatest(wordScore, col("f_plural_eq"), charScore)))
     }
-    val f = pruned.withColumn("f_lev_sim", levSim)
-    val wordScore = col("f_word_jac") * 0.5 + col("f_lev_sim") * 0.5
-    val charScore = when(col("f_is_char") === 1.0,
-      col("f_gram_jac") * 0.5 + col("f_lev_sim") * 0.5).otherwise(0.0)
-    f.withColumn("score", greatest(wordScore, col("f_plural_eq"), charScore))
-      .drop(featureCols: _*)
+    scored.drop(featureCols: _*)
   }
 
   /** The reference's LEARNED scoring option (data_integration.ipynb c41:4
@@ -361,11 +382,11 @@ object EntityResolution {
     }
     val pairs = scorer match {
       case Some(m) => scorePairsLearned(blocked, labels, m)
-      // prune at the pair's OWN per-type threshold: everything below it
-      // is dropped by the filter right after, so skipping levenshtein
-      // there changes nothing (the learned path stays unpruned — a
-      // logistic score admits no such per-feature bound)
-      case None => scorePairs(blocked, labels, pruneBelow = Some(thr))
+      // deliberately UNPRUNED: the cheap-bound levenshtein prune is
+      // value-identical but measured SLOWER here in both of its forms
+      // (BENCH_ER r15 A/B — see the scorePairs docstring), so the
+      // production path keeps the plain scorer
+      case None => scorePairs(blocked, labels)
     }
     val edges = pairs.filter(col("score") >= thr)
       .select(col("id_a"), col("id_b"))
@@ -429,11 +450,7 @@ object EntityResolution {
                  driverCcLimit: Int = DefaultDriverCcLimit): DataFrame = {
     val spark = labels.sparkSession
     import spark.implicits._
-    // prune at the sweep's LOWEST threshold: pairs under it never enter
-    // any band, so the expensive lev feature is skipped where no step
-    // could use it (per-pair exactness above the floor is unchanged)
-    val scored = scorePairs(blockPairs(labels), labels,
-        pruneBelow = if (thresholds.isEmpty) None else Some(lit(thresholds.min)))
+    val scored = scorePairs(blockPairs(labels), labels)
       .select(col("id_a"), col("id_b"), col("type"), col("score")).cache()
     val perType = labels.groupBy(col("type")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -569,7 +569,16 @@ object AnnOps {
     * centroid (same migration argument as the cosine trainer).
     */
   def pqCodebooks(subs: DataFrame, k: Int = 16, iters: Int = 2): DataFrame = {
-    var cb = subs.filter(col("vec_id") < k)
+    // seed with the k SMALLEST vec_ids present — NOT `vec_id < k`: the
+    // same degenerate-seed hazard kmeansCentroids fixed (r10 review
+    // finding), which here silently trained EMPTY codebooks for any
+    // offset id space (an EpochIndex epoch of appended ids, a retrain
+    // over a live set whose low ids were deleted) and every downstream
+    // ADC join produced zero candidates. Identical to the old convention
+    // whenever ids are dense from 0.
+    val seedIds = subs.select(col("vec_id")).distinct()
+      .orderBy(col("vec_id")).limit(k)
+    var cb = subs.join(broadcast(seedIds), Seq("vec_id"))
       .select(col("vec_id").as("j"), col("s"), col("xs").as("cs"))
     var i = 0
     while (i < iters) {

@@ -65,14 +65,24 @@ object ErPhaseProbe {
         b.count(); b
       }
       val (tScore, edges) = secs {
-        // pruneBelow mirrors cluster(): the production chain skips
-        // levenshtein on pairs whose cheap upper bound can't reach 0.6
-        val e = EntityResolution.scorePairs(blocked, lbl,
-            pruneBelow = Some(lit(0.6)))
+        // the PRODUCTION scorer (unpruned — see the scorePairs
+        // docstring's measured negative), run FIRST so any cold-read
+        // bias on the persisted blocked set lands on this leg, not on
+        // the variant it is compared against
+        val e = EntityResolution.scorePairs(blocked, lbl)
           .filter(col("score") >= 0.6)
           .select(col("id_a"), col("id_b"))
           .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
         e.count(); e
+      }
+      // A/B on the same run/machine/heap: the opt-in cheap-bound
+      // levenshtein prune — what it would buy (or cost) at this scale,
+      // free of cross-run machine drift. r15 verdict: 2-3.9x SLOWER at
+      // every scale on this vocabulary, which is why production reverted
+      // to the plain scorer.
+      val (tScorePruned, _) = secs {
+        EntityResolution.scorePairs(blocked, lbl, pruneBelow = Some(lit(0.6)))
+          .filter(col("score") >= 0.6).count()
       }
       val (tCc, nClusters) = secs {
         GraphAlgs.connectedComponents(
@@ -84,13 +94,14 @@ object ErPhaseProbe {
       lbl.unpersist(blocking = true)
       phaseRows +=
         s"""{"scale":$l,"labels":$nLabels,"block_sec":${f"$tBlock%.2f"},""" +
-        s""""score_threshold_sec":${f"$tScore%.2f"},"cc_sec":${f"$tCc%.2f"},""" +
-        s""""clusters":$nClusters}"""
+        s""""score_threshold_sec":${f"$tScore%.2f"},""" +
+        s""""score_threshold_pruned_sec":${f"$tScorePruned%.2f"},""" +
+        s""""cc_sec":${f"$tCc%.2f"},"clusters":$nClusters}"""
       println(s"[erphase] scale $l phases: ${phaseRows.last}")
 
       // incremental flush: a late-scale failure keeps earlier rows
       ArtifactJson.merge(outPath, "phases",
-        s"""{"what":"capped production chain wall time split block -> score+threshold(0.6) -> connected components; stage outputs persisted (DISK_ONLY) at the boundaries so each timing bills one stage","rows":[${phaseRows.mkString(",")}]}""")
+        s"""{"what":"capped production chain wall time split block -> score+threshold(0.6) -> connected components; stage outputs persisted (DISK_ONLY) at the boundaries so each timing bills one stage. score_threshold_sec = the production (unpruned) scorer, run first so cold-read bias lands on it; score_threshold_pruned_sec = same-run A/B of the opt-in cheap-bound levenshtein prune, measured SLOWER at every scale on this vocabulary (the r15 negative result that kept production unpruned)","rows":[${phaseRows.mkString(",")}]}""")
     }
     println(s"[erphase] wrote phases+family -> $outPath")
     spark.stop()

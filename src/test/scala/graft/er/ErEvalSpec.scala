@@ -252,15 +252,25 @@ class ErEvalSpec extends AnyFunSuite with graft.SparkTestSession {
     val pruned = EntityResolution.scorePairs(pairs, labels, Some(thr))
     assert(edges(pruned) == edges(unpruned),
       "prune changed the above-threshold edge set or its scores")
-    // the prune actually prunes on this fixture (length-mismatched pairs)
-    assert(pruned.count() < unpruned.count(),
-      "fixture exercised no pruning — bound filter had no effect")
-    // every surviving pair's score is the exact unpruned score (not just
-    // the passers): the bound only gates WHICH pairs get lev, never values
+    // same pair set comes back (the prune is a lazy CaseWhen, not a row
+    // drop), and every below-threshold placeholder is the pair's upper
+    // BOUND — which must itself sit under the threshold AND dominate the
+    // true score (bound >= score), so the caller's filter behaves
+    // identically to filtering true scores
+    assert(pruned.count() == unpruned.count())
     val joined = pruned.select(col("id_a"), col("id_b"), col("score").as("sp"))
       .join(unpruned.select(col("id_a"), col("id_b"), col("score").as("su")),
         Seq("id_a", "id_b"))
-    assert(joined.filter(col("sp") =!= col("su")).isEmpty)
+    assert(joined.filter(col("sp") >= 0.6 && col("sp") =!= col("su")).isEmpty,
+      "an above-threshold pair's score diverged from the unpruned scorer")
+    assert(joined.filter(col("sp") < 0.6 && col("su") >= 0.6).isEmpty,
+      "a true passer was pruned — the bound failed to dominate the score")
+    assert(joined.filter(col("sp") < col("su")).isEmpty,
+      "a placeholder fell below the true score — not an upper bound")
+    // the fixture exercises the placeholder branch (length-mismatched
+    // pairs whose bound can't reach the threshold)
+    assert(joined.filter(col("sp") < 0.6 && col("sp") =!= col("su")).count() > 0,
+      "fixture exercised no pruning — every pair's bound cleared the threshold")
   }
 
   test("blockPairs: gramDfCap keeps the candidate curve sub-quadratic in labels") {

@@ -43,6 +43,26 @@ class EpochIndexSpec extends AnyFunSuite with graft.SparkTestSession {
     e.unpersist(blocking = false)
   }
 
+  test("an offset-id epoch trains real codebooks (the vec_id<k seed bug)") {
+    // Regression pin for the bug the DriftProbe epoch leg surfaced:
+    // pqCodebooks seeded codes with a literal `vec_id < k`, so an epoch
+    // whose ids are all large (every appended batch in a sharded/epoched
+    // corpus) trained EMPTY codebooks and its queries returned zero rows
+    // — recall exactly 0. The fix seeds with the k smallest ids present.
+    val e = AnnOps.embTable(spark, dir)
+    val shifted = e.filter(col("vec_id") >= 5)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("emb"), col("norm"))
+    val cb = AnnOps.pqCodebooks(AnnOps.subvectors(shifted))
+    assert(cb.count() > 0, "offset-id subvectors trained an empty codebook")
+    assert(cb.select(col("s")).distinct().count() == 8,
+      "codebook must cover all 8 subspaces")
+    // dense-from-0 id spaces keep the exact old seeding (ids 0..15)
+    val cbDense = AnnOps.pqCodebooks(AnnOps.subvectors(e))
+    assert(cbDense.select(col("j")).distinct().count() == 16)
+    assert(cbDense.agg(org.apache.spark.sql.functions.max(col("j"))).head().getLong(0) == 15L)
+    e.unpersist(blocking = false)
+  }
+
   test("one epoch degenerates to the single-index query; within-epoch ingest appends") {
     val root = tmpRoot("degen")
     val e = AnnOps.embTable(spark, dir)
