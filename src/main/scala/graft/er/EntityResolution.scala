@@ -144,7 +144,8 @@ object EntityResolution {
     * overflow an executor that 2M short GPE labels would not). The
     * estimate is `rows × (overhead + perChar × avg label length)` from
     * one cheap probe agg; at the defaults the 2M row limit carries
-    * avg-≤28-char labels, and longer vocabularies fall back earlier.
+    * avg-≤26-char labels (2e6·(120+16·26) ≈ 1.07 GiB), and longer
+    * vocabularies fall back earlier.
     */
   val FeatureBroadcastByteLimit: Long = 1L << 30
 

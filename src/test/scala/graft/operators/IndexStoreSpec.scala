@@ -660,6 +660,23 @@ class IndexStoreSpec extends AnyFunSuite with graft.SparkTestSession {
 
   // ------------------------------------- manifest commit protocol (r15)
 
+  test("fence values may repeat across racers; verify matches fence AND owner") {
+    // The narrowed r15 contract (IndexLock class doc): two cross-process
+    // acquirers can both read fence N and write N+1, so a fence VALUE can
+    // recur — verify() must therefore match the (fence, owner) pair, so a
+    // same-fence different-owner token (the raced-out loser) still fails
+    // loudly at its commit gate.
+    val loc = tmpLoc("lk-fence-dup")
+    assert(IndexLock.tryCreateLockFile(spark, loc, "6 owner-a 60000"))
+    IndexLock.verify(spark, IndexLock.Token(loc, 6, "owner-a")) // the holder
+    intercept[IllegalStateException] { // same fence, different owner
+      IndexLock.verify(spark, IndexLock.Token(loc, 6, "owner-b"))
+    }
+    intercept[IllegalStateException] { // same owner, different fence
+      IndexLock.verify(spark, IndexLock.Token(loc, 7, "owner-a"))
+    }
+  }
+
   test("manifest publish is put-if-absent: a stale-based publish conflicts loudly") {
     // r14 ADVICE (medium): publish used to compute version at commit
     // time and rename (which overwrites on POSIX), so a writer whose
