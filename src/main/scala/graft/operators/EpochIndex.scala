@@ -8,15 +8,11 @@ import org.apache.spark.sql.functions._
 import graft.QueryDef
 
 /** Per-epoch IVF-PQ index family — the rung ABOVE the monolithic
-  * maintenance ladder (append → rebalance → retrain), for the regime the
-  * r14 drift measurement proved dead: at drift ≥ 0.45 every in-index
-  * recovery (rebalance, retrain, even a k-bumped retrain) leaves recall
-  * at 0.12–0.24 against the 0.80 build floor, because ONE quantizer
-  * cannot represent a corpus whose embedding distribution has moved that
-  * far — the normal case for a continuously-retrained-model pipeline
-  * (BENCH_INDEX `drift` cycles 3–4; RUNBOOK capacity-rung row prescribed
-  * "split the corpus into per-epoch indexes" with no code behind it
-  * until r15).
+  * maintenance ladder (append → rebalance → retrain), for the regime
+  * where ONE quantizer must cover a corpus whose embedding distribution
+  * keeps moving — the normal case for a continuously-retrained-model
+  * pipeline (RUNBOOK capacity-rung row prescribed "split the corpus into
+  * per-epoch indexes" with no code behind it until r15).
   *
   * The split: each drift EPOCH (a model version, an ingest era — any
   * boundary the deployer draws where the embedding distribution moved)
@@ -34,10 +30,21 @@ import graft.QueryDef
   * of candidates — per-epoch top-k keeps at least k of each epoch's
   * best, and a global top-k never needs more than k from any one
   * source). Cost is K single-index queries — linear fan-out, each leg
-  * lock-free and independently maintainable/compactable/vacuumable; the
-  * measured trade (BENCH_INDEX `drift` `recall_epoch_split` +
-  * `epoch_query_sec`) is that fan-out cost against recall restored to
-  * ≈ the per-epoch build floor where the monolithic index reads 0.12.
+  * lock-free and independently maintainable/compactable/vacuumable.
+  *
+  * What the split buys, MEASURED across three drift geometries
+  * (BENCH_INDEX `drift` / `drift_rotation` / `drift_clustered`; RUNBOOK
+  * per-epoch row): on CLUSTERED modality drift — the realistic shape,
+  * cluster centers moving every model version — the split holds recall
+  * PARITY with a full per-cycle retrain while its maintenance cost stays
+  * O(batch) per cycle (`epoch_ingest_sec` flat) against the retrain's
+  * O(accumulated corpus) (`retrain_sec` grows every cycle). The value is
+  * the COST axis plus immutable cold epochs, not a recall win over a
+  * diligent retrain. Under isometric rotation a single retrain suffices
+  * (one quantizer re-covers one rotated cloud); under common-mode
+  * ADDITIVE drift NOTHING recovers — not retrain, not k-bump, not the
+  * split (all ≤ 0.24 vs the 0.80 build floor): that regime is dead for
+  * cosine retrieval and the escape is re-embedding.
   *
   * At 100 TB the epoch count stays small (epochs are model versions, not
   * batches — tens, not thousands), each epoch's postings are probed and
@@ -50,7 +57,46 @@ object EpochIndex {
   private def fs(s: SparkSession, path: String) =
     new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** Epoch names with a committed index under `root`, sorted. */
+  /** Natural (numeric-aware) ordering: digit runs compare as numbers, so
+    * probe-style numeric epoch names read chronologically ("2" < "10" —
+    * lexicographic interleaves them past 9 epochs; merge correctness
+    * never depended on order, but logs, maintenance sweeps, and artifact
+    * readers do).
+    */
+  private[graft] val naturalOrder: Ordering[String] = new Ordering[String] {
+    private def runs(s: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        val d = s(i).isDigit
+        var j = i + 1
+        while (j < s.length && s(j).isDigit == d) j += 1
+        out += s.substring(i, j)
+        i = j
+      }
+      out.result()
+    }
+    def compare(a: String, b: String): Int = {
+      val (xs, ys) = (runs(a), runs(b))
+      var i = 0
+      val n = math.min(xs.size, ys.size)
+      while (i < n) {
+        val (x, y) = (xs(i), ys(i))
+        val c =
+          if (x.head.isDigit && y.head.isDigit) BigInt(x).compare(BigInt(y))
+          else x.compareTo(y)
+        if (c != 0) return c
+        i += 1
+      }
+      xs.size - ys.size
+    }
+  }
+
+  /** Epoch names with a committed index under `root`, natural-sorted —
+    * the LIST path (one `listStatus` + a manifest resolve per epoch).
+    * Query fan-out goes through the JVM-cached resolve instead
+    * ([[searchTopK]]); this is the cold / refresh read.
+    */
   def listEpochs(s: SparkSession, root: String): Seq[String] = {
     val f = fs(s, root)
     val rp = new Path(root)
@@ -59,7 +105,48 @@ object EpochIndex {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch-"))
       .map(_.getPath.getName.stripPrefix("epoch-"))
       .filter(name => IndexManifest.current(s, epochLoc(root, name)).isDefined)
-      .sorted
+      .sorted(naturalOrder)
+  }
+
+  /** Committed epoch sets this JVM has observed per root — the query
+    * path's answer to r15's "listEpochs does a LIST per query" (the
+    * manifest layer built a LIST-free resolve precisely because LIST is
+    * the throttled op on object stores; the epoch layer then paid one
+    * per query). Monotone grow: epochs are never deleted by this API.
+    */
+  private val knownEpochs =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+
+  private def noteEpoch(root: String, epoch: String): Unit =
+    knownEpochs.merge(root, Set(epoch), (a, b) => a ++ b)
+
+  /** Drop the root's cached epoch set so the next resolve LISTs again —
+    * the cross-process discovery hook: an epoch CUT is a deployer act
+    * (a model version shipped), so the deployer refreshes readers (or
+    * passes the explicit set to [[searchTopK]]); steady-state queries
+    * stay LIST-free.
+    */
+  def refreshEpochs(root: String): Unit = knownEpochs.remove(root)
+
+  /** The query fan-out's epoch resolution, exposed for deployer
+    * introspection and measurement (ReadConcurrencyBench `epoch_resolve`
+    * leg: warm stays flat as epochs grow; cold pays the LIST plus one
+    * manifest resolve per epoch).
+    */
+  def resolveEpochs(s: SparkSession, root: String): Seq[String] =
+    epochsCached(s, root)
+
+  /** Epoch set for query fan-out: the JVM cache when warm (this JVM
+    * ingested into or listed the root before), one LIST cold. */
+  private def epochsCached(s: SparkSession, root: String): Seq[String] = {
+    val hit = knownEpochs.get(root)
+    if (hit != null && hit.nonEmpty) hit.toSeq.sorted(naturalOrder)
+    else {
+      val listed = listEpochs(s, root)
+      if (listed.nonEmpty)
+        knownEpochs.merge(root, listed.toSet, (a, b) => a ++ b)
+      listed
+    }
   }
 
   /** Ingest a `(vec_id, emb, norm)` batch into `epoch`'s index: the
@@ -79,27 +166,159 @@ object EpochIndex {
         IndexStore.buildIvfPqTrained(e, loc, k, iters)
       else IndexStore.appendIvfPq(e, loc)
     }
+    noteEpoch(root, epoch) // committed — visible to this JVM's fan-out
   }
 
   /** Top-k across every epoch index under `root`: fan the query over the
     * epochs, merge by refined exact cosine (ties to the smaller vec_id —
     * the single-index convention), re-rank globally. Same output schema
     * as [[IndexStore.ivfPqRefinedFromIndex]]; with ONE epoch this is
-    * exactly the single-index query plus a no-op re-rank.
+    * exactly the single-index query plus a no-op re-rank. The epoch set
+    * resolves LIST-free once warm (`epochsCached`); `epochs` pins an
+    * explicit fan-out set (the deployer knows its model versions —
+    * bypasses both cache and LIST).
+    *
+    * vec_ids are contractually disjoint across epochs (the ingest doc),
+    * but the merge does not TRUST that: a vec_id present in two epochs
+    * (a re-embedded document double-ingested) collapses to its best
+    * epoch's score before ranking, instead of occupying two top-k slots
+    * and silently displacing real neighbors. With disjoint ids the
+    * collapse is a value-level no-op (a15's exact oracle pins that).
     */
   def searchTopK(s: SparkSession, dir: String, root: String,
-      nProbes: Int = 4, topK: Int = 10, refineFactor: Int = 8): DataFrame = {
-    val epochs = listEpochs(s, root)
-    require(epochs.nonEmpty, s"no committed epoch indexes under $root")
-    val per = epochs.map(name => IndexStore.ivfPqRefinedFromIndex(
+      nProbes: Int = 4, topK: Int = 10, refineFactor: Int = 8,
+      epochs: Option[Seq[String]] = None): DataFrame = {
+    val eps = epochs.getOrElse(epochsCached(s, root))
+    require(eps.nonEmpty, s"no committed epoch indexes under $root")
+    val per = eps.map(name => IndexStore.ivfPqRefinedFromIndex(
       s, dir, epochLoc(root, name), nProbes, topK, refineFactor))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     per.reduce(_.unionByName(_))
+      .groupBy(col("q_id"), col("vec_id")).agg(max(col("cos")).as("cos"))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= topK)
       .select(col("q_id"), col("vec_id"), col("rank"), col("cos"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Fan-out with an epoch-PRUNE knob (r15 VERDICT "What's wrong" #2) —
+    * OPT-IN, off the default path: [[searchTopK]] visits every epoch;
+    * here epochs are visited in descending best-coarse-centroid-cosine
+    * order and a later epoch is SKIPPED when, for EVERY query, its best
+    * centroid cosine plus `margin` cannot reach that query's running
+    * shortlist floor (the k-th best refined cosine so far) — the IVF
+    * probe idiom lifted one level, so old cold epochs stay unread for
+    * most queries. The centroid comparison is driver-side over tiny
+    * tables (K epochs × k centroids × a handful of query vectors), and
+    * the merge is driver-side too (≤ K·topK candidates per query — the
+    * retrieval-service merge), so each visited epoch leg executes
+    * exactly once.
+    *
+    * The skip bound is a HEURISTIC, not a proof — a cell can contain
+    * members closer to the query than its centroid by up to the cell's
+    * angular radius, which is why the knob ships opt-in with a
+    * recall-parity A/B measured per DriftProbe run
+    * (`epoch_query_pruned_sec` / `recall_epoch_split_pruned` /
+    * `epochs_visited` next to the full fan-out's columns). Returns the
+    * merged top-k plus the visited epoch names (the prune audit).
+    */
+  def searchTopKPruned(s: SparkSession, dir: String, root: String,
+      nProbes: Int = 4, topK: Int = 10, refineFactor: Int = 8,
+      margin: Double = 0.15,
+      epochs: Option[Seq[String]] = None): (DataFrame, Seq[String]) = {
+    val eps = epochs.getOrElse(epochsCached(s, root))
+    require(eps.nonEmpty, s"no committed epoch indexes under $root")
+    val e = AnnOps.embTable(s, dir)
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("emb"), col("norm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    // per-epoch best coarse-centroid cosine per query: one broadcast-
+    // shaped comparison, computed driver-side (the tables are tiny)
+    val best: Map[String, Map[Long, Double]] = eps.map { name =>
+      val cents = IndexStore.readTable(s, epochLoc(root, name), "centroids")
+        .select(col("c_emb"), col("c_norm")).collect()
+        .map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+      name -> qs.map { case (qid, qe, qn) =>
+        qid -> cents.map { case (ce, cn) =>
+          var d = 0.0; var i = 0
+          while (i < qe.length) { d += qe(i) * ce(i); i += 1 }
+          if (qn * cn == 0.0) -1.0 else d / (qn * cn)
+        }.max
+      }.toMap
+    }.toMap
+    e.unpersist(blocking = false)
+    val order = eps.sortBy(n => -best(n).values.max)
+    // running per-query shortlist (top-k cos) and the candidate pool
+    val pool = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val shortlist =
+      scala.collection.mutable.Map[Long, scala.collection.mutable.ArrayBuffer[Double]]()
+    def floorOf(q: Long): Option[Double] =
+      shortlist.get(q).filter(_.size >= topK).map(_.min)
+    val visited = scala.collection.mutable.ArrayBuffer[String]()
+    order.foreach { name =>
+      val prune = visited.nonEmpty && qs.forall { case (qid, _, _) =>
+        floorOf(qid).exists(f => best(name)(qid) + margin < f)
+      }
+      if (!prune) {
+        visited += name
+        IndexStore.ivfPqRefinedFromIndex(s, dir, epochLoc(root, name),
+            nProbes, topK, refineFactor)
+          .select(col("q_id"), col("vec_id"), col("cos")).collect()
+          .foreach { r =>
+            val (q, v, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+            pool += ((q, v, c))
+            val b = shortlist.getOrElseUpdate(q,
+              scala.collection.mutable.ArrayBuffer.empty)
+            b += c
+            if (b.size > topK) {
+              val kept = b.sorted.takeRight(topK)
+              b.clear(); b ++= kept
+            }
+          }
+      }
+    }
+    // the same merge contract as searchTopK (dedup to max cos, ties to
+    // the smaller vec_id), over the visited legs' candidates
+    val merged = pool.groupBy(t => (t._1, t._2))
+      .map { case ((q, v), ts) => (q, v, ts.map(_._3).max) }.toSeq
+      .groupBy(_._1).toSeq.flatMap { case (_, cands) =>
+        cands.sortBy(t => (-t._3, t._2)).take(topK).zipWithIndex
+          .map { case ((q, v, c), i) => (q, v, (i + 1).toLong, c) }
+      }.sortBy(t => (t._1, t._3))
+    import s.implicits._
+    (merged.toDF("q_id", "vec_id", "rank", "cos"), visited.toSeq)
+  }
+
+  /** One tick of the EPOCH-level maintenance ladder — the decision rung
+    * ABOVE [[IndexStore.maintainIvfPq]]'s none/rebalance/retrain, closing
+    * the ladder the drift probes priced: within the epoch the normal
+    * triggers act (cell skew → rebalance; measured recall under
+    * `recallFloor` → retrain), and when even the retrain rung leaves the
+    * re-probed recall under the floor the verdict is that ONE quantizer
+    * no longer covers the live distribution — the measured signal for
+    * cutting a NEW epoch (BENCH_INDEX: post-retrain recall stuck at
+    * 0.12–0.24 vs the 0.80 floor in exactly the regimes the split
+    * exists for).
+    *
+    * Returns "none" | "rebalance" | "retrain" | "new-epoch". ADVISORY at
+    * the top rung by the deliberately-unwired-k-bump precedent: it
+    * RECOMMENDS the cut, it never performs one — an epoch is a deployer
+    * fact (a model version, an ingest era), so opening it is the
+    * deployer's act ([[ingest]] with the new name). EpochIndexSpec pins
+    * the trigger order by forcing each threshold.
+    */
+  def maintainEpoch(s: SparkSession, dir: String, root: String,
+      epoch: String, skewBound: Double = 4.0, recallFloor: Double = 0.8,
+      k: Int = 16, iters: Int = 2): String = {
+    val loc = epochLoc(root, epoch)
+    val acted = IndexStore.maintainIvfPq(s, dir, loc, skewBound, recallFloor,
+      k, iters)
+    if (acted != "retrain") acted
+    else {
+      val (meanRecall, _) = IndexStore.ivfRecallProbe(s, dir, loc)
+      if (meanRecall < recallFloor) "new-epoch" else "retrain"
+    }
   }
 
   /** The epoch fan-out under the driver oracle, in EXACT mode: two

@@ -119,6 +119,14 @@ object IndexManifest {
     * vacuumed — or the chain was vacuumed past `v` and the LIST fallback
     * runs). A cold cache LISTs once and is warm thereafter.
     */
+  /** Fast-path probe-walk cap (r15 ADVICE): a reader JVM whose cache is
+    * far behind a hot writer would otherwise pay an unbounded SERIAL
+    * HEAD chain that a single LIST beats; past this many steps the walk
+    * abandons to the LIST fallback, the cache jumps to newest, and
+    * subsequent resolves are flat again.
+    */
+  private val ProbeWalkCap = 16
+
   private def resolveNewest(s: SparkSession, loc: String): Option[Long] = {
     val f = fs(s, loc)
     val cached = Option(lastKnown.get(loc)).map(_.longValue).getOrElse(0L)
@@ -126,8 +134,12 @@ object IndexManifest {
       if (cached <= 0L) None
       else if (f.exists(mpath(loc, cached + 1))) {
         var v = cached + 1
-        while (f.exists(mpath(loc, v + 1))) v += 1
-        Some(v)
+        var steps = 1
+        while (steps < ProbeWalkCap && f.exists(mpath(loc, v + 1))) {
+          v += 1; steps += 1
+        }
+        if (steps >= ProbeWalkCap) None // far behind a hot writer: LIST
+        else Some(v)
       } else if (f.exists(mpath(loc, cached))) Some(cached)
       else None
     val out = fast.orElse(versions(s, loc).lastOption)
@@ -268,8 +280,18 @@ object IndexManifest {
           if (minAgeMs <= 0) Set.empty[Long]
           else vs.filter(v =>
             f.getFileStatus(mpath(loc, v)).getModificationTime >= youngFloor).toSet
-        val keep = (vs.takeRight(math.max(1, keepManifests)).toSet ++ young)
-          .toSeq.sorted
+        // contiguity by CONSTRUCTION, not by mtime assumption (r15
+        // ADVICE): publishes are serialized so young manifests are
+        // normally the newest — but a copyDir-cloned loc resets every
+        // mtime and clock skew can age-invert, making an OLDER manifest
+        // "young" and the count∪age union gappy; the fast path's
+        // dense-suffix invariant would then stop at a pre-gap version
+        // and resolve a stale newest. Retaining everything at-or-above
+        // the union's minimum keeps the suffix dense no matter what the
+        // mtimes claim.
+        val keepFloor =
+          (vs.takeRight(math.max(1, keepManifests)) ++ young).min
+        val keep = vs.filter(_ >= keepFloor)
         val referenced: Set[String] =
           keep.flatMap(v => read(s, loc, v).tables.values.flatten).toSet
         // drop superseded manifests (and crashed-publish .tmp leftovers)

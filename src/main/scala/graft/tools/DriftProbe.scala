@@ -31,7 +31,10 @@ import graft.operators.{AnnOps, EpochIndex, IndexStore}
   * toward the shift direction, and the probe measures tie-breaking
   * noise instead of index quality — a default-0.4 run reproduced
   * exactly that), SPARK_GRAFT_DRIFT_KBUMP (64 — the capacity-rung k;
-  * probes scale with it so the probed-cell fraction holds).
+  * probes scale with it so the probed-cell fraction holds),
+  * SPARK_GRAFT_DRIFT_ADDITIVE_CYCLES (1 — the additive leg is a
+  * one-cycle sentinel since r16; set = cycles to re-run its full
+  * ladder, which then replaces the committed `drift` section).
   */
 object DriftProbe {
   /** Shift every coordinate by `drift` with alternating sign — moves the
@@ -141,8 +144,15 @@ object DriftProbe {
     val rows = new scala.collection.mutable.ArrayBuffer[String]
     rows += s"""{"cycle":0,"drift":0.0,"recall_mean":$r0m,"recall_min":$r0n}"""
 
+    /** Full fan-out vs the opt-in centroid-prune (r16) vs the monolithic
+      * single index, on one cycle world: recall + wall for each, plus
+      * how many epochs the prune actually visited.
+      */
+    case class EpochLeg(mean: Double, min: Double, tEpoch: Double,
+        tSingle: Double, prunedMean: Double, prunedMin: Double,
+        tPruned: Double, visited: Int)
     def epochLeg(cycleDir: String, root: String,
-        singleLoc: String): (Double, Double, Double, Double) = {
+        singleLoc: String): EpochLeg = {
       val t0 = System.nanoTime()
       val got = EpochIndex.searchTopK(spark, cycleDir, root)
         .select(col("q_id"), col("vec_id"))
@@ -150,15 +160,36 @@ object DriftProbe {
       val tEpoch = (System.nanoTime() - t0) / 1e9
       val r = AnnOps.recallAtK(got, AnnOps.denseTopK(spark, cycleDir, 10))
         .agg(avg(col("recall")), min(col("recall"))).head()
+      // the prune knob A/B (r15 VERDICT "What's wrong" #2): same fan-out
+      // with centroid-bound epoch skipping — parity or the knob stays off
+      val tp0 = System.nanoTime()
+      val (gotP, visited) = EpochIndex.searchTopKPruned(spark, cycleDir, root)
+      val tPruned = (System.nanoTime() - tp0) / 1e9
+      val rp = AnnOps.recallAtK(gotP.select(col("q_id"), col("vec_id")),
+          AnnOps.denseTopK(spark, cycleDir, 10))
+        .agg(avg(col("recall")), min(col("recall"))).head()
       // cost control: the monolithic frozen index's query on the same
       // cycle world (the fan-out pays ~n_epochs of these)
       val t1 = System.nanoTime()
       IndexStore.ivfPqRefinedFromIndex(spark, cycleDir, singleLoc).count()
       val tSingle = (System.nanoTime() - t1) / 1e9
-      (r.getDouble(0), r.getDouble(1), tEpoch, tSingle)
+      EpochLeg(r.getDouble(0), r.getDouble(1), tEpoch, tSingle,
+        rp.getDouble(0), rp.getDouble(1), tPruned, visited.size)
     }
 
-    for (k <- 1 to cycles) {
+    // r15 VERDICT Next #7: the additive leg is DEMOTED to a one-cycle
+    // sentinel by default — the geometry is known-degenerate (a common
+    // shift collapses every cosine toward the shift direction; above
+    // step ~0.3 the probe measures tie-breaking noise) and its full
+    // conclusions are recorded in the committed r15 BENCH_INDEX `drift`
+    // section. One cycle keeps the "nothing recovers here" regime
+    // exercised; the full ladder re-runs with
+    // SPARK_GRAFT_DRIFT_ADDITIVE_CYCLES=<cycles>. A sentinel run merges
+    // under its OWN key so it never overwrites the committed full-ladder
+    // evidence.
+    val addCycles = sys.env.getOrElse("SPARK_GRAFT_DRIFT_ADDITIVE_CYCLES", "1")
+      .toInt.min(cycles)
+    for (k <- 1 to addCycles) {
       val drift = step * k
       // arriving batch: the corpus re-embedded under the drifted model,
       // fresh ids (the append contract)
@@ -208,21 +239,26 @@ object DriftProbe {
       // runs against ALL epochs so far — the only rung whose model class
       // can track an arbitrarily-drifted corpus
       EpochIndex.ingest(shaped(batch), epochRoot, k.toString)
-      val (epm, epn, tEpoch, tSingle) = epochLeg(cdir(k), epochRoot, loc)
+      val el = epochLeg(cdir(k), epochRoot, loc)
       println(f"[drift] cycle $k drift $drift%.2f: append $ram%.3f/$ran%.3f " +
         f"(cell skew $skewAfterAppend%.2f) -> rebalance $rbm%.3f/$rbn%.3f " +
         f"-> retrain $rtm%.3f/$rtn%.3f | fresh-k16 floor $fbm%.3f/$fbn%.3f " +
-        f"| retrain-k$kBump $rkm%.3f/$rkn%.3f | epoch-split $epm%.3f/$epn%.3f " +
-        f"(${k + 1} epochs, $tEpoch%.1fs vs single $tSingle%.1fs)")
+        f"| retrain-k$kBump $rkm%.3f/$rkn%.3f | epoch-split ${el.mean}%.3f/${el.min}%.3f " +
+        f"(${k + 1} epochs, ${el.tEpoch}%.1fs vs single ${el.tSingle}%.1fs; " +
+        f"pruned ${el.prunedMean}%.3f/${el.prunedMin}%.3f ${el.tPruned}%.1fs, " +
+        f"${el.visited}/${k + 1} visited)")
       rows += s"""{"cycle":$k,"drift":$drift,"cell_skew_after_append":${f"$skewAfterAppend%.2f"},""" +
         s""""recall_after_append":{"mean":$ram,"min":$ran},""" +
         s""""recall_after_rebalance":{"mean":$rbm,"min":$rbn},""" +
         s""""recall_after_retrain":{"mean":$rtm,"min":$rtn},""" +
         s""""recall_fresh_trained_k16":{"mean":$fbm,"min":$fbn},""" +
         s""""recall_after_retrain_k$kBump":{"mean":$rkm,"min":$rkn},""" +
-        s""""recall_epoch_split":{"mean":$epm,"min":$epn},""" +
-        s""""epoch_n":${k + 1},"epoch_query_sec":${f"$tEpoch%.2f"},""" +
-        s""""single_query_sec":${f"$tSingle%.2f"}}"""
+        s""""recall_epoch_split":{"mean":${el.mean},"min":${el.min}},""" +
+        s""""recall_epoch_split_pruned":{"mean":${el.prunedMean},"min":${el.prunedMin}},""" +
+        s""""epoch_n":${k + 1},"epochs_visited":${el.visited},""" +
+        s""""epoch_query_sec":${f"${el.tEpoch}%.2f"},""" +
+        s""""epoch_query_pruned_sec":${f"${el.tPruned}%.2f"},""" +
+        s""""single_query_sec":${f"${el.tSingle}%.2f"}}"""
     }
 
     // ---- rotation (model-version) drift: same append cadence, but each
@@ -268,20 +304,25 @@ object DriftProbe {
       IndexStore.buildIvfPqTrained(shaped(world), locFb)
       val (fbm, fbn) = IndexStore.ivfRecallProbe(spark, rdir(k), locFb)
       EpochIndex.ingest(shaped(batch), epochRootR, k.toString)
-      val (epm, epn, tEpoch, tSingle) = epochLeg(rdir(k), epochRootR, locR)
+      val el = epochLeg(rdir(k), epochRootR, locR)
       println(f"[drift-rot] cycle $k: append $ram%.3f/$ran%.3f -> retrain " +
         f"$rtm%.3f/$rtn%.3f | fresh-k16 floor $fbm%.3f/$fbn%.3f | " +
-        f"epoch-split $epm%.3f/$epn%.3f (${k + 1} epochs, $tEpoch%.1fs vs " +
-        f"single $tSingle%.1fs)")
+        f"epoch-split ${el.mean}%.3f/${el.min}%.3f (${k + 1} epochs, " +
+        f"${el.tEpoch}%.1fs vs single ${el.tSingle}%.1fs; pruned " +
+        f"${el.prunedMean}%.3f/${el.prunedMin}%.3f ${el.tPruned}%.1fs, " +
+        f"${el.visited}/${k + 1} visited)")
       rotRows += s"""{"cycle":$k,"recall_after_append":{"mean":$ram,"min":$ran},""" +
         s""""recall_after_retrain":{"mean":$rtm,"min":$rtn},""" +
         s""""recall_fresh_trained_k16":{"mean":$fbm,"min":$fbn},""" +
-        s""""recall_epoch_split":{"mean":$epm,"min":$epn},""" +
-        s""""epoch_n":${k + 1},"epoch_query_sec":${f"$tEpoch%.2f"},""" +
-        s""""single_query_sec":${f"$tSingle%.2f"}}"""
+        s""""recall_epoch_split":{"mean":${el.mean},"min":${el.min}},""" +
+        s""""recall_epoch_split_pruned":{"mean":${el.prunedMean},"min":${el.prunedMin}},""" +
+        s""""epoch_n":${k + 1},"epochs_visited":${el.visited},""" +
+        s""""epoch_query_sec":${f"${el.tEpoch}%.2f"},""" +
+        s""""epoch_query_pruned_sec":${f"${el.tPruned}%.2f"},""" +
+        s""""single_query_sec":${f"${el.tSingle}%.2f"}}"""
     }
     ArtifactJson.merge(outPath, "drift_rotation",
-      s"""{"what":"model-VERSION drift (r15): each cycle's batch AND panel live under a cycle-specific signed-permutation ISOMETRY of the base space — within-epoch cosines preserved exactly (a re-embedding under a new model is ~an isometry), cross-epoch scrambled. The frozen index accumulates the rotated appends; retrain and a fresh k=16 build must cover the K-rotation MIXTURE with one quantizer; the per-epoch split (EpochIndex) gives each rotation its own trained index and merges by exact refined cosine. Contrast with the 'drift' section's additive shift, which degrades within-epoch discrimination too and where nothing recovers (the re-embed escape).",
+      s"""{"what":"model-VERSION drift (r15): each cycle's batch AND panel live under a cycle-specific signed-permutation ISOMETRY of the base space — within-epoch cosines preserved exactly (a re-embedding under a new model is ~an isometry), cross-epoch scrambled. The frozen index accumulates the rotated appends; retrain and a fresh k=16 build must cover the K-rotation MIXTURE with one quantizer; the per-epoch split (EpochIndex) gives each rotation its own trained index and merges by exact refined cosine. Contrast with the additive-shift geometry (committed r15 'drift' section; one-cycle sentinel per run since r16), which degrades within-epoch discrimination too and where nothing recovers (the re-embed escape). recall_epoch_split_pruned / epoch_query_pruned_sec / epochs_visited = the r16 opt-in centroid epoch-prune A/B.",
  "src":"$srcDir","cycles":[
   ${rotRows.mkString(",\n  ")}
  ]}""")
@@ -339,37 +380,45 @@ object DriftProbe {
       val t1 = System.nanoTime()
       EpochIndex.ingest(shaped(batch), epochRootC, k.toString)
       val tIngest = (System.nanoTime() - t1) / 1e9
-      val (epm, epn, tEpoch, tSingle) = epochLeg(kdir(k), epochRootC, locC)
+      val el = epochLeg(kdir(k), epochRootC, locC)
       println(f"[drift-cluster] cycle $k (${cClusters * (k + 1)} modes): " +
         f"append $ram%.3f/$ran%.3f -> retrain $rtm%.3f/$rtn%.3f " +
         f"($tRetrain%.1fs) | fresh-k16 floor $fbm%.3f/$fbn%.3f | epoch-split " +
-        f"$epm%.3f/$epn%.3f (ingest $tIngest%.1fs; ${k + 1} epochs, query " +
-        f"$tEpoch%.1fs vs single $tSingle%.1fs)")
+        f"${el.mean}%.3f/${el.min}%.3f (ingest $tIngest%.1fs; ${k + 1} epochs, query " +
+        f"${el.tEpoch}%.1fs vs single ${el.tSingle}%.1fs; pruned " +
+        f"${el.prunedMean}%.3f/${el.prunedMin}%.3f ${el.tPruned}%.1fs, " +
+        f"${el.visited}/${k + 1} visited)")
       cRows += s"""{"cycle":$k,"modes":${cClusters * (k + 1)},""" +
         s""""recall_after_append":{"mean":$ram,"min":$ran},""" +
         s""""recall_after_retrain":{"mean":$rtm,"min":$rtn},""" +
         s""""retrain_sec":${f"$tRetrain%.2f"},""" +
         s""""recall_fresh_trained_k16":{"mean":$fbm,"min":$fbn},""" +
-        s""""recall_epoch_split":{"mean":$epm,"min":$epn},""" +
+        s""""recall_epoch_split":{"mean":${el.mean},"min":${el.min}},""" +
+        s""""recall_epoch_split_pruned":{"mean":${el.prunedMean},"min":${el.prunedMin}},""" +
         s""""epoch_ingest_sec":${f"$tIngest%.2f"},""" +
-        s""""epoch_n":${k + 1},"epoch_query_sec":${f"$tEpoch%.2f"},""" +
-        s""""single_query_sec":${f"$tSingle%.2f"}}"""
+        s""""epoch_n":${k + 1},"epochs_visited":${el.visited},""" +
+        s""""epoch_query_sec":${f"${el.tEpoch}%.2f"},""" +
+        s""""epoch_query_pruned_sec":${f"${el.tPruned}%.2f"},""" +
+        s""""single_query_sec":${f"${el.tSingle}%.2f"}}"""
     }
     ArtifactJson.merge(outPath, "drift_clustered",
-      s"""{"what":"modality drift (r15): a deterministic hash-clustered corpus (C=$cClusters clusters, ${nPer} vectors/epoch, jitter $jit) whose cluster centers MOVE every epoch — the drift shape of a retrained embedding model over a clustered corpus, which no linear transform of the isotropic testdata cloud can produce (rotation of noise is the same cloud; a common shift degrades every cosine). MEASURED RESULT: the epoch split holds recall PARITY with a full per-cycle retrain at every cycle, while its maintenance cost stays O(batch) per cycle (epoch_ingest_sec ~ flat) against the retrain's O(accumulated corpus) (retrain_sec grows with K) — the split's value on this axis is maintenance cost and immutable cold epochs, not recall; its query cost is the fan-out (epoch_query_sec vs single_query_sec).",
+      s"""{"what":"modality drift (r15): a deterministic hash-clustered corpus (C=$cClusters clusters, ${nPer} vectors/epoch, jitter $jit) whose cluster centers MOVE every epoch — the drift shape of a retrained embedding model over a clustered corpus, which no linear transform of the isotropic testdata cloud can produce (rotation of noise is the same cloud; a common shift degrades every cosine). MEASURED RESULT: the epoch split holds recall PARITY with a full per-cycle retrain at every cycle, while its maintenance cost stays O(batch) per cycle (epoch_ingest_sec ~ flat) against the retrain's O(accumulated corpus) (retrain_sec grows with K) — the split's value on this axis is maintenance cost and immutable cold epochs, not recall; its query cost is the fan-out (epoch_query_sec vs single_query_sec). recall_epoch_split_pruned / epoch_query_pruned_sec / epochs_visited = the r16 opt-in centroid epoch-prune A/B.",
  "cycles":[
   ${cRows.mkString(",\n  ")}
  ]}""")
 
-    // merge into the existing BENCH_INDEX.json as a "drift" section
-    // (parsed and key-replaced — idempotent under re-runs)
+    // merge into the existing BENCH_INDEX.json (parsed and key-replaced
+    // — idempotent under re-runs). A SENTINEL additive run (the r16
+    // default: one cycle) merges under its own key so the committed r15
+    // full-ladder additive evidence is never overwritten.
+    val addKey = if (addCycles < cycles) "drift_additive_sentinel" else "drift"
     val section =
-      s"""{"what":"PQ codebook drift: per cycle the batch AND query panel shift by cycle*${step} along a fixed direction; the frozen index accumulates the appends (recall_after_append = cumulative decay) while rebalance (routing only), retrain (codebooks + full re-encode, frozen k=16), a FRESH k=16 trained build (the per-cycle floor retrain is judged against), and a k=$kBump retrain with probes scaled to the same probed-cell fraction (the capacity rung) run on per-cycle clones — each rung's measured recall@10 recovery at that drift level is isolated. Build-floor recall from cycle 0. recall_epoch_split = the r15 rung above the ladder: each cycle's batch is its own trained epoch index (EpochIndex), queries fan across all epochs and merge by exact refined cosine; epoch_query_sec vs single_query_sec prices the fan-out.",
+      s"""{"what":"PQ codebook drift, ADDITIVE geometry${if (addCycles < cycles) " — demoted to a one-cycle sentinel (r16): the geometry is known-degenerate (a common shift collapses every cosine toward the shift direction; above step ~0.3 the probe measures tie-breaking noise) and the full-ladder conclusions are recorded in the committed r15 drift section; SPARK_GRAFT_DRIFT_ADDITIVE_CYCLES re-runs the full ladder" else ""}: per cycle the batch AND query panel shift by cycle*${step} along a fixed direction; the frozen index accumulates the appends (recall_after_append = cumulative decay) while rebalance (routing only), retrain (codebooks + full re-encode, frozen k=16), a FRESH k=16 trained build (the per-cycle floor retrain is judged against), and a k=$kBump retrain with probes scaled to the same probed-cell fraction (the capacity rung) run on per-cycle clones — each rung's measured recall@10 recovery at that drift level is isolated. Build-floor recall from cycle 0. recall_epoch_split = the r15 rung above the ladder: each cycle's batch is its own trained epoch index (EpochIndex), queries fan across all epochs and merge by exact refined cosine; epoch_query_sec vs single_query_sec prices the fan-out. recall_epoch_split_pruned / epoch_query_pruned_sec / epochs_visited = the r16 opt-in centroid epoch-prune A/B (margin 0.15, knob off by default).",
  "src":"$srcDir","cycles":[
   ${rows.mkString(",\n  ")}
  ]}"""
-    ArtifactJson.merge(outPath, "drift", section)
-    println(s"[drift] wrote drift section -> $outPath")
+    ArtifactJson.merge(outPath, addKey, section)
+    println(s"[drift] wrote $addKey section -> $outPath")
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{IndexLock, IndexManifest, IndexStore}
+import graft.operators.{AnnOps, EpochIndex, IndexLock, IndexManifest, IndexStore}
 
 /** Read-path concurrency before/after (r13 VERDICT items 1+7): the r13
   * design served every index query under the same EXCLUSIVE lock as the
@@ -102,16 +102,16 @@ object ReadConcurrencyBench {
     // fallback (cold cache — a fresh process) scales with the retained
     // manifest count. Measured on a tiny index: resolve cost is metadata
     // I/O, not data.
+    def usPer(iters: Int)(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      (0 until iters).foreach(_ => body)
+      (System.nanoTime() - t0) / 1e3 / iters
+    }
     val resolveRows = {
       val loc = s"$work/resolve"
       val tiny = docs.limit(10).cache(); tiny.count()
       IndexStore.buildBm25(tiny, loc)
       val tinyMax = 10000000L
-      def usPer(iters: Int)(body: => Unit): Double = {
-        val t0 = System.nanoTime()
-        (0 until iters).foreach(_ => body)
-        (System.nanoTime() - t0) / 1e3 / iters
-      }
       val checkpoints = Seq(1, 8, 32)
       val rows = checkpoints.zipWithIndex.map { case (target, i) =>
         var have = IndexManifest.retainedVersions(spark, loc).size
@@ -135,6 +135,38 @@ object ReadConcurrencyBench {
       rows
     }
 
+    // ---- epoch-set resolve cost (r16: the r15 verdict flagged that
+    // EpochIndex.searchTopK paid a LIST per query one layer above the
+    // LIST-free manifest resolve; the fan-out now resolves from a JVM
+    // cache). warm = the cached resolve the query path uses (expected
+    // FLAT as epochs grow); cold = cache dropped per call, the LIST +
+    // one manifest resolve per epoch a fresh process pays once
+    // (expected to grow with epoch count). Tiny 50-vector epochs: the
+    // measurement is metadata I/O, not index size.
+    val epochResolveRows = {
+      val root = s"$work/epoch-resolve"
+      val e = AnnOps.embTable(spark, dir)
+      val checkpoints = Seq(1, 4, 16)
+      var have = 0
+      val rows = checkpoints.map { target =>
+        while (have < target) {
+          EpochIndex.ingest(e.filter(col("vec_id") >= 5 + have * 50 &&
+            col("vec_id") < 5 + (have + 1) * 50), root, have.toString)
+          have += 1
+        }
+        EpochIndex.resolveEpochs(spark, root) // prime
+        val warm = usPer(200)(EpochIndex.resolveEpochs(spark, root))
+        val cold = usPer(50) {
+          EpochIndex.refreshEpochs(root)
+          EpochIndex.resolveEpochs(spark, root)
+        }
+        println(f"[readbench] epoch resolve @ $target epochs: warm $warm%.1f us, cold(LIST) $cold%.1f us")
+        s"""{"epochs":$target,"warm_cached_us":${f"$warm%.1f"},"cold_list_us":${f"$cold%.1f"}}"""
+      }
+      e.unpersist(blocking = false)
+      rows
+    }
+
     val nQ = readers * readsEach
     ArtifactJson.merge(outPath, "read_concurrency",
       s"""{"what":"$readers reader threads x $readsEach BM25 top-k queries each against ONE at-rest index; locked = every query wrapped in the loc's exclusive IndexLock (the r13 read path, kept as the measurement-only before); snapshot = lock-free manifest-resolved reads (r14). *_with_appender legs run the same storm while one writer commits two append batches to the same index. Each leg on its own clone of one build.",
@@ -143,7 +175,8 @@ object ReadConcurrencyBench {
  "locked_qps":${f"${nQ / lockedSec}%.2f"},"snapshot_qps":${f"${nQ / snapSec}%.2f"},
  "locked_with_appender":{"storm_sec":${f"$lockedAppSec%.2f"},"appender_sec":${f"$lockedAppW%.2f"}},
  "snapshot_with_appender":{"storm_sec":${f"$snapAppSec%.2f"},"appender_sec":${f"$snapAppW%.2f"}},
- "resolve":{"what":"per-query manifest resolution cost as commits accumulate: warm = the r15 existence-probe fast path (expected flat), cold = cache dropped per call, the LIST fallback a fresh process pays once (expected to grow with retained manifests)","rows":[${resolveRows.mkString(",")}]}}""")
+ "resolve":{"what":"per-query manifest resolution cost as commits accumulate: warm = the r15 existence-probe fast path (expected flat), cold = cache dropped per call, the LIST fallback a fresh process pays once (expected to grow with retained manifests)","rows":[${resolveRows.mkString(",")}]},
+ "epoch_resolve":{"what":"per-query EPOCH-SET resolution cost as epochs accumulate (r16): warm = the JVM-cached set searchTopK fans out from (expected flat), cold = cache dropped per call, the LIST + per-epoch manifest resolve a fresh process pays once (expected to grow with epoch count)","rows":[${epochResolveRows.mkString(",")}]}}""")
     println(s"[readbench] wrote read_concurrency -> $outPath")
     spark.stop()
   }

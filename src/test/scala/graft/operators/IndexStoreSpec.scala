@@ -747,4 +747,50 @@ class IndexStoreSpec extends AnyFunSuite with graft.SparkTestSession {
     IndexManifest.noteVersion(loc, newest)
     assert(IndexManifest.currentVersion(spark, loc) == newest)
   }
+
+  test("manifest resolve: a far-behind cache caps the probe walk and still resolves newest") {
+    // r15 ADVICE: a reader JVM thousands of commits behind a hot writer
+    // must not pay an unbounded serial HEAD chain — past the cap the
+    // walk abandons to one LIST and the cache jumps to newest.
+    val loc = tmpLoc("m-cap")
+    val (base, _) = docsFixture.partition(_._1 < 6L)
+    IndexStore.buildBm25(docsDf(base), loc) // v1
+    val m = IndexManifest.current(spark, loc).get
+    // fabricate a hot-writer history: 24 more commits of the same state
+    var v = m.version
+    (1 to 24).foreach { _ => v = IndexManifest.publish(spark, loc, m.tables, v) }
+    val newest = v
+    IndexManifest.forget(loc)
+    IndexManifest.noteVersion(loc, 1L) // 24 behind: beyond the 16-step cap
+    assert(IndexManifest.currentVersion(spark, loc) == newest)
+    // warm again after the jump: the next resolve is a flat probe
+    assert(IndexManifest.currentVersion(spark, loc) == newest)
+  }
+
+  test("vacuum keeps a contiguous suffix even when manifest mtimes are inverted") {
+    // r15 ADVICE: a copyDir-cloned loc (DriftProbe clones indexes,
+    // resetting every mtime) or clock skew can make an OLDER manifest
+    // read young; count∪age retention would then keep a gappy set and
+    // the resolve fast path could stop at a pre-gap version. Retention
+    // must be contiguous by construction.
+    val loc = tmpLoc("m-contig")
+    val (base, batch) = docsFixture.partition(_._1 < 6L)
+    IndexStore.buildBm25(docsDf(base), loc)           // v1
+    IndexStore.appendBm25(docsDf(batch.take(2)), loc) // v2
+    IndexStore.appendBm25(docsDf(batch.drop(2)), loc) // v3
+    def setAge(v: Long, ms: Long): Unit =
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(s"$loc/_manifests/m.$v"),
+        java.nio.file.attribute.FileTime.fromMillis(ms))
+    val now = System.currentTimeMillis()
+    setAge(1, now) // the clone artifact: oldest version, freshest mtime
+    setAge(2, now - 7200000L); setAge(3, now - 7200000L)
+    IndexManifest.vacuum(spark, loc, keepManifests = 1, minAgeMs = 3600000L)
+    // count keeps {3}, age keeps {1}: the gap at 2 must be closed
+    assert(IndexManifest.retainedVersions(spark, loc) == Seq(1L, 2L, 3L),
+      "retained manifests must form a contiguous newest suffix")
+    // the gap-closing middle version still time-travels
+    assert(IndexStore.bm25TopKHotTermsFromIndex(spark, loc,
+      at = Some(2L)).count() > 0)
+  }
 }
