@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of a `runMain graft.Bench` run
+// as JSON; sbt's "[success] Total time…" epilogue has made that parse
+// fail every round (BENCH_r01–r15 all "parsed": null). Suppressing the
+// epilogue lets Bench's closing compact JSON line BE the last line, and
+// StdoutOutput passes the forked JVM's stdout through verbatim instead
+// of re-logging each line behind an "[info] " prefix (which would break
+// a last-line JSON parse just as thoroughly).
+Global / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / excludeLintKeys += showSuccess // consumed by sbt itself, not a task
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -211,10 +211,22 @@ object Bench {
     val refloorCap = scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_REFLOOR_CAP", "").toInt).toOption
       .getOrElse(math.max(12, math.ceil(results.size * 0.25).toInt))
-    val refloors: Map[String, Double] = movers.take(refloorCap).map { case (name, _) =>
-      name -> runOne(name, SparkEntry.queries(name), sfDir,
-        nReps = 3, forceGc = true)._1
-    }.toMap
+    // MUST-refloor pins (r15 VERDICT Next #1): gates named here get an
+    // isolated floor EVERY run, outside the mover ranking and the cap —
+    // the a12/a13 adjudication gap was exactly a suite regression on the
+    // round's central rewrite (the CAS commit path) that the automatic
+    // mover/cap selection happened not to floor, leaving it unprovable
+    // either way. Default pins the two index-mutation gates; override
+    // (or empty) via SPARK_GRAFT_REFLOOR_FORCE.
+    val forced = sys.env.getOrElse("SPARK_GRAFT_REFLOOR_FORCE",
+        "a12_bm25_incremental_query,a13_bm25_delete_query")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      .filter(results.contains)
+    val refloors: Map[String, Double] =
+      (movers.take(refloorCap).map(_._1) ++ forced).distinct.map { name =>
+        name -> runOne(name, SparkEntry.queries(name), sfDir,
+          nReps = 3, forceGc = true)._1
+      }.toMap
     // consume-once memo families (static producer lists): an ISOLATED
     // refloor of a consumer gate rebuilds the whole family per rep, so
     // its floor reads ~the producer's cost while its suite reading is
@@ -264,7 +276,8 @@ object Bench {
     val dcTags = results.keys.toSeq.sorted.flatMap(k =>
       designedComparator.get(k).map(t => "\"" + k + "\":\"" + esc(t) + "\""))
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"isolate":$isolate,"timeout_sec":$timeoutSec,"calibration_sec":$calibrationSec,"queries":$qs,"errors":$errs,"designed_comparators":$dcTags,"auto_refloors":$rf,"auto_refloor_base":$rfBase,"auto_refloor_cap":$refloorCap,"auto_refloors_skipped":${math.max(0, movers.size - refloorCap)},"auto_refloors_skipped_names":$rfSkippedNames,"auto_refloor_memo_notes":$rfMemo,"sf":"$sfDir"}"""
+    val forcedJson = forced.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"isolate":$isolate,"timeout_sec":$timeoutSec,"calibration_sec":$calibrationSec,"queries":$qs,"errors":$errs,"designed_comparators":$dcTags,"auto_refloors":$rf,"auto_refloor_base":$rfBase,"auto_refloor_cap":$refloorCap,"forced_refloors":$forcedJson,"auto_refloors_skipped":${math.max(0, movers.size - refloorCap)},"auto_refloors_skipped_names":$rfSkippedNames,"auto_refloor_memo_notes":$rfMemo,"sf":"$sfDir"}"""
     println(line)
     // self-contained artifact (r10 VERDICT item 5): the driver captures
     // stdout, which truncated BENCH_r10.json mid-JSON — so the full
@@ -281,5 +294,17 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
+    // COMPACT closing line, printed LAST (r15 VERDICT Missing #3): the
+    // driver parses the final stdout line (tail window 2000 chars) and
+    // has recorded "parsed": null every round — the full line above is
+    // ~4 KB of per-gate detail that cannot fit the window, and sbt's
+    // "[success]" epilogue (now suppressed, build.sbt showSuccess) used
+    // to follow it. This summary carries the headline numbers and points
+    // at the full artifact; printed after spark.stop() so no shutdown
+    // logging can land beneath it.
+    val errN = results.count(_._2._2.isDefined)
+    val forcedFloors = forced.flatMap(n => refloors.get(n).map(v =>
+      "\"" + n + "\":" + v)).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"isolate":$isolate,"timeout_sec":$timeoutSec,"calibration_sec":$calibrationSec,"gates":${results.size},"errors_n":$errN,"forced_refloor_floors":$forcedFloors,"full":"${esc(outPath)}","sf":"${esc(sfDir)}"}""")
   }
 }
