@@ -63,10 +63,23 @@ object EntityResolution {
     * skewed join task on the word channel (r10 review finding — the cap
     * used to guard only grams). Input: (id: Long, label: String,
     * type: String).
+    *
+    * `dropPureDigitGrams` (r15 VERDICT Next #5, OPT-IN pending the
+    * BENCH_ER `digit_policy` measurement): PURE-digit 3-grams ("123")
+    * are the attributed saturation channel on digit-heavy vocabularies
+    * — every entity number shares its interior grams with a quadratic
+    * number of other entities while each gram's df stays under the cap,
+    * so candidates grow super-linearly through keys that carry almost
+    * no identity signal. The policy drops only the pure-digit grams;
+    * digit-BEARING boundary grams ("y12") keep the version-number
+    * recall hook, and the word channel is untouched. ErEvalSpec pins
+    * the labeled match-recall/separation floors with the policy ON.
     */
-  def blockPairs(labels: DataFrame, gramDfCap: Int = 1000): DataFrame =
+  def blockPairs(labels: DataFrame, gramDfCap: Int = 1000,
+      dropPureDigitGrams: Boolean = false): DataFrame =
     blockSelfJoin(capHotKeys(wordKeys(labels), gramDfCap))
-      .union(blockSelfJoin(capHotKeys(gramKeys(labels), gramDfCap)))
+      .union(blockSelfJoin(
+        capHotKeys(gramKeys(labels, dropPureDigitGrams), gramDfCap)))
       .distinct()
 
   private def blockSelfJoin(keys: DataFrame): DataFrame =
@@ -85,15 +98,20 @@ object EntityResolution {
     labels.select(col("id"), col("type"),
       explode(array_distinct(SimilarityJoin.whitespaceTokens(stripS(lower(col("label")))))).as("tok"))
 
-  private def gramKeys(labels: DataFrame): DataFrame =
-    labels.filter(col("type").isin(charTypes.toSeq: _*))
+  private def gramKeys(labels: DataFrame,
+      dropPureDigit: Boolean = false): DataFrame = {
+    val keys = labels.filter(col("type").isin(charTypes.toSeq: _*))
       .select(col("id"), col("type"),
         explode(array_distinct(SimilarityJoin.qgrams(lower(col("label"))))).as("tok"))
+    if (dropPureDigit) keys.filter(!col("tok").rlike("^[0-9]+$")) else keys
+  }
 
   /** Probe-facing decomposition of [[blockPairs]]'s candidate volume by
     * blocking-key FAMILY — (family, pairs) rows for `word` (plural-folded
-    * token channel), `gram` (char-3-gram channel), and `gram_digit`
-    * (pairs discoverable through a digit-bearing 3-gram alone): the
+    * token channel), `gram` (char-3-gram channel), `gram_digit`
+    * (pairs discoverable through a digit-bearing 3-gram alone), and
+    * `gram_pure_digit` (through a pure-digit gram alone — the
+    * `dropPureDigitGrams` target population): the
     * attribution tool for candidate-curve shifts. The cap is applied per
     * channel over the FULL key population (exactly as [[blockPairs]]
     * applies it) before any family filter, so each count is "what this
@@ -108,7 +126,11 @@ object EntityResolution {
       "word" -> blockSelfJoin(words).distinct().count(),
       "gram" -> blockSelfJoin(grams).distinct().count(),
       "gram_digit" -> blockSelfJoin(
-        grams.filter(col("tok").rlike("[0-9]"))).distinct().count())
+        grams.filter(col("tok").rlike("[0-9]"))).distinct().count(),
+      // pairs discoverable through a PURE-digit gram alone — exactly the
+      // population `dropPureDigitGrams` removes
+      "gram_pure_digit" -> blockSelfJoin(
+        grams.filter(col("tok").rlike("^[0-9]+$"))).distinct().count())
   }
 
   /** Feature column names shared by the threshold scorer and the learned
@@ -376,8 +398,9 @@ object EntityResolution {
     */
   def cluster(labels: DataFrame, thresholds: Map[String, Double],
               defaultThreshold: Double = 0.6,
-              scorer: Option[org.apache.spark.ml.classification.LogisticRegressionModel] = None): DataFrame = {
-    val blocked = blockPairs(labels)
+              scorer: Option[org.apache.spark.ml.classification.LogisticRegressionModel] = None,
+              dropPureDigitGrams: Boolean = false): DataFrame = {
+    val blocked = blockPairs(labels, dropPureDigitGrams = dropPureDigitGrams)
     val thr = thresholds.foldLeft(lit(defaultThreshold)) {
       case (acc, (t, v)) => when(col("type") === t, v).otherwise(acc)
     }

@@ -40,6 +40,7 @@ object ErPhaseProbe {
 
     val phaseRows = new scala.collection.mutable.ArrayBuffer[String]
     val famRows = new scala.collection.mutable.ArrayBuffer[String]
+    val digitRows = new scala.collection.mutable.ArrayBuffer[String]
     for (l <- scales) {
       val lbl = ErLoadProbe.labels(spark, l).cache()
       val nLabels = lbl.count()
@@ -59,10 +60,10 @@ object ErPhaseProbe {
       // ---- phase split of the capped chain (block -> score -> CC),
       // persisted at stage boundaries so each wall time is one stage;
       // DISK_ONLY — the 100x blocked set is 227M rows, heap caching OOMs
-      val (tBlock, blocked) = secs {
+      val (tBlock, (blocked, nBlocked)) = secs {
         val b = EntityResolution.blockPairs(lbl)
           .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-        b.count(); b
+        (b, b.count())
       }
       val (tScore, edges) = secs {
         // the PRODUCTION scorer (unpruned — see the scorePairs
@@ -91,7 +92,32 @@ object ErPhaseProbe {
       }
       blocked.unpersist(blocking = true)
       edges.unpersist(blocking = true)
+
+      // ---- digit-gram policy A/B (r15 VERDICT Next #5): attack the
+      // candidate COUNT, not the per-pair cost — the prune A/B proved
+      // per-pair cost is spent, and the family attribution put the
+      // growth in digit-bearing grams. Same run/machine/heap: block +
+      // score with PURE-digit grams dropped from the gram channel,
+      // against the production numbers above. Labeled-ground-truth
+      // recall under the policy is pinned separately (ErEvalSpec).
+      val (tBlockDrop, (blockedDrop, nDrop)) = secs {
+        val b = EntityResolution.blockPairs(lbl, dropPureDigitGrams = true)
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        (b, b.count())
+      }
+      val (tScoreDrop, _) = secs {
+        EntityResolution.scorePairs(blockedDrop, lbl)
+          .filter(col("score") >= 0.6).count()
+      }
+      blockedDrop.unpersist(blocking = true)
       lbl.unpersist(blocking = true)
+      digitRows +=
+        s"""{"scale":$l,"labels":$nLabels,""" +
+        s""""production":{"pairs":$nBlocked,"pairs_per_label":${f"${nBlocked.toDouble / nLabels}%.2f"},"block_sec":${f"$tBlock%.2f"},"score_threshold_sec":${f"$tScore%.2f"}},""" +
+        s""""pure_digit_dropped":{"pairs":$nDrop,"pairs_per_label":${f"${nDrop.toDouble / nLabels}%.2f"},"block_sec":${f"$tBlockDrop%.2f"},"score_threshold_sec":${f"$tScoreDrop%.2f"}}}"""
+      println(s"[erphase] scale $l digit policy: ${digitRows.last}")
+      ArtifactJson.merge(outPath, "digit_policy",
+        s"""{"what":"blockPairs dropPureDigitGrams A/B (r16): candidate pairs + block/score wall with PURE-digit 3-grams dropped from the gram blocking channel vs production, same run/machine/heap; digit-BEARING boundary grams and the word channel are untouched. The policy targets the attributed saturation family (BENCH_ER family gram_digit/gram_pure_digit); ErEvalSpec pins labeled match-recall/separation floors with the policy ON","rows":[${digitRows.mkString(",")}]}""")
       phaseRows +=
         s"""{"scale":$l,"labels":$nLabels,"block_sec":${f"$tBlock%.2f"},""" +
         s""""score_threshold_sec":${f"$tScore%.2f"},""" +

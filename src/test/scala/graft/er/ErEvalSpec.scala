@@ -78,6 +78,36 @@ class ErEvalSpec extends AnyFunSuite with graft.SparkTestSession {
     }
   }
 
+  test("labeled floors hold with the pure-digit-gram drop policy on (digit_policy)") {
+    // r15 VERDICT Next #5: the digit-gram candidate policy must not cost
+    // recall on the manually labeled ground truth — the same floors as
+    // the production path, clustered with dropPureDigitGrams = true.
+    // (Pairs whose ONLY shared blocking key is a pure-digit gram are the
+    // population at risk; the word channel and digit-bearing boundary
+    // grams carry the rest.)
+    import spark.implicits._
+    for (tpe <- Seq("ORG", "GPE", "PERSON", "PRODUCT")) {
+      val (matches, distincts) = readPairs(tpe)
+      val labels: DataFrame = (matches ++ distincts)
+        .flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map { case (id, label) => (id, label, tpe) }
+        .toDF("id", "label", "type")
+      val clustered = EntityResolution
+        .cluster(labels, thresholds, thresholds(tpe), dropPureDigitGrams = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      def same(p: ((Long, String), (Long, String))) =
+        clustered(p._1._1) == clustered(p._2._1)
+      val recall = matches.count(same).toDouble / matches.size
+      val separation = distincts.count(!same(_)).toDouble / distincts.size
+      info(f"$tpe%-8s digit-policy match-recall $recall%.3f " +
+        f"distinct-separation $separation%.3f")
+      val (rf, sf) = floors(tpe)
+      assert(recall >= rf, f"$tpe digit-policy recall $recall%.3f < floor $rf")
+      assert(separation >= sf,
+        f"$tpe digit-policy separation $separation%.3f < floor $sf")
+    }
+  }
+
   // learned-path operating points (P(match) cluster cutoffs, swept like
   // c42) and the floors they pin. Measured at these cutoffs:
   //   ORG     0.609/0.957   GPE     0.492/0.867
