@@ -64,19 +64,27 @@ object EntityResolution {
     * used to guard only grams). Input: (id: Long, label: String,
     * type: String).
     *
-    * `dropPureDigitGrams` (r15 VERDICT Next #5, OPT-IN pending the
-    * BENCH_ER `digit_policy` measurement): PURE-digit 3-grams ("123")
-    * are the attributed saturation channel on digit-heavy vocabularies
-    * — every entity number shares its interior grams with a quadratic
-    * number of other entities while each gram's df stays under the cap,
-    * so candidates grow super-linearly through keys that carry almost
-    * no identity signal. The policy drops only the pure-digit grams;
-    * digit-BEARING boundary grams ("y12") keep the version-number
-    * recall hook, and the word channel is untouched. ErEvalSpec pins
-    * the labeled match-recall/separation floors with the policy ON.
+    * `dropPureDigitGrams` (r15 VERDICT Next #5; DEFAULT ON since r16 on
+    * the measured BENCH_ER `digit_policy` A/B): PURE-digit 3-grams
+    * ("123") are the attributed saturation channel on digit-heavy
+    * vocabularies — every entity number shares its interior grams with
+    * a quadratic number of other entities while each gram's df stays
+    * under the cap, so candidates grow super-linearly through keys that
+    * carry almost no identity signal. The policy drops only the
+    * pure-digit grams; digit-BEARING boundary grams ("y12") keep the
+    * version-number recall hook, and the word channel is untouched.
+    * Measured same-run at 1×/10×/100× (BENCH_ER `digit_policy`): at 1×
+    * the emitted pair set is IDENTICAL (every pure-digit-gram pair is
+    * also discoverable through another key) and block+score still run
+    * faster (fewer keys through the self-join); at 100× candidates bend
+    * 622→248 pairs/label, block 87.7→29.1 s, score+threshold
+    * 222.2→77.0 s. ErEvalSpec pins the labeled match-recall/separation
+    * floors with the policy ON. Opt OUT (= false) only for vocabularies
+    * where entity identity lives in pure digit strings (bare numeric-id
+    * labels with no word or boundary-gram signal).
     */
   def blockPairs(labels: DataFrame, gramDfCap: Int = 1000,
-      dropPureDigitGrams: Boolean = false): DataFrame =
+      dropPureDigitGrams: Boolean = true): DataFrame =
     blockSelfJoin(capHotKeys(wordKeys(labels), gramDfCap))
       .union(blockSelfJoin(
         capHotKeys(gramKeys(labels, dropPureDigitGrams), gramDfCap)))
@@ -399,7 +407,7 @@ object EntityResolution {
   def cluster(labels: DataFrame, thresholds: Map[String, Double],
               defaultThreshold: Double = 0.6,
               scorer: Option[org.apache.spark.ml.classification.LogisticRegressionModel] = None,
-              dropPureDigitGrams: Boolean = false): DataFrame = {
+              dropPureDigitGrams: Boolean = true): DataFrame = {
     val blocked = blockPairs(labels, dropPureDigitGrams = dropPureDigitGrams)
     val thr = thresholds.foldLeft(lit(defaultThreshold)) {
       case (acc, (t, v)) => when(col("type") === t, v).otherwise(acc)

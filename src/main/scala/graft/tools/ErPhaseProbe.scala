@@ -61,6 +61,9 @@ object ErPhaseProbe {
       // persisted at stage boundaries so each wall time is one stage;
       // DISK_ONLY — the 100x blocked set is 227M rows, heap caching OOMs
       val (tBlock, (blocked, nBlocked)) = secs {
+        // production blocking — since r16 that includes the pure-digit-
+        // gram drop by default (the measured promotion; the policy-OFF
+        // side is re-measured below as the digit_policy A/B baseline)
         val b = EntityResolution.blockPairs(lbl)
           .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
         (b, b.count())
@@ -96,28 +99,29 @@ object ErPhaseProbe {
       // ---- digit-gram policy A/B (r15 VERDICT Next #5): attack the
       // candidate COUNT, not the per-pair cost — the prune A/B proved
       // per-pair cost is spent, and the family attribution put the
-      // growth in digit-bearing grams. Same run/machine/heap: block +
-      // score with PURE-digit grams dropped from the gram channel,
-      // against the production numbers above. Labeled-ground-truth
-      // recall under the policy is pinned separately (ErEvalSpec).
-      val (tBlockDrop, (blockedDrop, nDrop)) = secs {
-        val b = EntityResolution.blockPairs(lbl, dropPureDigitGrams = true)
+      // growth in digit-bearing grams. The production chain above runs
+      // the policy ON (the r16 default); this leg re-measures the OFF
+      // side on the same run/machine/heap so the A/B stays same-run.
+      // Labeled-ground-truth recall under the policy is pinned
+      // separately (ErEvalSpec).
+      val (tBlockOff, (blockedOff, nOff)) = secs {
+        val b = EntityResolution.blockPairs(lbl, dropPureDigitGrams = false)
           .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
         (b, b.count())
       }
-      val (tScoreDrop, _) = secs {
-        EntityResolution.scorePairs(blockedDrop, lbl)
+      val (tScoreOff, _) = secs {
+        EntityResolution.scorePairs(blockedOff, lbl)
           .filter(col("score") >= 0.6).count()
       }
-      blockedDrop.unpersist(blocking = true)
+      blockedOff.unpersist(blocking = true)
       lbl.unpersist(blocking = true)
       digitRows +=
         s"""{"scale":$l,"labels":$nLabels,""" +
-        s""""production":{"pairs":$nBlocked,"pairs_per_label":${f"${nBlocked.toDouble / nLabels}%.2f"},"block_sec":${f"$tBlock%.2f"},"score_threshold_sec":${f"$tScore%.2f"}},""" +
-        s""""pure_digit_dropped":{"pairs":$nDrop,"pairs_per_label":${f"${nDrop.toDouble / nLabels}%.2f"},"block_sec":${f"$tBlockDrop%.2f"},"score_threshold_sec":${f"$tScoreDrop%.2f"}}}"""
+        s""""policy_off":{"pairs":$nOff,"pairs_per_label":${f"${nOff.toDouble / nLabels}%.2f"},"block_sec":${f"$tBlockOff%.2f"},"score_threshold_sec":${f"$tScoreOff%.2f"}},""" +
+        s""""policy_on":{"pairs":$nBlocked,"pairs_per_label":${f"${nBlocked.toDouble / nLabels}%.2f"},"block_sec":${f"$tBlock%.2f"},"score_threshold_sec":${f"$tScore%.2f"}}}"""
       println(s"[erphase] scale $l digit policy: ${digitRows.last}")
       ArtifactJson.merge(outPath, "digit_policy",
-        s"""{"what":"blockPairs dropPureDigitGrams A/B (r16): candidate pairs + block/score wall with PURE-digit 3-grams dropped from the gram blocking channel vs production, same run/machine/heap; digit-BEARING boundary grams and the word channel are untouched. The policy targets the attributed saturation family (BENCH_ER family gram_digit/gram_pure_digit); ErEvalSpec pins labeled match-recall/separation floors with the policy ON","rows":[${digitRows.mkString(",")}]}""")
+        s"""{"what":"blockPairs dropPureDigitGrams A/B: candidate pairs + block/score wall with PURE-digit 3-grams dropped from the gram blocking channel (policy_on, the r16 production default — the measured promotion) vs kept (policy_off), same run/machine/heap; digit-BEARING boundary grams and the word channel are untouched either way. The policy targets the attributed saturation family (BENCH_ER family gram_digit/gram_pure_digit); ErEvalSpec pins labeled match-recall/separation floors with the policy ON","rows":[${digitRows.mkString(",")}]}""")
       phaseRows +=
         s"""{"scale":$l,"labels":$nLabels,"block_sec":${f"$tBlock%.2f"},""" +
         s""""score_threshold_sec":${f"$tScore%.2f"},""" +
@@ -127,7 +131,7 @@ object ErPhaseProbe {
 
       // incremental flush: a late-scale failure keeps earlier rows
       ArtifactJson.merge(outPath, "phases",
-        s"""{"what":"capped production chain wall time split block -> score+threshold(0.6) -> connected components; stage outputs persisted (DISK_ONLY) at the boundaries so each timing bills one stage. score_threshold_sec = the production (unpruned) scorer, run first so cold-read bias lands on it; score_threshold_pruned_sec = same-run A/B of the opt-in cheap-bound levenshtein prune, measured SLOWER at every scale on this vocabulary (the r15 negative result that kept production unpruned)","rows":[${phaseRows.mkString(",")}]}""")
+        s"""{"what":"capped production chain wall time split block -> score+threshold(0.6) -> connected components; stage outputs persisted (DISK_ONLY) at the boundaries so each timing bills one stage. Since r16 the production chain runs the pure-digit-gram drop (the promoted default; the policy-OFF side lives in digit_policy). score_threshold_sec = the production (unpruned) scorer, run first so cold-read bias lands on it; score_threshold_pruned_sec = same-run A/B of the opt-in cheap-bound levenshtein prune, measured SLOWER at every scale on this vocabulary (the r15 negative result that kept production unpruned)","rows":[${phaseRows.mkString(",")}]}""")
     }
     println(s"[erphase] wrote phases+family -> $outPath")
     spark.stop()
