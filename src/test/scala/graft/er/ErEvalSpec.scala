@@ -78,13 +78,12 @@ class ErEvalSpec extends AnyFunSuite with graft.SparkTestSession {
     }
   }
 
-  test("labeled floors hold with the pure-digit-gram drop policy on (digit_policy)") {
-    // r15 VERDICT Next #5: the digit-gram candidate policy must not cost
-    // recall on the manually labeled ground truth — the same floors as
-    // the production path, clustered with dropPureDigitGrams = true.
-    // (Pairs whose ONLY shared blocking key is a pure-digit gram are the
-    // population at risk; the word channel and digit-bearing boundary
-    // grams carry the rest.)
+  test("labeled floors hold with the pure-digit-gram drop policy OFF (opt-out branch)") {
+    // The drop policy became the production default in r16 (the test
+    // above now exercises it through cluster()'s defaults); this pins
+    // the same floors on the OPT-OUT branch so both sides of the knob
+    // stay covered — a vocabulary that opts out (bare numeric-id
+    // labels) must still meet the labeled ground-truth floors.
     import spark.implicits._
     for (tpe <- Seq("ORG", "GPE", "PERSON", "PRODUCT")) {
       val (matches, distincts) = readPairs(tpe)
@@ -93,18 +92,18 @@ class ErEvalSpec extends AnyFunSuite with graft.SparkTestSession {
         .map { case (id, label) => (id, label, tpe) }
         .toDF("id", "label", "type")
       val clustered = EntityResolution
-        .cluster(labels, thresholds, thresholds(tpe), dropPureDigitGrams = true)
+        .cluster(labels, thresholds, thresholds(tpe), dropPureDigitGrams = false)
         .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
       def same(p: ((Long, String), (Long, String))) =
         clustered(p._1._1) == clustered(p._2._1)
       val recall = matches.count(same).toDouble / matches.size
       val separation = distincts.count(!same(_)).toDouble / distincts.size
-      info(f"$tpe%-8s digit-policy match-recall $recall%.3f " +
+      info(f"$tpe%-8s policy-off match-recall $recall%.3f " +
         f"distinct-separation $separation%.3f")
       val (rf, sf) = floors(tpe)
-      assert(recall >= rf, f"$tpe digit-policy recall $recall%.3f < floor $rf")
+      assert(recall >= rf, f"$tpe policy-off recall $recall%.3f < floor $rf")
       assert(separation >= sf,
-        f"$tpe digit-policy separation $separation%.3f < floor $sf")
+        f"$tpe policy-off separation $separation%.3f < floor $sf")
     }
   }
 
