@@ -321,6 +321,22 @@ object EpochIndex {
     }
   }
 
+  /** One maintenance tick across EVERY epoch under `root`,
+    * natural-sorted — the root-level sweep of [[maintainEpoch]]: within
+    * each epoch the normal rungs ACT as usual (rebalance / retrain fire
+    * where their triggers hold), and any epoch whose post-retrain recall
+    * stays under the floor carries the ADVISORY "new-epoch" verdict.
+    * Returns (epoch, verdict) pairs in sweep order so a maintenance job
+    * is one call per root; acting on a "new-epoch" verdict — choosing
+    * the boundary and the name — stays the deployer's act ([[ingest]]
+    * with the new name), per the advisory contract.
+    */
+  def maintainEpochs(s: SparkSession, dir: String, root: String,
+      skewBound: Double = 4.0, recallFloor: Double = 0.8,
+      k: Int = 16, iters: Int = 2): Seq[(String, String)] =
+    listEpochs(s, root).map(e =>
+      e -> maintainEpoch(s, dir, root, e, skewBound, recallFloor, k, iters))
+
   /** The epoch fan-out under the driver oracle, in EXACT mode: two
     * epochs partition the corpus by vec_id parity, every cell is probed
     * and the refine window covers each epoch — so the merged top-k must

@@ -211,4 +211,23 @@ class EpochIndexSpec extends AnyFunSuite with graft.SparkTestSession {
       skewBound = 1e9, recallFloor = floor) == "retrain")
     e.unpersist(blocking = false)
   }
+
+  test("maintainEpochs sweeps every epoch in natural order with one verdict each") {
+    // the root-level sweep: one call per root, (epoch, verdict) pairs in
+    // natural-sorted order (numeric epochs chronological), thresholds
+    // passed through to the per-epoch ladder
+    val root = tmpRoot("sweep")
+    val e = AnnOps.embTable(spark, dir)
+    val corpus = e.filter(col("vec_id") >= 5)
+    EpochIndex.ingest(corpus.filter(col("vec_id") % 2 === 0), root, "2")
+    EpochIndex.ingest(corpus.filter(col("vec_id") % 2 === 1), root, "10")
+    val lax = EpochIndex.maintainEpochs(spark, dir, root,
+      skewBound = 1e9, recallFloor = 0.0)
+    assert(lax.map(_._1) == Seq("2", "10")) // natural, not lexicographic
+    assert(lax.map(_._2) == Seq("none", "none"))
+    val strict = EpochIndex.maintainEpochs(spark, dir, root,
+      skewBound = 1e9, recallFloor = 1.01)
+    assert(strict.map(_._2) == Seq("new-epoch", "new-epoch"))
+    e.unpersist(blocking = false)
+  }
 }
