@@ -73,15 +73,20 @@ object EntityResolution {
     * carry almost no identity signal. The policy drops only the
     * pure-digit grams; digit-BEARING boundary grams ("y12") keep the
     * version-number recall hook, and the word channel is untouched.
-    * Measured same-run at 1×/10×/100× (BENCH_ER `digit_policy`): at 1×
-    * the emitted pair set is IDENTICAL (every pure-digit-gram pair is
-    * also discoverable through another key) and block+score still run
-    * faster (fewer keys through the self-join); at 100× candidates bend
-    * 622→248 pairs/label, block 87.7→29.1 s, score+threshold
-    * 222.2→77.0 s. ErEvalSpec pins the labeled match-recall/separation
-    * floors with the policy ON. Opt OUT (= false) only for vocabularies
-    * where entity identity lives in pure digit strings (bare numeric-id
-    * labels with no word or boundary-gram signal).
+    * Measured same-run at 1×/10×/100×, in BOTH A/B orderings (BENCH_ER
+    * `digit_policy`): at 1× the emitted pair set is IDENTICAL (every
+    * pure-digit-gram pair is also discoverable through another key); at
+    * 100× candidates bend 622→248 pairs/label and the block+score wall
+    * reads ~107 s with the policy on in both orderings vs 266–310 s
+    * with it off (2.5–2.9× — pair counts are exact; small-scale wall
+    * deltas are cold-read-bias-dominated and flip with the ordering).
+    * ErEvalSpec pins the labeled match-recall/separation floors on BOTH
+    * branches. Opt OUT (= false) for vocabularies where entity identity
+    * rides digit strings: on the probe's synthetic EntityN-style
+    * vocabulary the policy shifts the 100× cluster count 30 494→49 568
+    * (near-identical entity numbers discoverable ONLY through digit
+    * grams leave blocking) — on such corpora the drop is a semantic
+    * choice, not just a cost one.
     */
   def blockPairs(labels: DataFrame, gramDfCap: Int = 1000,
       dropPureDigitGrams: Boolean = true): DataFrame =
