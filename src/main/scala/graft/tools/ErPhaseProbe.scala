@@ -131,7 +131,7 @@ object ErPhaseProbe {
 
       // incremental flush: a late-scale failure keeps earlier rows
       ArtifactJson.merge(outPath, "phases",
-        s"""{"what":"capped production chain wall time split block -> score+threshold(0.6) -> connected components; stage outputs persisted (DISK_ONLY) at the boundaries so each timing bills one stage. Since r16 the production chain runs the pure-digit-gram drop (the promoted default; the policy-OFF side lives in digit_policy). score_threshold_sec = the production (unpruned) scorer, run first so cold-read bias lands on it; score_threshold_pruned_sec = same-run A/B of the opt-in cheap-bound levenshtein prune, measured SLOWER at every scale on this vocabulary (the r15 negative result that kept production unpruned)","rows":[${phaseRows.mkString(",")}]}""")
+        s"""{"what":"capped production chain wall time split block -> score+threshold(0.6) -> connected components; stage outputs persisted (DISK_ONLY) at the boundaries so each timing bills one stage. Since r16 the production chain runs the pure-digit-gram drop (the promoted default; the policy-OFF side lives in digit_policy). score_threshold_sec = the production (unpruned) scorer, run first so cold-read bias lands on it (the bias can be large — compare the same-run warm policy_off score in digit_policy before reading a round-over-round phase delta as code); score_threshold_pruned_sec = same-run A/B of the opt-in cheap-bound levenshtein prune, measured SLOWER at every scale on this vocabulary (the r15 negative result that kept production unpruned)","rows":[${phaseRows.mkString(",")}]}""")
     }
     println(s"[erphase] wrote phases+family -> $outPath")
     spark.stop()
