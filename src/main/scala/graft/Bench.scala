@@ -249,7 +249,12 @@ object Bench {
       "d11_semantic_dedup" -> "semanticDedupTrained k~sqrt(N) (measured: tools/SemDedupScale)",
       "t23_curate_learned" -> "curateLearnedScalable approx_percentile (measured: tools/CurateBench)")
 
-    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
+    // non-finite guard (r16 ADVICE): a NaN/Infinity anywhere — e.g. a
+    // forced-refloor gate erroring into a non-finite floor — would emit
+    // invalid JSON on the exact line the driver parses. Emit null.
+    def jnum(d: Double): String =
+      if (java.lang.Double.isFinite(d)) d.toString else "null"
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
     // escape ALL control chars (not just \n\r\t): an exception message
     // carrying e.g. an ANSI escape byte would otherwise emit invalid JSON
@@ -263,8 +268,9 @@ object Bench {
     val errs = results.collect { case (k, (_, Some(e))) =>
       "\"" + k + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
-    val total = results.values.map(_._1).filter(_ >= 0).sum
-    val rf = refloors.map { case (k, v) => "\"" + k + "\":" + v }
+    val total = results.values.map(_._1).filter(d => d >= 0 &&
+      java.lang.Double.isFinite(d)).sum
+    val rf = refloors.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
     val rfBase = prevFile.map(f => "\"" + esc(f.getName) + "\"").getOrElse("null")
     val rfSkippedNames = movers.drop(refloorCap).map(m => "\"" + m._1 + "\"")
@@ -277,7 +283,7 @@ object Bench {
       designedComparator.get(k).map(t => "\"" + k + "\":\"" + esc(t) + "\""))
       .mkString("{", ",", "}")
     val forcedJson = forced.map(n => "\"" + n + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"isolate":$isolate,"timeout_sec":$timeoutSec,"calibration_sec":$calibrationSec,"queries":$qs,"errors":$errs,"designed_comparators":$dcTags,"auto_refloors":$rf,"auto_refloor_base":$rfBase,"auto_refloor_cap":$refloorCap,"forced_refloors":$forcedJson,"auto_refloors_skipped":${math.max(0, movers.size - refloorCap)},"auto_refloors_skipped_names":$rfSkippedNames,"auto_refloor_memo_notes":$rfMemo,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","reps":$reps,"isolate":$isolate,"timeout_sec":$timeoutSec,"calibration_sec":${jnum(calibrationSec)},"queries":$qs,"errors":$errs,"designed_comparators":$dcTags,"auto_refloors":$rf,"auto_refloor_base":$rfBase,"auto_refloor_cap":$refloorCap,"forced_refloors":$forcedJson,"auto_refloors_skipped":${math.max(0, movers.size - refloorCap)},"auto_refloors_skipped_names":$rfSkippedNames,"auto_refloor_memo_notes":$rfMemo,"sf":"$sfDir"}"""
     println(line)
     // self-contained artifact (r10 VERDICT item 5): the driver captures
     // stdout, which truncated BENCH_r10.json mid-JSON — so the full
@@ -304,7 +310,7 @@ object Bench {
     // logging can land beneath it.
     val errN = results.count(_._2._2.isDefined)
     val forcedFloors = forced.flatMap(n => refloors.get(n).map(v =>
-      "\"" + n + "\":" + v)).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"isolate":$isolate,"timeout_sec":$timeoutSec,"calibration_sec":$calibrationSec,"gates":${results.size},"errors_n":$errN,"forced_refloor_floors":$forcedFloors,"full":"${esc(outPath)}","sf":"${esc(sfDir)}"}""")
+      "\"" + n + "\":" + jnum(v))).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","reps":$reps,"isolate":$isolate,"timeout_sec":$timeoutSec,"calibration_sec":${jnum(calibrationSec)},"gates":${results.size},"errors_n":$errN,"forced_refloor_floors":$forcedFloors,"full":"${esc(outPath)}","sf":"${esc(sfDir)}"}""")
   }
 }

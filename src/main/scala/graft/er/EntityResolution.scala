@@ -132,18 +132,55 @@ object EntityResolution {
     * the rows do not sum to the distinct union [[blockPairs]] emits.
     */
   private[graft] def blockPairsByFamily(labels: DataFrame,
-      gramDfCap: Int = 1000): Seq[(String, Long)] = {
+      gramDfCap: Int = 1000,
+      dropPureDigitGrams: Boolean = false): Seq[(String, Long)] = {
     val words = capHotKeys(wordKeys(labels), gramDfCap)
-    val grams = capHotKeys(gramKeys(labels), gramDfCap)
+    val grams = capHotKeys(gramKeys(labels, dropPureDigitGrams), gramDfCap)
     Seq(
       "word" -> blockSelfJoin(words).distinct().count(),
       "gram" -> blockSelfJoin(grams).distinct().count(),
       "gram_digit" -> blockSelfJoin(
         grams.filter(col("tok").rlike("[0-9]"))).distinct().count(),
       // pairs discoverable through a PURE-digit gram alone — exactly the
-      // population `dropPureDigitGrams` removes
+      // population `dropPureDigitGrams` removes (0 rows with it on)
       "gram_pure_digit" -> blockSelfJoin(
-        grams.filter(col("tok").rlike("^[0-9]+$"))).distinct().count())
+        grams.filter(col("tok").rlike("^[0-9]+$"))).distinct().count(),
+      // digit-BEARING but not pure ("y12") — the version-number recall
+      // hook the policy keeps, and the post-policy attribution candidate
+      "gram_digit_boundary" -> blockSelfJoin(
+        grams.filter(col("tok").rlike("[0-9]") &&
+          !col("tok").rlike("^[0-9]+$"))).distinct().count())
+  }
+
+  /** Per-corpus `dropPureDigitGrams` opt-out ADVISORY (r16 VERDICT Next
+    * #4 — the `maintainEpoch` advisory pattern applied to blocking): the
+    * policy's measured boundary of applicability is "does entity
+    * identity ride digit strings on THIS corpus", and the direct reading
+    * is the fraction of the candidate-pair union reachable ONLY through
+    * pure-digit grams — exactly the pairs the policy removes from
+    * blocking. Two [[blockPairs]] counts (policy on/off, production
+    * capping) price it; fraction above `bound` verdicts
+    * "digit-identity-opt-out" (run with `dropPureDigitGrams = false`),
+    * else "policy-safe". ADVISORY only: it recommends, the deployer
+    * flips the knob ([[resolve]]'s `dropPureDigitGrams`). On the
+    * reference vocabulary the removed set is empty at 1× (BENCH_ER
+    * `digit_policy`: identical pair sets) → policy-safe; on a synthetic
+    * digit-identity vocabulary ("A1234"-style, numbers glued to distinct
+    * prefixes) the only path between co-numbered labels is the pure-digit
+    * gram → opt-out (both pinned by ErEvalSpec).
+    */
+  final case class BlockingAdvisory(verdict: String, droppedPairs: Long,
+      totalPairs: Long, fraction: Double)
+
+  def blockingAdvisory(labels: DataFrame, gramDfCap: Int = 1000,
+      bound: Double = 0.05): BlockingAdvisory = {
+    val off = blockPairs(labels, gramDfCap, dropPureDigitGrams = false).count()
+    val on = blockPairs(labels, gramDfCap, dropPureDigitGrams = true).count()
+    val dropped = math.max(0L, off - on)
+    val frac = if (off == 0L) 0.0 else dropped.toDouble / off
+    BlockingAdvisory(
+      if (frac > bound) "digit-identity-opt-out" else "policy-safe",
+      dropped, off, frac)
   }
 
   /** Feature column names shared by the threshold scorer and the learned
@@ -484,10 +521,12 @@ object EntityResolution {
     */
   def elbowSweep(labels: DataFrame,
                  thresholds: Seq[Double] = (6 to 17).map(_ * 0.05),
-                 driverCcLimit: Int = DefaultDriverCcLimit): DataFrame = {
+                 driverCcLimit: Int = DefaultDriverCcLimit,
+                 dropPureDigitGrams: Boolean = true): DataFrame = {
     val spark = labels.sparkSession
     import spark.implicits._
-    val scored = scorePairs(blockPairs(labels), labels)
+    val scored = scorePairs(
+      blockPairs(labels, dropPureDigitGrams = dropPureDigitGrams), labels)
       .select(col("id_a"), col("id_b"), col("type"), col("score")).cache()
     val perType = labels.groupBy(col("type")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -587,7 +626,11 @@ object EntityResolution {
   /** Full pipeline: labels + alert links -> (clusters, best, weights).
     * `scorer = Some(model)` switches pair scoring to the learned
     * LogisticRegression variant ([[trainPairScorer]]); the default stays
-    * the deterministic threshold path.
+    * the deterministic threshold path. `dropPureDigitGrams` reaches the
+    * blocking policy from the production entry point (r16 ADVICE: the
+    * documented opt-out for digit-identity vocabularies was unreachable
+    * from here — [[blockingAdvisory]] measures which side a corpus is
+    * on).
     *
     * The returned `clustered` frame is CACHED (it feeds `best`, `weights`,
     * and the caller's own reads) — the caller should
@@ -596,10 +639,12 @@ object EntityResolution {
     */
   def resolve(ner: DataFrame, thresholds: Map[String, Double] = Map(),
               defaultThreshold: Double = 0.6,
-              scorer: Option[org.apache.spark.ml.classification.LogisticRegressionModel] = None)
+              scorer: Option[org.apache.spark.ml.classification.LogisticRegressionModel] = None,
+              dropPureDigitGrams: Boolean = true)
       : (DataFrame, DataFrame, DataFrame) = {
     val labels = ner.select(col("id"), col("label"), col("type")).distinct()
-    val clustered = cluster(labels, thresholds, defaultThreshold, scorer).cache()
+    val clustered = cluster(labels, thresholds, defaultThreshold, scorer,
+      dropPureDigitGrams).cache()
     val best = bestLabels(clustered)
     val weights = labelWeights(ner.select(col("alert_id"), col("id")), clustered, best)
     (clustered, best, weights)

@@ -658,10 +658,14 @@ object IndexStore {
     * retrain rung. Lock-free (pure snapshot read).
     */
   def ivfRecallProbe(s: SparkSession, dir: String, loc: String,
-      k: Int = 10, nProbes: Int = 4): (Double, Double) = {
+      k: Int = 10, nProbes: Int = 4,
+      exact: Option[DataFrame] = None): (Double, Double) = {
     val got = ivfPqRefinedFromIndex(s, dir, loc, nProbes = nProbes, topK = k)
       .select(col("q_id"), col("vec_id"))
-    val r = AnnOps.recallAtK(got, AnnOps.denseTopK(s, dir, k))
+    // `exact`: a precomputed brute-force top-k panel over the SAME dir/k
+    // — a sweep probing many indexes against one corpus (EpochIndex
+    // .maintainEpochs) computes it once instead of per probe
+    val r = AnnOps.recallAtK(got, exact.getOrElse(AnnOps.denseTopK(s, dir, k)))
       .agg(avg(col("recall")), min(col("recall"))).head()
     (r.getDouble(0), r.getDouble(1))
   }
@@ -769,12 +773,13 @@ object IndexStore {
     */
   def maintainIvfPq(s: SparkSession, dir: String, loc: String,
       skewBound: Double = 4.0, recallFloor: Double = 0.8,
-      k: Int = 16, iters: Int = 2): String =
+      k: Int = 16, iters: Int = 2,
+      exact: Option[DataFrame] = None): String =
     IndexLock.withLock(s, loc) { _ =>
       val e = AnnOps.embTable(s, dir)
       try {
         val rebalanced = rebalanceIvfPq(e, loc, skewBound, k, iters)
-        val (meanRecall, _) = ivfRecallProbe(s, dir, loc)
+        val (meanRecall, _) = ivfRecallProbe(s, dir, loc, exact = exact)
         if (meanRecall < recallFloor) { retrainIvfPq(e, loc, k, iters); "retrain" }
         else if (rebalanced) "rebalance"
         else "none"

@@ -41,7 +41,15 @@ case class PipelineConfig(
       * features; the 0.5 default threshold is the sigmoid's natural
       * decision boundary (EntityResolution.cluster doc).
       */
-    erScorer: Option[org.apache.spark.ml.classification.LogisticRegressionModel] = None)
+    erScorer: Option[org.apache.spark.ml.classification.LogisticRegressionModel] = None,
+    /** ER blocking digit-gram policy (EntityResolution.blockPairs doc):
+      * the production default drops PURE-digit 3-grams from the gram
+      * blocking channel; set false for vocabularies where entity
+      * identity rides digit strings (the measured opt-out boundary —
+      * EntityResolution.blockingAdvisory reads which side a corpus is
+      * on).
+      */
+    erDropPureDigitGrams: Boolean = true)
 
 object CyberPipeline {
 
@@ -159,7 +167,8 @@ object CyberPipeline {
     val (clustered, best, weights) =
       EntityResolution.resolve(ner, conf.erThresholds,
         defaultThreshold = if (conf.erScorer.isDefined) 0.5 else 0.6,
-        scorer = conf.erScorer)
+        scorer = conf.erScorer,
+        dropPureDigitGrams = conf.erDropPureDigitGrams)
     val nerNodes = clustered.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("weight"))
       .join(best.select(col("cluster_id"), col("best_label").as("ner")), Seq("cluster_id"))

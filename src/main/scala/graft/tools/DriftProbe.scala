@@ -150,7 +150,9 @@ object DriftProbe {
       */
     case class EpochLeg(mean: Double, min: Double, tEpoch: Double,
         tSingle: Double, prunedMean: Double, prunedMin: Double,
-        tPruned: Double, visited: Int)
+        tPruned: Double, visited: Int,
+        pruned2Mean: Double, pruned2Min: Double, tPruned2: Double,
+        visited2: Int)
     def epochLeg(cycleDir: String, root: String,
         singleLoc: String): EpochLeg = {
       val t0 = System.nanoTime()
@@ -168,13 +170,24 @@ object DriftProbe {
       val rp = AnnOps.recallAtK(gotP.select(col("q_id"), col("vec_id")),
           AnnOps.denseTopK(spark, cycleDir, 10))
         .agg(avg(col("recall")), min(col("recall"))).head()
+      // prefetch=2 (r16 VERDICT Next #2): top-2 centroid-ranked legs run
+      // concurrently, gate from leg 3 — latency over the prefix ~max not
+      // sum; visited is a superset of the serial prune's
+      val tq0 = System.nanoTime()
+      val (gotP2, visited2) = EpochIndex.searchTopKPruned(spark, cycleDir,
+        root, prefetch = 2)
+      val tPruned2 = (System.nanoTime() - tq0) / 1e9
+      val rq = AnnOps.recallAtK(gotP2.select(col("q_id"), col("vec_id")),
+          AnnOps.denseTopK(spark, cycleDir, 10))
+        .agg(avg(col("recall")), min(col("recall"))).head()
       // cost control: the monolithic frozen index's query on the same
       // cycle world (the fan-out pays ~n_epochs of these)
       val t1 = System.nanoTime()
       IndexStore.ivfPqRefinedFromIndex(spark, cycleDir, singleLoc).count()
       val tSingle = (System.nanoTime() - t1) / 1e9
       EpochLeg(r.getDouble(0), r.getDouble(1), tEpoch, tSingle,
-        rp.getDouble(0), rp.getDouble(1), tPruned, visited.size)
+        rp.getDouble(0), rp.getDouble(1), tPruned, visited.size,
+        rq.getDouble(0), rq.getDouble(1), tPruned2, visited2.size)
     }
 
     // r15 VERDICT Next #7: the additive leg is DEMOTED to a one-cycle
@@ -258,6 +271,9 @@ object DriftProbe {
         s""""epoch_n":${k + 1},"epochs_visited":${el.visited},""" +
         s""""epoch_query_sec":${f"${el.tEpoch}%.2f"},""" +
         s""""epoch_query_pruned_sec":${f"${el.tPruned}%.2f"},""" +
+        s""""recall_epoch_split_pruned2":{"mean":${el.pruned2Mean},"min":${el.pruned2Min}},""" +
+        s""""epochs_visited2":${el.visited2},""" +
+        s""""epoch_query_pruned2_sec":${f"${el.tPruned2}%.2f"},""" +
         s""""single_query_sec":${f"${el.tSingle}%.2f"}}"""
     }
 
@@ -319,10 +335,13 @@ object DriftProbe {
         s""""epoch_n":${k + 1},"epochs_visited":${el.visited},""" +
         s""""epoch_query_sec":${f"${el.tEpoch}%.2f"},""" +
         s""""epoch_query_pruned_sec":${f"${el.tPruned}%.2f"},""" +
+        s""""recall_epoch_split_pruned2":{"mean":${el.pruned2Mean},"min":${el.pruned2Min}},""" +
+        s""""epochs_visited2":${el.visited2},""" +
+        s""""epoch_query_pruned2_sec":${f"${el.tPruned2}%.2f"},""" +
         s""""single_query_sec":${f"${el.tSingle}%.2f"}}"""
     }
     ArtifactJson.merge(outPath, "drift_rotation",
-      s"""{"what":"model-VERSION drift (r15): each cycle's batch AND panel live under a cycle-specific signed-permutation ISOMETRY of the base space — within-epoch cosines preserved exactly (a re-embedding under a new model is ~an isometry), cross-epoch scrambled. The frozen index accumulates the rotated appends; retrain and a fresh k=16 build must cover the K-rotation MIXTURE with one quantizer; the per-epoch split (EpochIndex) gives each rotation its own trained index and merges by exact refined cosine. Contrast with the additive-shift geometry (committed r15 'drift' section; one-cycle sentinel per run since r16), which degrades within-epoch discrimination too and where nothing recovers (the re-embed escape). recall_epoch_split_pruned / epoch_query_pruned_sec / epochs_visited = the r16 opt-in centroid epoch-prune A/B.",
+      s"""{"what":"model-VERSION drift (r15): each cycle's batch AND panel live under a cycle-specific signed-permutation ISOMETRY of the base space — within-epoch cosines preserved exactly (a re-embedding under a new model is ~an isometry), cross-epoch scrambled. The frozen index accumulates the rotated appends; retrain and a fresh k=16 build must cover the K-rotation MIXTURE with one quantizer; the per-epoch split (EpochIndex) gives each rotation its own trained index and merges by exact refined cosine. Contrast with the additive-shift geometry (committed r15 'drift' section; one-cycle sentinel per run since r16), which degrades within-epoch discrimination too and where nothing recovers (the re-embed escape). recall_epoch_split_pruned / epoch_query_pruned_sec / epochs_visited = the r16 opt-in centroid epoch-prune A/B; *_pruned2 / epochs_visited2 / epoch_query_pruned2_sec = the same knob with prefetch=2 (r17: the top-2 centroid-ranked legs run concurrently, the gate applies from leg 3 — visited is a superset of the serial prune's, latency over the prefix ~max not sum).",
  "src":"$srcDir","cycles":[
   ${rotRows.mkString(",\n  ")}
  ]}""")
@@ -399,10 +418,13 @@ object DriftProbe {
         s""""epoch_n":${k + 1},"epochs_visited":${el.visited},""" +
         s""""epoch_query_sec":${f"${el.tEpoch}%.2f"},""" +
         s""""epoch_query_pruned_sec":${f"${el.tPruned}%.2f"},""" +
+        s""""recall_epoch_split_pruned2":{"mean":${el.pruned2Mean},"min":${el.pruned2Min}},""" +
+        s""""epochs_visited2":${el.visited2},""" +
+        s""""epoch_query_pruned2_sec":${f"${el.tPruned2}%.2f"},""" +
         s""""single_query_sec":${f"${el.tSingle}%.2f"}}"""
     }
     ArtifactJson.merge(outPath, "drift_clustered",
-      s"""{"what":"modality drift (r15): a deterministic hash-clustered corpus (C=$cClusters clusters, ${nPer} vectors/epoch, jitter $jit) whose cluster centers MOVE every epoch — the drift shape of a retrained embedding model over a clustered corpus, which no linear transform of the isotropic testdata cloud can produce (rotation of noise is the same cloud; a common shift degrades every cosine). MEASURED RESULT: the epoch split holds recall PARITY with a full per-cycle retrain at every cycle, while its maintenance cost stays O(batch) per cycle (epoch_ingest_sec ~ flat) against the retrain's O(accumulated corpus) (retrain_sec grows with K) — the split's value on this axis is maintenance cost and immutable cold epochs, not recall; its query cost is the fan-out (epoch_query_sec vs single_query_sec). recall_epoch_split_pruned / epoch_query_pruned_sec / epochs_visited = the r16 opt-in centroid epoch-prune A/B.",
+      s"""{"what":"modality drift (r15): a deterministic hash-clustered corpus (C=$cClusters clusters, ${nPer} vectors/epoch, jitter $jit) whose cluster centers MOVE every epoch — the drift shape of a retrained embedding model over a clustered corpus, which no linear transform of the isotropic testdata cloud can produce (rotation of noise is the same cloud; a common shift degrades every cosine). MEASURED RESULT: the epoch split holds recall PARITY with a full per-cycle retrain at every cycle, while its maintenance cost stays O(batch) per cycle (epoch_ingest_sec ~ flat) against the retrain's O(accumulated corpus) (retrain_sec grows with K) — the split's value on this axis is maintenance cost and immutable cold epochs, not recall; its query cost is the fan-out (epoch_query_sec vs single_query_sec). recall_epoch_split_pruned / epoch_query_pruned_sec / epochs_visited = the r16 opt-in centroid epoch-prune A/B; *_pruned2 / epochs_visited2 / epoch_query_pruned2_sec = the same knob with prefetch=2 (r17: the top-2 centroid-ranked legs run concurrently, the gate applies from leg 3 — visited is a superset of the serial prune's, latency over the prefix ~max not sum).",
  "cycles":[
   ${cRows.mkString(",\n  ")}
  ]}""")
@@ -413,7 +435,7 @@ object DriftProbe {
     // full-ladder additive evidence is never overwritten.
     val addKey = if (addCycles < cycles) "drift_additive_sentinel" else "drift"
     val section =
-      s"""{"what":"PQ codebook drift, ADDITIVE geometry${if (addCycles < cycles) " — demoted to a one-cycle sentinel (r16): the geometry is known-degenerate (a common shift collapses every cosine toward the shift direction; above step ~0.3 the probe measures tie-breaking noise) and the full-ladder conclusions are recorded in the committed r15 drift section; SPARK_GRAFT_DRIFT_ADDITIVE_CYCLES re-runs the full ladder" else ""}: per cycle the batch AND query panel shift by cycle*${step} along a fixed direction; the frozen index accumulates the appends (recall_after_append = cumulative decay) while rebalance (routing only), retrain (codebooks + full re-encode, frozen k=16), a FRESH k=16 trained build (the per-cycle floor retrain is judged against), and a k=$kBump retrain with probes scaled to the same probed-cell fraction (the capacity rung) run on per-cycle clones — each rung's measured recall@10 recovery at that drift level is isolated. Build-floor recall from cycle 0. recall_epoch_split = the r15 rung above the ladder: each cycle's batch is its own trained epoch index (EpochIndex), queries fan across all epochs and merge by exact refined cosine; epoch_query_sec vs single_query_sec prices the fan-out. recall_epoch_split_pruned / epoch_query_pruned_sec / epochs_visited = the r16 opt-in centroid epoch-prune A/B (margin 0.15, knob off by default).",
+      s"""{"what":"PQ codebook drift, ADDITIVE geometry${if (addCycles < cycles) " — demoted to a one-cycle sentinel (r16): the geometry is known-degenerate (a common shift collapses every cosine toward the shift direction; above step ~0.3 the probe measures tie-breaking noise) and the full-ladder conclusions are recorded in the committed r15 drift section; SPARK_GRAFT_DRIFT_ADDITIVE_CYCLES re-runs the full ladder" else ""}: per cycle the batch AND query panel shift by cycle*${step} along a fixed direction; the frozen index accumulates the appends (recall_after_append = cumulative decay) while rebalance (routing only), retrain (codebooks + full re-encode, frozen k=16), a FRESH k=16 trained build (the per-cycle floor retrain is judged against), and a k=$kBump retrain with probes scaled to the same probed-cell fraction (the capacity rung) run on per-cycle clones — each rung's measured recall@10 recovery at that drift level is isolated. Build-floor recall from cycle 0. recall_epoch_split = the r15 rung above the ladder: each cycle's batch is its own trained epoch index (EpochIndex), queries fan across all epochs and merge by exact refined cosine; epoch_query_sec vs single_query_sec prices the fan-out. recall_epoch_split_pruned / epoch_query_pruned_sec / epochs_visited = the r16 opt-in centroid epoch-prune A/B; *_pruned2 / epochs_visited2 / epoch_query_pruned2_sec = the same knob with prefetch=2 (r17: the top-2 centroid-ranked legs run concurrently, the gate applies from leg 3 — visited is a superset of the serial prune's, latency over the prefix ~max not sum) (margin 0.15, knob off by default).",
  "src":"$srcDir","cycles":[
   ${rows.mkString(",\n  ")}
  ]}"""

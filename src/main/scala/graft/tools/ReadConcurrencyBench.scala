@@ -143,6 +143,7 @@ object ReadConcurrencyBench {
     // one manifest resolve per epoch a fresh process pays once
     // (expected to grow with epoch count). Tiny 50-vector epochs: the
     // measurement is metadata I/O, not index size.
+    val sweepRows = new scala.collection.mutable.ArrayBuffer[String]
     val epochResolveRows = {
       val root = s"$work/epoch-resolve"
       val e = AnnOps.embTable(spark, dir)
@@ -156,12 +157,42 @@ object ReadConcurrencyBench {
         }
         EpochIndex.resolveEpochs(spark, root) // prime
         val warm = usPer(200)(EpochIndex.resolveEpochs(spark, root))
+        // bounded staleness (r17): a 60 s TTL inside a seconds-long
+        // measurement window never expires, so the amortized cost must
+        // read ~warm — the knob's steady-state price is one clock read
+        val warmTtl = usPer(200)(
+          EpochIndex.resolveEpochs(spark, root, maxStaleMs = 60000L))
         val cold = usPer(50) {
           EpochIndex.refreshEpochs(root)
           EpochIndex.resolveEpochs(spark, root)
         }
-        println(f"[readbench] epoch resolve @ $target epochs: warm $warm%.1f us, cold(LIST) $cold%.1f us")
-        s"""{"epochs":$target,"warm_cached_us":${f"$warm%.1f"},"cold_list_us":${f"$cold%.1f"}}"""
+        println(f"[readbench] epoch resolve @ $target epochs: warm $warm%.1f us, warm+ttl $warmTtl%.1f us, cold(LIST) $cold%.1f us")
+        // maintenance-sweep cost at the same checkpoints (r16 VERDICT
+        // "What's wrong" #2): per-epoch loop = the r16 shape, one
+        // brute-force exact panel PER probe; shared = maintainEpochs'
+        // one panel per sweep; capped = maxProbesPerTick=2 rotation
+        // (unprobed epochs verdict "skipped"). Thresholds disarm the
+        // acting rungs so the measured term is the probe chain itself.
+        if (target >= 4) {
+          def secOf(body: => Unit): Double = {
+            val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+          }
+          val eps = EpochIndex.listEpochs(spark, root)
+          val perEpoch = secOf(eps.foreach(ep => EpochIndex.maintainEpoch(
+            spark, dir, root, ep, skewBound = 1e9, recallFloor = 0.0)))
+          val shared = secOf(EpochIndex.maintainEpochs(spark, dir, root,
+            skewBound = 1e9, recallFloor = 0.0))
+          val capped2 = secOf {
+            val vs = EpochIndex.maintainEpochs(spark, dir, root,
+              skewBound = 1e9, recallFloor = 0.0, maxProbesPerTick = 2)
+            require(vs.count(_._2 != "skipped") == 2,
+              s"capped sweep must probe exactly 2 epochs, got $vs")
+          }
+          println(f"[readbench] epoch sweep @ $target epochs: per-epoch " +
+            f"$perEpoch%.1f s, shared $shared%.1f s, capped(2) $capped2%.1f s")
+          sweepRows += s"""{"epochs":$target,"per_epoch_loop_sec":${f"$perEpoch%.2f"},"sweep_shared_sec":${f"$shared%.2f"},"sweep_capped2_sec":${f"$capped2%.2f"}}"""
+        }
+        s"""{"epochs":$target,"warm_cached_us":${f"$warm%.1f"},"warm_ttl_us":${f"$warmTtl%.1f"},"cold_list_us":${f"$cold%.1f"}}"""
       }
       e.unpersist(blocking = false)
       rows
@@ -176,7 +207,8 @@ object ReadConcurrencyBench {
  "locked_with_appender":{"storm_sec":${f"$lockedAppSec%.2f"},"appender_sec":${f"$lockedAppW%.2f"}},
  "snapshot_with_appender":{"storm_sec":${f"$snapAppSec%.2f"},"appender_sec":${f"$snapAppW%.2f"}},
  "resolve":{"what":"per-query manifest resolution cost as commits accumulate: warm = the r15 existence-probe fast path (expected flat), cold = cache dropped per call, the LIST fallback a fresh process pays once (expected to grow with retained manifests)","rows":[${resolveRows.mkString(",")}]},
- "epoch_resolve":{"what":"per-query EPOCH-SET resolution cost as epochs accumulate (r16): warm = the JVM-cached set searchTopK fans out from (expected flat), cold = cache dropped per call, the LIST + per-epoch manifest resolve a fresh process pays once (expected to grow with epoch count)","rows":[${epochResolveRows.mkString(",")}]}}""")
+ "epoch_resolve":{"what":"per-query EPOCH-SET resolution cost as epochs accumulate (r16): warm = the JVM-cached set searchTopK fans out from (expected flat), cold = cache dropped per call, the LIST + per-epoch manifest resolve a fresh process pays once (expected to grow with epoch count). warm_ttl_us (r17) = the bounded-staleness knob (maxStaleMs=60s) inside its window — amortized cost must read ~warm, the steady-state price is one clock read","rows":[${epochResolveRows.mkString(",")}]},
+ "epoch_sweep":{"what":"maintainEpochs cost at 4/16 tiny epochs, probe rungs armed but acting rungs disarmed (skewBound 1e9, floor 0): per_epoch_loop = the r16 shape (one brute-force exact panel PER recall probe), sweep_shared = r17 maintainEpochs (ONE cached exact panel per sweep, passed to every probe), sweep_capped2 = maxProbesPerTick=2 rotation (only 2 epochs pay the probe chain per tick, rest verdict 'skipped')","rows":[${sweepRows.mkString(",")}]}}""")
     println(s"[readbench] wrote read_concurrency -> $outPath")
     spark.stop()
   }

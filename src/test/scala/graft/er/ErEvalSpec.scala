@@ -330,4 +330,71 @@ class ErEvalSpec extends AnyFunSuite with graft.SparkTestSession {
     // identically downstream (blocking never touches scoring)
     assert(cap1 <= un1 && cap4 <= un4)
   }
+
+  /** Digit-identity vocabulary: entity identity rides the number, glued
+    * to a distinct letter prefix so the ONLY blocking path between
+    * co-numbered labels is a pure-digit interior gram ("123"/"234") —
+    * the word tokens ("a1234" vs "b1234") and boundary grams ("a12" vs
+    * "b12") all differ. Exactly the class the policy's measured opt-out
+    * boundary names (EntityResolution.blockPairs doc).
+    */
+  private def digitIdentityLabels: DataFrame = {
+    import spark.implicits._
+    Seq((1L, "A1234", "ORG"), (2L, "B1234", "ORG"),
+        (3L, "A9876", "ORG"), (4L, "B9876", "ORG"))
+      .toDF("id", "label", "type")
+  }
+
+  test("blockingAdvisory: policy-safe on word-reachable vocab, opt-out on digit-identity vocab") {
+    import spark.implicits._
+    // every co-entity pair shares a word token ("acme"; stripS folds
+    // corps->corp too), so dropping pure-digit grams removes NOTHING
+    // from the blocked union — the reference-vocabulary shape (BENCH_ER
+    // digit_policy: identical 1x pair sets)
+    // "555" contributes a shared PURE-digit gram to the (3,4) pair, but
+    // that pair is also word-reachable (zenith / 555 / corp tokens) —
+    // dropping the gram removes nothing from the union
+    val safe = Seq((1L, "Acme Corp", "ORG"), (2L, "Acme Corps", "ORG"),
+        (3L, "Zenith 555 Corp", "ORG"), (4L, "Zenith 555 Corps", "ORG"))
+      .toDF("id", "label", "type")
+    val a = EntityResolution.blockingAdvisory(safe)
+    assert(a.verdict == "policy-safe", s"got $a")
+    assert(a.droppedPairs == 0L && a.fraction == 0.0)
+    // digit-identity: the pure-digit grams are the only path, so the
+    // policy removes ALL cross-prefix pairs — fraction 1.0, opt out
+    val b = EntityResolution.blockingAdvisory(digitIdentityLabels)
+    assert(b.verdict == "digit-identity-opt-out", s"got $b")
+    assert(b.droppedPairs > 0L && b.fraction > 0.05)
+  }
+
+  test("dropPureDigitGrams reaches resolve() and elbowSweep() (r16 ADVICE: production opt-out)") {
+    import spark.implicits._
+    // co-numbered ORG pairs score 0.65 (char: gram-jac 0.5, lev 0.8) —
+    // above the 0.6 default threshold, so whether they MERGE is decided
+    // entirely by whether blocking surfaces the pair: policy on (the
+    // default) keeps them apart, the opt-out merges them.
+    val ner = digitIdentityLabels
+      .withColumn("alert_id", col("id")) // one mention per label
+      .select(col("alert_id"), col("id"), col("label"), col("type"))
+    def nClusters(drop: Boolean): Long = {
+      val (clustered, _, _) =
+        EntityResolution.resolve(ner, dropPureDigitGrams = drop)
+      val n = clustered.select(col("cluster_id")).distinct().count()
+      clustered.unpersist(blocking = false)
+      n
+    }
+    assert(nClusters(drop = true) == 4L,
+      "policy on: digit-only pairs must stay unblocked (4 singletons)")
+    assert(nClusters(drop = false) == 2L,
+      "opt-out: co-numbered labels must merge through the digit grams")
+    // the sweep sees the same knob: at the 0.60 operating point the
+    // opt-out branch has 2 ORG clusters, the default 4
+    def sweepAt(drop: Boolean): Long =
+      EntityResolution.elbowSweep(digitIdentityLabels,
+          thresholds = Seq(0.6), dropPureDigitGrams = drop)
+        .filter(col("type") === "ORG" && col("threshold") === 0.6)
+        .head().getLong(2)
+    assert(sweepAt(drop = true) == 4L)
+    assert(sweepAt(drop = false) == 2L)
+  }
 }
