@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -341,27 +341,39 @@ object AnnOps {
     // (sharded corpora), where a literal id threshold finds few or zero
     // seeds and the quantizer silently degenerates (r10 review finding).
     // Identical to the old convention whenever ids are dense from 0.
-    var cents = e.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"), col("norm").as("c_norm"))
+    // r17 optimization (guide §2.2/§2.4): centroids are k rows by
+    // definition, so each Lloyd round materializes them AT THE DRIVER
+    // (the standard distributed-k-means shape) instead of threading a
+    // lazy k-row frame through the next round's plan. Assignment then
+    // runs through [[CentroidAssign.nearest]]'s inlined-literal form —
+    // a narrow projection, where the old crossJoin + max_by shuffled
+    // every corpus embedding once per iteration — and the element-wise
+    // mean is the only exchange left per round: a map-side-combined
+    // (c_id, pos) avg of k·dim rows per map partition. Assignment picks
+    // identical centroids (same csim floats, same ordering); the mean's
+    // float low bits may differ in summation order, which is why the
+    // trained path was always spec-pinned (recall floors), never hashed.
+    val s = e.sparkSession
+    import s.implicits._
+    var cents: Seq[(Long, Seq[Double], Double)] =
+      e.orderBy(col("vec_id")).limit(k)
+        .select(col("vec_id"), col("emb"), col("norm")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq
     var i = 0
-    while (i < iters) {
-      val assign = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("emb"), col("c_id"),
-          (vecDot(col("emb"), col("c_emb")) / (col("norm") * col("c_norm"))).as("csim"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("c_id"), col("emb")),
-          struct(col("csim"), -col("c_id"))).as("a"))
-        .select(col("a.c_id").as("c_id"), col("a.emb").as("emb"))
-      cents = assign
+    while (i < iters && cents.nonEmpty) {
+      val centsDf = cents.toDF("c_id", "c_emb", "c_norm")
+      val means = CentroidAssign.nearest(e, centsDf, carry = Seq("emb"))
         .select(col("c_id"), posexplode(col("emb")).as(Seq("pos", "v")))
         .groupBy(col("c_id"), col("pos")).agg(avg(col("v")).as("m"))
-        .groupBy(col("c_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("c_id"), expr("transform(pm, x -> x.m)").as("c_emb"))
-        .withColumn("c_norm", sqrt(vecDot(col("c_emb"), col("c_emb"))))
+        .collect()
+      // an emptied cell drops out (standard Lloyd degeneracy; k only shrinks)
+      cents = means.groupBy(_.getLong(0)).toSeq.map { case (cid, rows) =>
+        val emb = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        (cid, emb, math.sqrt(dotSeq(emb, emb)))
+      }.sortBy(_._1)
       i += 1
     }
-    cents
+    cents.toDF("c_id", "c_emb", "c_norm")
   }
 
   /** IVF top-k with Lloyd-trained centroids — the production IVF shape
@@ -576,33 +588,60 @@ object AnnOps {
     // over a live set whose low ids were deleted) and every downstream
     // ADC join produced zero candidates. Identical to the old convention
     // whenever ids are dense from 0.
+    // r17 optimization (the kmeansCentroids shape applied per subspace,
+    // guide §2.2/§2.4): the codebook is k·8 rows by definition, so each
+    // Lloyd round materializes it AT THE DRIVER and the assignment runs
+    // through the same inlined-literal argmin the encode uses
+    // ([[codeArgmin]]) — a narrow projection, where the old broadcast
+    // join + max_by shuffled every subvector row once per iteration
+    // (plus replayed the whole prior-round lineage, lazily, per
+    // reference). The per-(s, j, pos) mean is the only exchange left per
+    // round, map-side-combined to k·8·8 rows per partition. NaN-edge
+    // note: the old aggregate keyed max_by on struct(-d2, -j), which
+    // ordered a NaN d2 FIRST; the argmin form orders it last, matching
+    // the encode window's semantics ([[pqEncode]]) — the two paths now
+    // share one ordering definition (finite data is unaffected; trained
+    // floats were never hash-pinned).
+    val s0 = subs.sparkSession
+    import s0.implicits._
     val seedIds = subs.select(col("vec_id")).distinct()
       .orderBy(col("vec_id")).limit(k)
-    var cb = subs.join(broadcast(seedIds), Seq("vec_id"))
-      .select(col("vec_id").as("j"), col("s"), col("xs").as("cs"))
+    var cb: Seq[(Long, Int, Seq[Double])] =
+      subs.join(broadcast(seedIds), Seq("vec_id"))
+        .select(col("vec_id").as("j"), col("s"), col("xs")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2))).toSeq
     var i = 0
-    while (i < iters) {
-      val assign = subs.join(broadcast(cb), Seq("s"))
-        .withColumn("d2",
-          vecDot(col("xs"), col("xs")) - lit(2) * vecDot(col("xs"), col("cs"))
-            + vecDot(col("cs"), col("cs")))
-        .groupBy(col("vec_id"), col("s"))
-        .agg(max_by(struct(col("j"), col("xs")),
-          struct(-col("d2"), -col("j"))).as("a"))
-        .select(col("s"), col("a.j").as("j"), col("a.xs").as("xs"))
-      val trained = assign
-        .select(col("s"), col("j"), posexplode(col("xs")).as(Seq("pos", "v")))
+    while (i < iters && cb.nonEmpty) {
+      val cbDf = cb.toDF("j", "s", "cs")
+      val means = collectCodebook(cbDf) match {
+        case Some((js, cs, n2)) =>
+          subs.withColumn("__best", codeArgmin(js, cs, n2))
+            .select(col("s"), col("__best.j").as("j"),
+              posexplode(col("xs")).as(Seq("pos", "v")))
+        case None => // oversized/ragged codebook: broadcast-join argmin
+          subs.join(broadcast(cbDf), Seq("s"))
+            .withColumn("d2",
+              vecDot(col("xs"), col("xs")) - lit(2) * vecDot(col("xs"), col("cs"))
+                + vecDot(col("cs"), col("cs")))
+            .groupBy(col("vec_id"), col("s"))
+            .agg(min_by(col("j"), struct(col("d2"), col("j"))).as("j"),
+              first(col("xs")).as("xs"))
+            .select(col("s"), col("j"), posexplode(col("xs")).as(Seq("pos", "v")))
+      }
+      val trained: Map[(Long, Int), Seq[Double]] = means
         .groupBy(col("s"), col("j"), col("pos")).agg(avg(col("v")).as("m"))
-        .groupBy(col("s"), col("j"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("s"), col("j"), expr("transform(pm, x -> x.m)").as("cs"))
+        .collect()
+        .groupBy(r => (r.getLong(1), r.getInt(0)))
+        .map { case (key, rows) =>
+          key -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+        }
       // empty cells (no vectors assigned) keep their previous centroid
-      cb = cb.select(col("s"), col("j"), col("cs").as("prev"))
-        .join(trained, Seq("s", "j"), "left")
-        .select(col("s"), col("j"), coalesce(col("cs"), col("prev")).as("cs"))
+      cb = cb.map { case (j, si, prev) =>
+        (j, si, trained.getOrElse((j, si), prev))
+      }
       i += 1
     }
-    cb.select(col("j"), col("s"), col("cs"))
+    cb.toDF("j", "s", "cs")
   }
 
   /** a06's search with trained codebooks: [[pqCodebooks]] replaces the
@@ -623,14 +662,10 @@ object AnnOps {
     subs.count() // single fill: codebook training + encode + queries
     val cb = pqCodebooks(subs, k).cache()
     cb.count() // materialize: ADC references it twice per downstream use
-    val enc = subs.filter(col("vec_id") >= 5)
-      .join(broadcast(cb), Seq("s"))
-      .withColumn("d2",
-        vecDot(col("xs"), col("xs")) - lit(2) * vecDot(col("xs"), col("cs"))
-          + vecDot(col("cs"), col("cs")))
-      .withColumn("rn", row_number().over(Window
-        .partitionBy(col("vec_id"), col("s")).orderBy(col("d2"), col("j"))))
-      .filter(col("rn") === 1)
+    // r17: the same encode [[pqEncode]] performs (argmin d2, ties to the
+    // smallest j) — the inline window duplicated it; the shared form is
+    // the narrow inlined-codebook projection, no Exchange
+    val enc = pqEncode(subs.filter(col("vec_id") >= 5), cb)
       .select(col("vec_id"), col("s"), col("cs"))
     val q = subs.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("s"), col("xs").as("qs"))
@@ -714,20 +749,98 @@ object AnnOps {
     subs.filter(col("vec_id") < 16)
       .select(col("vec_id").as("j"), col("s"), col("xs").as("cs"))
 
-  /** PQ-encode each (vec_id, s, xs) row against broadcast codebook `cb`:
-    * argmin L2, ties to the smallest code j. Keeps BOTH the code id `j`
-    * (what an at-rest index stores — the 64×-compression story) and the
-    * decoded centroid `cs` (what ADC consumes directly).
+  /** Driver-side dot product with [[graft.functions.ExpressionHelpers.vecDot]]'s
+    * exact summation order — bit-identical, so literals precomputed here
+    * substitute for the Spark expression inside hash-gated plans.
+    */
+  private def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Collected PQ codebook as an inlinable grid: code ids sorted asc,
+    * centroids and their squared norms indexed [code][subspace]. None
+    * when the grid is incomplete (a code missing some subspace) or too
+    * large to inline as one expression tree — the caller then takes the
+    * broadcast-join form. A PQ codebook is 16–256 codes × 8 subspaces by
+    * construction, so the inline path is the normal one at any corpus
+    * scale (codebook size is a model constant, not a data size).
+    */
+  private def collectCodebook(cb: DataFrame)
+      : Option[(Array[Long], Array[Array[Seq[Double]]], Array[Array[Double]])] = {
+    val rows = cb.select(col("j").cast("long"), col("s").cast("int"), col("cs"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2)))
+    if (rows.isEmpty) return None
+    val js = rows.map(_._1).distinct.sorted
+    val sMax = rows.map(_._2).max
+    if (js.length > 64 || sMax > 63 || rows.exists(_._2 < 0)) return None
+    val jIdx = js.zipWithIndex.toMap
+    val cs = Array.fill(js.length)(Array.fill[Seq[Double]](sMax + 1)(null))
+    rows.foreach { case (j, si, x) => cs(jIdx(j))(si) = x }
+    if (cs.exists(_.exists(_ == null))) return None // incomplete grid
+    Some((js, cs, cs.map(_.map(x => dotSeq(x, x)))))
+  }
+
+  /** Per-row argmin over an INLINED codebook for a `(s, xs)` row: one
+    * candidate struct (d2, j, ji) per code — d2 in exactly the join
+    * form's float grouping ((xs·xs − 2·xs·cs) + cs·cs, the cs·cs term a
+    * driver-precomputed literal with [[dotSeq]]'s identical summation) —
+    * and `least` picks min (d2, j) under the same interpreted ordering
+    * the rank window used (nulls first, NaN last, ties to the smallest
+    * code id). `ji` rides along so the caller can decode `cs` from the
+    * same literal grid.
+    */
+  private def codeArgmin(js: Array[Long], cs: Array[Array[Seq[Double]]],
+      n2: Array[Array[Double]]): Column = {
+    val xsxs = vecDot(col("xs"), col("xs"))
+    val cands = js.indices.map { ji =>
+      struct(
+        (xsxs - lit(2) * vecDot(col("xs"),
+            element_at(typedLit(cs(ji).toSeq), col("s") + 1))
+          + element_at(typedLit(n2(ji).toSeq), col("s") + 1)).as("d2"),
+        lit(js(ji)).as("j"),
+        lit(ji).as("ji"))
+    }
+    if (cands.size == 1) cands.head else least(cands: _*)
+  }
+
+  /** PQ-encode each (vec_id, s, xs) row against codebook `cb`: argmin L2,
+    * ties to the smallest code j. Keeps BOTH the code id `j` (what an
+    * at-rest index stores — the 64×-compression story) and the decoded
+    * centroid `cs` (what ADC consumes directly).
+    *
+    * r17 optimization (guide §2.4): a codebook is a model CONSTANT
+    * (16–256 codes × 8 subspaces), so the encode is logically a map —
+    * the codebook is collected and inlined, and the whole encode becomes
+    * one narrow codegen projection with ZERO shuffle. The pre-r17 form
+    * (broadcast join × |codes|, then a corpus-wide rank window — a full
+    * Exchange+sort of corpus × codes rows) survives as the fallback for
+    * oversized/incomplete codebooks, upgraded from the window to a
+    * map-side-combining min_by (16× fewer shuffled rows, no sort).
+    * Value-identical either way: same d2 floats, same (d2, j) ordering.
     */
   private[operators] def pqEncode(subs: DataFrame, cb: DataFrame): DataFrame =
-    subs.join(broadcast(cb), Seq("s"))
-      .withColumn("d2",
-        vecDot(col("xs"), col("xs")) - lit(2) * vecDot(col("xs"), col("cs"))
-          + vecDot(col("cs"), col("cs")))
-      .withColumn("rn", row_number().over(Window
-        .partitionBy(col("vec_id"), col("s")).orderBy(col("d2"), col("j"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("s"), col("j"), col("cs"))
+    collectCodebook(cb) match {
+      case Some((js, cs, n2)) =>
+        val csLit = typedLit(cs.map(_.toSeq).toSeq) // [code][subspace] -> cs
+        subs
+          .withColumn("__best", codeArgmin(js, cs, n2))
+          .select(col("vec_id"), col("s"), col("__best.j").as("j"),
+            element_at(element_at(csLit, col("__best.ji") + 1),
+              col("s") + 1).as("cs"))
+      case None =>
+        subs.join(broadcast(cb), Seq("s"))
+          .withColumn("d2",
+            vecDot(col("xs"), col("xs")) - lit(2) * vecDot(col("xs"), col("cs"))
+              + vecDot(col("cs"), col("cs")))
+          .groupBy(col("vec_id"), col("s"))
+          .agg(min_by(struct(col("j"), col("cs")),
+            struct(col("d2"), col("j"))).as("__b"))
+          .select(col("vec_id"), col("s"), col("__b.j").as("j"),
+            col("__b.cs").as("cs"))
+    }
 
   /** Query-side subvectors (vec_id < 5, the gate query convention). */
   private[operators] def querySubs(subs: DataFrame): DataFrame =
@@ -895,12 +1008,58 @@ object AnnOps {
   * form's full sort.
   */
 private[operators] object CentroidAssign {
-  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.{Column, DataFrame}
   import org.apache.spark.sql.functions._
   import graft.functions.GraftFunctions.vecDot
 
+  /** Above this k the inlined-expression form (k vecDots per row in one
+    * projection) would bloat codegen toward the JVM method-size limit;
+    * the aggregate form's broadcast shape is also simply right once the
+    * quantizer stops being a handful of rows. Gate k is 16; production
+    * coarse quantizers up to here still assign with ZERO shuffle.
+    */
+  private val inlineK = 128
+
+  /** Nearest centroid per row (r17 optimization, guide §2.4 "remove
+    * shuffles outright"): a coarse quantizer is k << corpus by
+    * definition, so the centroid table is COLLECTED (k rows) and inlined
+    * as k candidate structs per row — `greatest` over
+    * struct(csim, -c_id, c_id) picks max csim with ties to the smallest
+    * c_id under exactly the interpreted struct ordering max_by used
+    * (same TypeUtils ordering: NaN greatest, null-field smallest), so the
+    * assignment is VALUE-IDENTICAL to the aggregate form while the plan
+    * is one narrow whole-stage-codegen projection: the corpus-bytes
+    * Exchange the groupBy(vec_id) paid (every emb under `carry` rode the
+    * shuffle — d11's assignment shuffled the corpus embeddings) is gone.
+    * The pre-r17 aggregate form survives as [[nearestAgg]] for quantizers
+    * past [[inlineK]].
+    */
   def nearest(e: DataFrame, cents: DataFrame,
               carry: Seq[String] = Nil): DataFrame = {
+    val rows = cents
+      .select(col("c_id").cast("long"), col("c_emb"), col("c_norm")).collect()
+    if (rows.isEmpty || rows.length > inlineK) nearestAgg(e, cents, carry)
+    else {
+      val cands: Seq[Column] = rows.toSeq.map { r =>
+        val cid = r.getLong(0)
+        struct(
+          (vecDot(col("emb"), typedLit(r.getSeq[Double](1)))
+            / (col("norm") * lit(r.getDouble(2)))).as("csim"),
+          lit(-cid).as("neg"),
+          lit(cid).as("c_id"))
+      }
+      val best = if (cands.size == 1) cands.head else greatest(cands: _*)
+      e.select(col("vec_id") +: best.getField("c_id").as("c_id") +:
+        carry.map(col): _*)
+    }
+  }
+
+  /** The pre-r17 aggregate form: cross join against the broadcast
+    * centroid table, max_by with map-side partial aggregation. One
+    * shuffle of one row per vector (plus every carried column).
+    */
+  private def nearestAgg(e: DataFrame, cents: DataFrame,
+              carry: Seq[String]): DataFrame = {
     val kept = "c_id" +: carry
     e.crossJoin(broadcast(cents))
       .withColumn("__csim",

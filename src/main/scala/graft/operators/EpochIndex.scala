@@ -54,6 +54,29 @@ import graft.QueryDef
 object EpochIndex {
   def epochLoc(root: String, epoch: String): String = s"$root/epoch-$epoch"
 
+  /** Run independent thunks as CONCURRENT Spark jobs (optimization guide
+    * §2.6 "overlap independent jobs"): actions are only sequential
+    * because driver code calls them sequentially, and per-epoch work —
+    * two parity builds, K independent query legs — is embarrassingly
+    * independent, so later jobs' tasks back-fill executors idled by the
+    * current job's tail. Results come back in input order (deterministic
+    * for every consumer); the pool is daemon + bounded and always shut
+    * down. Single-element input short-circuits to a plain call.
+    */
+  private def inParallel[A](fs: Seq[() => A]): Seq[A] =
+    if (fs.size <= 1) fs.map(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(fs.size, 8),
+        (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futs = fs.map(f => scala.concurrent.Future(f()))
+      try futs.map(scala.concurrent.Await.result(_,
+        scala.concurrent.duration.Duration.Inf))
+      finally pool.shutdown()
+    }
+
   private def fs(s: SparkSession, path: String) =
     new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
 
@@ -225,8 +248,17 @@ object EpochIndex {
       maxStaleMs: Long = -1L): DataFrame = {
     val eps = epochs.getOrElse(epochsCached(s, root, maxStaleMs))
     require(eps.nonEmpty, s"no committed epoch indexes under $root")
-    val per = eps.map(name => IndexStore.ivfPqRefinedFromIndex(
-      s, dir, epochLoc(root, name), nProbes, topK, refineFactor))
+    // r17: each leg materializes (localCheckpoint) inside
+    // ivfPqRefinedFromIndex, so the fan-out's wall time was the SUM of
+    // leg latencies — the legs are independent snapshot reads, so they
+    // now run as concurrent jobs (~max, guide §2.6) over ONE shared
+    // embTable fill (ownEmbCache = false: the old per-leg unpersist made
+    // every later leg refill the cache)
+    val e = AnnOps.embTable(s, dir)
+    val per = inParallel(eps.map(name => () => IndexStore.ivfPqRefinedFromIndex(
+      s, dir, epochLoc(root, name), nProbes, topK, refineFactor,
+      ownEmbCache = false)))
+    e.unpersist(blocking = false)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     per.reduce(_.unionByName(_))
@@ -301,8 +333,10 @@ object EpochIndex {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
     // NOTE: no unpersist of the panel source here (r16 ADVICE) — the
     // embTable cache is plan-matched and SHARED; uncaching it out from
-    // under a caller's handle forced every leg to re-cache it. Each
-    // leg's ivfPqRefinedFromIndex manages its own lifecycle.
+    // under a caller's handle forced every leg to re-cache it. As of
+    // r17 the legs run with ownEmbCache = false for the same reason,
+    // so the fill is paid ONCE per call; the caller that created the
+    // embTable handle (the a16 gate, DriftProbe) releases it.
     // per-epoch best coarse-centroid cosine per query: one broadcast-
     // shaped comparison, computed driver-side (the tables are tiny)
     val best: Map[String, Map[Long, Double]] = eps.map { name =>
@@ -326,8 +360,11 @@ object EpochIndex {
     def floorOf(q: Long): Option[Double] =
       shortlist.get(q).filter(_.size >= topK).map(_.values.min)
     def runLeg(name: String): Array[(Long, Long, Double)] =
+      // ownEmbCache = false (r17): the query panel above filled the
+      // shared embTable cache; a leg unpersisting it forced every later
+      // leg to refill (the serial-leg twin of the r16 ADVICE panel fix)
       IndexStore.ivfPqRefinedFromIndex(s, dir, epochLoc(root, name),
-          nProbes, topK, refineFactor)
+          nProbes, topK, refineFactor, ownEmbCache = false)
         .select(col("q_id"), col("vec_id"), col("cos")).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     def absorb(rows: Array[(Long, Long, Double)]): Unit =
@@ -464,6 +501,21 @@ object EpochIndex {
     * temp root per invocation (the a12–a14 convention): every rep pays
     * the real train+train+fan-out chain.
     */
+  /** The a15/a16 build phase: the two parity epochs are fully
+    * independent (disjoint corpus slices, separate locs/locks), so their
+    * trained builds run as CONCURRENT jobs (guide §2.6) — wall ≈ max of
+    * the two builds, not the sum. The gate's corpus frame `e` must be a
+    * cached [[AnnOps.embTable]] so both builds read one fill.
+    */
+  private def ingestParityEpochs(e: DataFrame, root: String): Unit = {
+    inParallel(Seq(
+      () => ingest(e.filter(col("vec_id") >= 5 && pmod(col("vec_id"), lit(2)) === 0),
+        root, "even"),
+      () => ingest(e.filter(col("vec_id") >= 5 && pmod(col("vec_id"), lit(2)) === 1),
+        root, "odd")))
+    ()
+  }
+
   val a15 = QueryDef(
     "a15_epoch_fanout_query",
     "per-epoch split: all-cells fan-out + exact merge == brute-force top-k",
@@ -471,10 +523,7 @@ object EpochIndex {
       val root = java.nio.file.Files
         .createTempDirectory(IndexStore.tmpRoot, "a15").toString
       val e = AnnOps.embTable(s, dir)
-      ingest(e.filter(col("vec_id") >= 5 && pmod(col("vec_id"), lit(2)) === 0),
-        root, "even")
-      ingest(e.filter(col("vec_id") >= 5 && pmod(col("vec_id"), lit(2)) === 1),
-        root, "odd")
+      ingestParityEpochs(e, root)
       val out = searchTopK(s, dir, root,
         nProbes = 16, topK = 10, refineFactor = 1000000)
       e.unpersist(blocking = false)
@@ -513,10 +562,7 @@ object EpochIndex {
       val root = java.nio.file.Files
         .createTempDirectory(IndexStore.tmpRoot, "a16").toString
       val e = AnnOps.embTable(s, dir)
-      ingest(e.filter(col("vec_id") >= 5 && pmod(col("vec_id"), lit(2)) === 0),
-        root, "even")
-      ingest(e.filter(col("vec_id") >= 5 && pmod(col("vec_id"), lit(2)) === 1),
-        root, "odd")
+      ingestParityEpochs(e, root)
       val (out, visited) = searchTopKPruned(s, dir, root,
         nProbes = 16, topK = 10, refineFactor = 1000000, margin = 2.0)
       require(visited.size == 2,

@@ -125,30 +125,57 @@ object IndexStore {
 
   // ---------------------------------------------------------------- BM25
 
+  private def sigCharCol(docs: DataFrame) =
+    if (docs.columns.contains("n_chars")) col("n_chars").cast("long")
+    else length(col("text")).cast("long")
+
   /** Exact-integer fingerprint of a documents frame. */
   private def docSig(docs: DataFrame): (Long, Long, Long) = {
-    val charCol =
-      if (docs.columns.contains("n_chars")) col("n_chars").cast("long")
-      else length(col("text")).cast("long")
     val r = docs.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
-      coalesce(sum(charCol), lit(0L))).head()
+      coalesce(sum(sigCharCol(docs)), lit(0L))).head()
     (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** The docSig aggregates as observed metrics riding another pass
+    * (r17, guide §1.2 "don't compute things you throw away"): the build
+    * and append paths used to pay a DEDICATED corpus/batch scan for the
+    * fingerprint right before the tokenization pass read the same rows
+    * again — CollectMetrics on the tokenization input computes the sig
+    * for free. Observed ABOVE the blank filter so the sig covers every
+    * row, exactly as [[docSig]] does; the metrics are guaranteed to fire
+    * because [[RetrievalOps.buildIndexTables]] ends in a collect-type
+    * action (the corpus scalars) over the observed plan.
+    */
+  private def observeDocSig(docs: DataFrame)
+      : (DataFrame, () => (Long, Long, Long)) = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = docs.observe(obs,
+      count(lit(1)).as("sc"),
+      coalesce(sum(col("doc_id")), lit(0L)).as("ss"),
+      coalesce(sum(sigCharCol(docs)), lit(0L)).as("sch"))
+    (observed, () => {
+      val m = obs.get
+      (m("sc").asInstanceOf[Long], m("ss").asInstanceOf[Long],
+        m("sch").asInstanceOf[Long])
+    })
   }
 
   /** Build the BM25 index tables from `docs` and commit them at `loc` as
     * a fresh manifest (replacing any prior state). ONE corpus
     * tokenization — the same [[RetrievalOps.buildIndexTables]] the
-    * in-memory gates score from.
+    * in-memory gates score from — which also carries the fingerprint
+    * metrics (one corpus pass total; the sig scan is gone, r17).
     */
   def buildBm25(docs: DataFrame, loc: String): Unit = {
     val s = docs.sparkSession
     IndexLock.withLock(s, loc) { tok =>
       val base = IndexManifest.currentVersion(s, loc) // CAS base: replace-all still commits base+1
-      val (sc, ss, sch) = docSig(docs)
-      val ix = RetrievalOps.buildIndexTables(docs) // tf cached by the build
+      val (docsObs, sig) = observeDocSig(docs)
+      val ix = RetrievalOps.buildIndexTables(docsObs) // tf cached by the build
       val posts = writeVersion(ix.tf, loc, "postings")
       val dl = writeVersion(ix.dl, loc, "doclen")
       val dfq = writeVersion(ix.dfreq, loc, "dfreq")
+      val (sc, ss, sch) = sig()
       val st = writeVersion(
         statsDf(s, ix.nDocs, ix.sumTf, sc, ss, sch), loc, "stats")
       IndexLock.verify(s, tok) // fenced-out builders die before the commit
@@ -253,9 +280,9 @@ object IndexStore {
     val s = newDocs.sparkSession
     IndexLock.withLock(s, loc) { tok =>
       val m = manifest(s, loc)
-      val (sc, ss, sch) = docSig(newDocs)
+      val (docsObs, sig) = observeDocSig(newDocs) // sig rides the tokenize pass (r17)
       val st = tbl(s, m, "stats").head()
-      val nix = RetrievalOps.buildIndexTables(newDocs) // batch-sized, cached
+      val nix = RetrievalOps.buildIndexTables(docsObs) // batch-sized, cached
       val postSeg = writeVersion(nix.tf, loc, "postings")
       val dlSeg = writeVersion(nix.dl, loc, "doclen")
       IndexLock.renew(s, tok) // lease heartbeat between heavy stages
@@ -263,6 +290,7 @@ object IndexStore {
         .unionByName(nix.dfreq)
         .groupBy(col("w")).agg(sum(col("df")).cast("long").as("df"))
       val dfq = writeVersion(merged, loc, "dfreq")
+      val (sc, ss, sch) = sig()
       val stV = writeVersion(statsDf(s,
         st.getAs[Long]("n_docs") + nix.nDocs,
         st.getAs[Long]("sum_tf") + nix.sumTf,
@@ -417,7 +445,7 @@ object IndexStore {
     */
   def ivfPqRefinedFromIndex(s: SparkSession, dir: String, loc: String,
       nProbes: Int = 4, topK: Int = 10, refineFactor: Int = 8,
-      at: Option[Long] = None): DataFrame = {
+      at: Option[Long] = None, ownEmbCache: Boolean = true): DataFrame = {
     val m = manifest(s, loc, at)
     val e = AnnOps.embTable(s, dir) // cached: probes + qsubs + refine fetch
     val cents = tbl(s, m, "centroids")
@@ -451,7 +479,12 @@ object IndexStore {
       .agg(round(sum(col("term")), 6).as("adc"))
     val out = AnnOps.refineAdcShortlist(scored, e, topK, refineFactor)
       .localCheckpoint(true) // materialize; top-k bounded
-    e.unpersist(blocking = false)
+    // `ownEmbCache = false` (r17): a multi-leg fan-out (EpochIndex
+    // searchTopK / searchTopKPruned) fills the plan-matched embTable
+    // cache ONCE and runs its legs — possibly concurrently — against it;
+    // a leg unpersisting the shared cache forced every later leg to
+    // refill it (and raced concurrent legs into recomputes).
+    if (ownEmbCache) e.unpersist(blocking = false)
     out
   }
 

@@ -114,12 +114,19 @@ object RetrievalOps {
 
   /** Score a broadcast term-probe frame against the index: one posting
     * equi-join, per-row ROUND-6 term score.
+    *
+    * r17 (guide §3.1 — pick the join strategy deliberately): df is
+    * resolved INTO the probe first (a probe-sized join), so the postings
+    * scan joins one broadcast (w, df) relation. The old order joined the
+    * filtered postings against the FULL dfreq table — auto-broadcast at
+    * gate scale, but a vocabulary-sized shuffle risk at 100 TB where
+    * dfreq outgrows the broadcast threshold. Same inner-join rows either
+    * way; values identical.
     */
   private[operators] def scoreProbes(ix: Bm25Index, probe: DataFrame, k1: Double,
       b: Double): DataFrame =
     ix.tf
-      .join(broadcast(probe), Seq("w"))
-      .join(ix.dfreq, Seq("w"))
+      .join(broadcast(ix.dfreq.join(broadcast(probe), Seq("w"))), Seq("w"))
       .join(ix.dl, Seq("doc_id"))
       .select(col("w").as("q"), col("doc_id"), col("tf"),
         round(termScore(ix, k1, b), 6).as("score"))
@@ -189,9 +196,10 @@ object RetrievalOps {
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qterms = ix.tf.filter(col("doc_id") < nQuery)
       .select(col("doc_id").as("q_id"), col("w"))
+    // r17: df resolved into the (broadcast-sized) query-term frame first
+    // — the scoreProbes join-order note applies verbatim
     ix.tf.filter(col("doc_id") >= nQuery)
-      .join(broadcast(qterms), Seq("w"))
-      .join(ix.dfreq, Seq("w"))
+      .join(broadcast(qterms.join(ix.dfreq, Seq("w"))), Seq("w"))
       .join(ix.dl, Seq("doc_id"))
       .groupBy(col("q_id"), col("doc_id"))
       .agg(round(sum(termScore(ix, k1, b)), 6).as("score"))
