@@ -56,5 +56,13 @@ object PlanProbes {
       val ix = RetrievalOps.buildIndexTables(graft.Tables.load(s, dir, "documents"))
       val out = ix.tf
       out
+    }),
+    // BM25 hot-terms scoring join (a08/a10/a12/a13 query path, pre-top-k)
+    "bm25__hot_score" -> ((s: SparkSession, dir: String) => {
+      val ix = RetrievalOps.buildIndexTables(graft.Tables.load(s, dir, "documents"))
+      val probe = ix.dfreq.orderBy(org.apache.spark.sql.functions.col("df").desc,
+        org.apache.spark.sql.functions.col("w")).limit(3)
+        .select(org.apache.spark.sql.functions.col("w"))
+      RetrievalOps.scoreProbes(ix, probe, 1.2, 0.75)
     }))
 }
