@@ -563,8 +563,13 @@ object EpochIndex {
         .createTempDirectory(IndexStore.tmpRoot, "a16").toString
       val e = AnnOps.embTable(s, dir)
       ingestParityEpochs(e, root)
+      // prefetch = 2 (r17; the r16 VERDICT Next #2 concurrent-leg shape):
+      // exact mode visits every epoch regardless, so running both legs
+      // concurrently changes latency (~max, not sum), never the visited
+      // set or the merge — output stays ≡ a15 ≡ brute force.
       val (out, visited) = searchTopKPruned(s, dir, root,
-        nProbes = 16, topK = 10, refineFactor = 1000000, margin = 2.0)
+        nProbes = 16, topK = 10, refineFactor = 1000000, margin = 2.0,
+        prefetch = 2)
       require(visited.size == 2,
         s"exact-mode prune must visit every epoch, visited only $visited")
       e.unpersist(blocking = false)
