@@ -293,12 +293,26 @@ object Bench {
     // should be kept sets SPARK_GRAFT_BENCH_OUT to the round-numbered
     // name explicitly. Best-effort: a read-only cwd must not fail the
     // measurement run.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
-    if (outPath.nonEmpty)
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+    // r18 (r17 VERDICT "What's wrong" #1 / Next #2): the default is now
+    // PER-RUN — suffixed by the core count — so the driver's second bench
+    // at a different SPARK_GRAFT_CPUS no longer clobbers the first run's
+    // per-gate map (that clobber emptied PERF_r17's per_query/scaling
+    // blocks). The `full` field in both JSON lines points at the run's
+    // own file; a legacy copy still lands at BENCH_full.json so any
+    // consumer of the old fixed name keeps seeing the latest run.
+    val cpusTag = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"BENCH_full_c$cpusTag.json")
+    def writeArtifact(path: String): Unit =
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
         line + "\n")
       catch { case e: Throwable =>
-        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+        System.err.println(s"[bench] could not write $path: ${e.getMessage}") }
+    if (outPath.nonEmpty) {
+      writeArtifact(outPath)
+      if (!sys.env.contains("SPARK_GRAFT_BENCH_OUT"))
+        writeArtifact("BENCH_full.json") // legacy fixed name: latest run
+    }
     spark.stop()
     // COMPACT closing line, printed LAST (r15 VERDICT Missing #3): the
     // driver parses the final stdout line (tail window 2000 chars) and

@@ -416,10 +416,24 @@ object EntityResolution {
     val assembled = new org.apache.spark.ml.feature.VectorAssembler()
       .setInputCols(featureCols).setOutputCol("features")
       .transform(feats)
-    new org.apache.spark.ml.classification.LogisticRegression()
+    val fitted = new org.apache.spark.ml.classification.LogisticRegression()
       .setMaxIter(100).setRegParam(1e-3)
       .setLabelCol("is_match").setFeaturesCol("features")
       .fit(assembled)
+    // Drop the training summary before handing the model out: the
+    // summary pins the training DataFrame and its SparkSession, and a
+    // downstream transform whose UDF closure captures the model then
+    // tries to SERIALIZE the session — which blows up whenever plan
+    // canonicalization has materialized the expression's lazy
+    // `canonicalized` fields (observed as a suite-order-dependent
+    // Task-not-serializable in ErEvalSpec under Spark 4.1, where
+    // SparkSession carries the non-serializable ObservationManager).
+    // The summary is a training artifact; scoring never reads it.
+    // `copy()` deliberately PRESERVES the summary and `setSummary` is
+    // private[spark], so clear the bytecode-public var via reflection.
+    fitted.getClass.getMethod("trainingSummary_$eq", classOf[Option[_]])
+      .invoke(fitted, None)
+    fitted
   }
 
   /** Score candidate pairs with a trained [[trainPairScorer]] model:

@@ -136,15 +136,55 @@ object IndexStore {
     (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
+  /** Bounded wait for observed sig metrics, with a dedicated-scan
+    * fallback (r17 ADVICE: `Observation.get` blocks FOREVER if the
+    * observed subtree never executes — a refactor of the carrying action
+    * would have turned the build into a silent hang instead of a slow
+    * fallback). `getOrEmpty` returns within ~100 ms when no metrics have
+    * arrived; poll it briefly, then pay the fallback scan. The deadline
+    * is generous (metrics piggyback on the action's own listener event —
+    * normally they are present before the first poll) but finite.
+    */
+  private lazy val sigWaitPool = java.util.concurrent.Executors
+    .newCachedThreadPool((r: Runnable) => {
+      val t = new Thread(r, "graft-sig-wait"); t.setDaemon(true); t
+    })
+
+  private def sigOrFallback(obs: org.apache.spark.sql.Observation,
+      fallback: => (Long, Long, Long)): (Long, Long, Long) = {
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(sigWaitPool)
+    val fut = scala.concurrent.Future(obs.get)
+    try {
+      val m = scala.concurrent.Await.result(fut,
+        scala.concurrent.duration.Duration(30, "s"))
+      (m("sc").asInstanceOf[Long], m("ss").asInstanceOf[Long],
+        m("sch").asInstanceOf[Long])
+    } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        // loud, not silent: a timeout here means the carrying action no
+        // longer executes the observed subtree — the build still works
+        // (one dedicated scan, the pre-r18 cost) but the fusion is dead
+        // and someone should know
+        System.err.println(
+          "[graft] observed sig metrics not delivered within 30s; " +
+          "falling back to the dedicated fingerprint scan")
+        fallback
+    }
+  }
+
   /** The docSig aggregates as observed metrics riding another pass
     * (r17, guide §1.2 "don't compute things you throw away"): the build
     * and append paths used to pay a DEDICATED corpus/batch scan for the
     * fingerprint right before the tokenization pass read the same rows
     * again — CollectMetrics on the tokenization input computes the sig
     * for free. Observed ABOVE the blank filter so the sig covers every
-    * row, exactly as [[docSig]] does; the metrics are guaranteed to fire
-    * because [[RetrievalOps.buildIndexTables]] ends in a collect-type
-    * action (the corpus scalars) over the observed plan.
+    * row, exactly as [[docSig]] does; the metrics fire on
+    * [[RetrievalOps.buildIndexTables]]'s collect-type action (the corpus
+    * scalars) over the observed plan — and if a future refactor stops
+    * that action from executing the observed subtree, the reader falls
+    * back to the dedicated [[docSig]] scan instead of hanging (r17
+    * ADVICE item 1).
     */
   private def observeDocSig(docs: DataFrame)
       : (DataFrame, () => (Long, Long, Long)) = {
@@ -153,11 +193,7 @@ object IndexStore {
       count(lit(1)).as("sc"),
       coalesce(sum(col("doc_id")), lit(0L)).as("ss"),
       coalesce(sum(sigCharCol(docs)), lit(0L)).as("sch"))
-    (observed, () => {
-      val m = obs.get
-      (m("sc").asInstanceOf[Long], m("ss").asInstanceOf[Long],
-        m("sch").asInstanceOf[Long])
-    })
+    (observed, () => sigOrFallback(obs, docSig(docs)))
   }
 
   /** Build the BM25 index tables from `docs` and commit them at `loc` as
@@ -378,6 +414,26 @@ object IndexStore {
     (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
+  /** The embSig aggregates as observed metrics riding the ASSIGN pass
+    * (r18, closing the r17 "Not yet optimized" #1 / r17 VERDICT Next #3):
+    * every IVF build/append writes a full-input cell assignment, so the
+    * fingerprint scan that used to precede it is a redundant corpus pass
+    * — CollectMetrics on the assignment's input computes the sig during
+    * the assign parquet write. Metric delivery on a write command is
+    * exactly what r17 declined to assume; [[sigOrFallback]] makes the
+    * assumption safe — if the metrics do not arrive, the dedicated
+    * [[embSig]] scan runs as before (slower, never wrong, never a hang).
+    */
+  private def observeEmbSig(e: DataFrame)
+      : (DataFrame, () => (Long, Long, Long)) = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = e.observe(obs,
+      count(lit(1)).as("sc"),
+      coalesce(sum(col("vec_id")), lit(0L)).as("ss"),
+      coalesce(sum(size(col("emb")).cast("long")), lit(0L)).as("sch"))
+    (observed, () => sigOrFallback(obs, embSig(e)))
+  }
+
   private def ivfStatsDf(s: SparkSession, sc: Long, ss: Long, sd: Long): DataFrame = {
     import s.implicits._
     Seq((sc, ss, sd)).toDF("sig_count", "sig_sum", "sig_dims")
@@ -393,15 +449,16 @@ object IndexStore {
     val s = e.sparkSession
     IndexLock.withLock(s, loc) { tok =>
       val base = IndexManifest.currentVersion(s, loc)
-      val (sc, ss, sd) = embSig(e)
+      val (eObs, sig) = observeEmbSig(e) // sig rides the assign write (r18)
       val centsDf = AnnOps.seededCents(e, 16)
       val cents = writeVersion(centsDf, loc, "centroids")
       val subs = AnnOps.subvectors(e)
       val cbDf = AnnOps.seededCodebook(subs)
       val cb = writeVersion(cbDf, loc, "codebooks")
-      val asg = writeVersion(CentroidAssign.nearest(e, centsDf), loc, "assign")
+      val asg = writeVersion(CentroidAssign.nearest(eObs, centsDf), loc, "assign")
       val codes = writeVersion(AnnOps.pqEncode(subs.filter(col("vec_id") >= 5), cbDf)
         .select(col("vec_id"), col("s"), col("j")), loc, "codes")
+      val (sc, ss, sd) = sig()
       val st = writeVersion(ivfStatsDf(s, sc, ss, sd), loc, "stats")
       IndexLock.verify(s, tok)
       IndexManifest.publish(s, loc, Map("centroids" -> Seq(cents),
@@ -445,7 +502,8 @@ object IndexStore {
     */
   def ivfPqRefinedFromIndex(s: SparkSession, dir: String, loc: String,
       nProbes: Int = 4, topK: Int = 10, refineFactor: Int = 8,
-      at: Option[Long] = None, ownEmbCache: Boolean = true): DataFrame = {
+      at: Option[Long] = None, ownEmbCache: Boolean = true,
+      qPanel: Option[Seq[(Long, Seq[Double])]] = None): DataFrame = {
     val m = manifest(s, loc, at)
     val e = AnnOps.embTable(s, dir) // cached: probes + qsubs + refine fetch
     val cents = tbl(s, m, "centroids")
@@ -460,23 +518,45 @@ object IndexStore {
       .join(assign, Seq("c_id"))
       .filter(col("vec_id") >= 5)
       .select(col("q_id"), col("vec_id"))
-    val cb = tbl(s, m, "codebooks")
-    // candidate restriction BEFORE the codebook decode: written the other
-    // way round (codes ⋈ cb first), every query would decode the WHOLE
-    // corpus's codes — without table statistics Catalyst keeps the join
-    // order as authored, so the author must order it. Decode work is then
-    // bounded by |cand| · 8 subspaces, never the corpus.
-    val candCodes = tbl(s, m, "codes")
-      .join(cand, Seq("vec_id"))
-    val qsubs = AnnOps.querySubs(
-      AnnOps.subvectors(e.filter(col("vec_id") < 5)))
-    val scored = candCodes
-      .join(broadcast(cb), Seq("s", "j"))
-      .join(broadcast(qsubs), Seq("q_id", "s"))
-      .withColumn("term",
-        graft.functions.GraftFunctions.vecDot(col("qs"), col("cs")))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(round(sum(col("term")), 6).as("adc"))
+    // ADC scoring, two value-identical shapes (r17 VERDICT Next #4,
+    // adjudicated by matched-window A/B at sf0.1):
+    //  - `qPanel` given (the epoch fan-out, which holds the collected
+    //    query panel anyway): the classic |Q|×8×k literal LUT — terms
+    //    qs·cs precomputed driver-side with dotSeq's exact vecDot
+    //    summation, ONE broadcast lookup join instead of codebook ⋈
+    //    query-subvector joins + a per-row vecDot. Measured a15 7.46 →
+    //    6.61 s / a16 6.57 → 5.70 s (reps=5, calibration-matched).
+    //  - no panel (a11/a14 single-shot queries): the r17 join form —
+    //    building the LUT here costs two EXTRA driver collects per
+    //    invocation, measured a11 1.22 → 1.40 s / a14 3.79 → 4.17 s on
+    //    the same A/B, the a03-collect mechanism again; negative
+    //    recorded, join form kept.
+    // Candidate restriction stays BEFORE the code decode in both shapes
+    // (cand ⋈ codes first): decode work is bounded by |cand| · 8
+    // subspaces, never the corpus.
+    val scored = qPanel match {
+      case Some(qRows) =>
+        val cbRows = tbl(s, m, "codebooks")
+          .select(col("j").cast("long"), col("s").cast("int"), col("cs")).collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2))).toSeq
+        import s.implicits._
+        val lut = AnnOps.adcLutFromRows(qRows, cbRows)
+          .toDF("q_id", "s", "j", "term")
+        AnnOps.adcScoreLut(cand, tbl(s, m, "codes"), lut)
+      case None =>
+        val cb = tbl(s, m, "codebooks")
+        val candCodes = tbl(s, m, "codes")
+          .join(cand, Seq("vec_id"))
+        val qsubs = AnnOps.querySubs(
+          AnnOps.subvectors(e.filter(col("vec_id") < 5)))
+        candCodes
+          .join(broadcast(cb), Seq("s", "j"))
+          .join(broadcast(qsubs), Seq("q_id", "s"))
+          .withColumn("term",
+            graft.functions.GraftFunctions.vecDot(col("qs"), col("cs")))
+          .groupBy(col("q_id"), col("vec_id"))
+          .agg(round(sum(col("term")), 6).as("adc"))
+    }
     val out = AnnOps.refineAdcShortlist(scored, e, topK, refineFactor)
       .localCheckpoint(true) // materialize; top-k bounded
     // `ownEmbCache = false` (r17): a multi-leg fan-out (EpochIndex
@@ -503,7 +583,7 @@ object IndexStore {
     val s = e.sparkSession
     IndexLock.withLock(s, loc) { tok =>
       val base = IndexManifest.currentVersion(s, loc)
-      val (sc, ss, sd) = embSig(e)
+      val (eObs, sig) = observeEmbSig(e) // sig rides the assign write (r18)
       val cents = AnnOps.kmeansCentroids(e, k, iters).cache()
       cents.count() // materialize: persist + assignment both read it
       val centsRel = writeVersion(cents, loc, "centroids")
@@ -513,9 +593,10 @@ object IndexStore {
       val cb = AnnOps.pqCodebooks(subs, k).cache()
       cb.count()
       val cbRel = writeVersion(cb, loc, "codebooks")
-      val asg = writeVersion(CentroidAssign.nearest(e, cents), loc, "assign")
+      val asg = writeVersion(CentroidAssign.nearest(eObs, cents), loc, "assign")
       val codes = writeVersion(AnnOps.pqEncode(subs.filter(col("vec_id") >= 5), cb)
         .select(col("vec_id"), col("s"), col("j")), loc, "codes")
+      val (sc, ss, sd) = sig()
       val st = writeVersion(ivfStatsDf(s, sc, ss, sd), loc, "stats")
       IndexLock.verify(s, tok)
       IndexManifest.publish(s, loc, Map("centroids" -> Seq(centsRel),
@@ -581,13 +662,14 @@ object IndexStore {
     val s = newE.sparkSession
     IndexLock.withLock(s, loc) { tok =>
       val m = manifest(s, loc)
-      val (sc, ss, sd) = embSig(newE)
+      val (eObs, sig) = observeEmbSig(newE) // sig rides the assign write (r18)
       val st = tbl(s, m, "stats").head()
       val asgSeg = writeVersion(
-        CentroidAssign.nearest(newE, tbl(s, m, "centroids")), loc, "assign")
+        CentroidAssign.nearest(eObs, tbl(s, m, "centroids")), loc, "assign")
       val codeSeg = writeVersion(
         AnnOps.pqEncode(AnnOps.subvectors(newE), tbl(s, m, "codebooks"))
           .select(col("vec_id"), col("s"), col("j")), loc, "codes")
+      val (sc, ss, sd) = sig()
       val stV = writeVersion(ivfStatsDf(s,
         st.getAs[Long]("sig_count") + sc,
         st.getAs[Long]("sig_sum") + ss,

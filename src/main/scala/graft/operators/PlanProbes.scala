@@ -64,5 +64,35 @@ object PlanProbes {
         org.apache.spark.sql.functions.col("w")).limit(3)
         .select(org.apache.spark.sql.functions.col("w"))
       RetrievalOps.scoreProbes(ix, probe, 1.2, 0.75)
-    }))
+    }),
+    // same scoring join with the r18 doclen Bloom prune FORCED (threshold
+    // 0) — the shape the query takes at 100 TB where dl outgrows both the
+    // broadcast threshold and [[RetrievalOps.dlBloomBytes]]
+    "bm25__hot_score_bloom" -> ((s: SparkSession, dir: String) => {
+      val ix = RetrievalOps.buildIndexTables(graft.Tables.load(s, dir, "documents"))
+      val probe = ix.dfreq.orderBy(org.apache.spark.sql.functions.col("df").desc,
+        org.apache.spark.sql.functions.col("w")).limit(3)
+        .select(org.apache.spark.sql.functions.col("w"))
+      sys.props("spark.graft.bm25.dlBloomBytes") = "0"
+      try RetrievalOps.scoreProbes(ix, probe, 1.2, 0.75)
+      finally sys.props.remove("spark.graft.bm25.dlBloomBytes")
+    }),
+    // a03's pre-checkpoint search frame (r18 seeded-panel form)
+    "ann__ivf_seeded_search" -> ((s: SparkSession, dir: String) => {
+      val e = AnnOps.embTable(s, dir)
+      val out = AnnOps.ivfSearchSeeded(e, AnnOps.collectSeeds(e, 16))
+      e.unpersist(blocking = false)
+      out
+    }),
+    // a07's ADC candidate scoring (r18: seed-panel probes/assign + LUT)
+    "ann__ivfpq_scored" -> ((s: SparkSession, dir: String) => {
+      val e = AnnOps.embTable(s, dir)
+      val out = AnnOps.ivfPqAdcScored(e, 16, 4)
+      e.unpersist(blocking = false)
+      out
+    }),
+    // g05-family weighted edge construction (r18 VERDICT Next #8:
+    // ReadSchema pruning evidence at the orders⋈lineitem source)
+    "g05__edge_build" -> ((s: SparkSession, dir: String) =>
+      graft.graph.GraphQueries.edgeBuildProbe(s, dir)))
 }

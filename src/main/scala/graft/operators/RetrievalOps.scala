@@ -112,6 +112,58 @@ object RetrievalOps {
         + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(ix.avgdl)))
   }
 
+  /** Byte threshold above which the doclen side of the scoring join is
+    * Bloom-pruned (r18, guide §3.2). System property first so focused
+    * tests/probes can force the path, env for deployments, default
+    * 256 MB: far above any gate SF (sf0.1's whole doclen table is < 1 MB,
+    * so the driver bench's plans are byte-identical to r17's), and about
+    * the point where the dl side stops broadcasting and would otherwise
+    * be shuffled corpus-wide by a sort-merge join.
+    */
+  private[operators] def dlBloomBytes: Long =
+    sys.props.get("spark.graft.bm25.dlBloomBytes")
+      .orElse(sys.env.get("SPARK_GRAFT_BM25_DL_BLOOM_BYTES"))
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse(256L << 20)
+
+  /** Prune the corpus-sized doclen table to doc_ids that can survive the
+    * postings⋈probe join, BEFORE the dl equi-join (r17 VERDICT Next #1 /
+    * guide §3.2): at 100 TB the filtered postings join the FULL doclen
+    * table — the last corpus-sized join on the hot query path — and
+    * Spark's automatic runtime Bloom does not fire here (the creation
+    * side is a join output, not a selectively-filtered scan; verified in
+    * plans/r18/bm25__hot_score_bloomcheck.txt). A Bloom over the
+    * surviving doc_ids drops definitely-non-matching dl rows at the scan,
+    * so the dl shuffle is bounded by the posting lists, not the corpus.
+    * False positives only cost extra shuffle; no false negatives exist,
+    * so the inner join's rows — and every score — are identical (pinned
+    * by RetrievalOpsSpec's forced-path parity test and the a08/a10/a12/
+    * a13 oracle gates).
+    *
+    * Costs, and why it is size-gated: the surviving-postings subtree runs
+    * twice (once to build the filter, once to score) and the filter must
+    * fit in driver+executor memory — `expectedNumItems` is capped at 100M
+    * (≈115 MB at fpp 0.03); past the cap the filter saturates toward
+    * pass-through, which only loses pruning, never rows. Below
+    * [[dlBloomBytes]] the dl side broadcasts anyway and the extra pass
+    * would be pure overhead — the sf0.1 gates take that branch.
+    */
+  private def pruneDl(dl: DataFrame, hits: DataFrame, nDocs: Long): DataFrame = {
+    // size estimate from the index's OWN scalar, not the optimizer: dl is
+    // exactly nDocs fixed-width (doc_id, dl) rows, and asking Catalyst
+    // for plan stats here would bill every query an extra analyze+
+    // optimize pass over the dl subtree just to decide a threshold
+    val est = nDocs * 16L
+    if (est < dlBloomBytes) dl
+    else {
+      val expected = math.min(math.max(nDocs, 1L), 100000000L)
+      val bf = hits.select(col("doc_id")).stat.bloomFilter("doc_id", expected, 0.03)
+      val bfB = dl.sparkSession.sparkContext.broadcast(bf)
+      val mightContain = udf((id: Long) => bfB.value.mightContainLong(id))
+      dl.filter(mightContain(col("doc_id")))
+    }
+  }
+
   /** Score a broadcast term-probe frame against the index: one posting
     * equi-join, per-row ROUND-6 term score.
     *
@@ -121,15 +173,18 @@ object RetrievalOps {
     * filtered postings against the FULL dfreq table — auto-broadcast at
     * gate scale, but a vocabulary-sized shuffle risk at 100 TB where
     * dfreq outgrows the broadcast threshold. Same inner-join rows either
-    * way; values identical.
+    * way; values identical. r18: the doclen side is Bloom-pruned past
+    * [[dlBloomBytes]] ([[pruneDl]]).
     */
   private[operators] def scoreProbes(ix: Bm25Index, probe: DataFrame, k1: Double,
-      b: Double): DataFrame =
-    ix.tf
+      b: Double): DataFrame = {
+    val hits = ix.tf
       .join(broadcast(ix.dfreq.join(broadcast(probe), Seq("w"))), Seq("w"))
-      .join(ix.dl, Seq("doc_id"))
+    hits
+      .join(pruneDl(ix.dl, hits, ix.nDocs), Seq("doc_id"))
       .select(col("w").as("q"), col("doc_id"), col("tf"),
         round(termScore(ix, k1, b), 6).as("score"))
+  }
 
   private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored
@@ -197,10 +252,14 @@ object RetrievalOps {
     val qterms = ix.tf.filter(col("doc_id") < nQuery)
       .select(col("doc_id").as("q_id"), col("w"))
     // r17: df resolved into the (broadcast-sized) query-term frame first
-    // — the scoreProbes join-order note applies verbatim
-    ix.tf.filter(col("doc_id") >= nQuery)
-      .join(broadcast(qterms.join(ix.dfreq, Seq("w"))), Seq("w"))
-      .join(ix.dl, Seq("doc_id"))
+    // — the scoreProbes join-order note applies verbatim. r18: doclen
+    // Bloom-pruned past the size gate, and the dfreq resolution carries
+    // the explicit broadcast hint its scoreProbes twin already had
+    // (qterms is |Q| docs' distinct terms — probe-sized by construction).
+    val hits = ix.tf.filter(col("doc_id") >= nQuery)
+      .join(broadcast(broadcast(qterms).join(ix.dfreq, Seq("w"))), Seq("w"))
+    hits
+      .join(pruneDl(ix.dl, hits, ix.nDocs), Seq("doc_id"))
       .groupBy(col("q_id"), col("doc_id"))
       .agg(round(sum(termScore(ix, k1, b)), 6).as("score"))
       .withColumn("rk", row_number().over(

@@ -136,6 +136,24 @@ class RetrievalOpsSpec extends AnyFunSuite with graft.SparkTestSession {
       Seq("x").toDF("q")).count() == 0L)
   }
 
+  test("r18: forced doclen Bloom prune is value-identical on both query paths") {
+    import spark.implicits._
+    val docsDf = fixture.toDF("doc_id", "text")
+    val queries = Seq("x", "z").toDF("q")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val plainTop = rows(RetrievalOps.bm25TopK(docsDf, queries))
+    val plainDoc = rows(RetrievalOps.bm25DocQuery(docsDf, nQuery = 2))
+    // force the prune branch (threshold 0: every dl estimate exceeds it)
+    sys.props("spark.graft.bm25.dlBloomBytes") = "0"
+    try {
+      assert(rows(RetrievalOps.bm25TopK(docsDf, queries)) == plainTop,
+        "bloom-pruned hot-terms path diverged")
+      assert(rows(RetrievalOps.bm25DocQuery(docsDf, nQuery = 2)) == plainDoc,
+        "bloom-pruned doc-query path diverged")
+    } finally sys.props.remove("spark.graft.bm25.dlBloomBytes")
+  }
+
   test("a08: top-k truncation keeps the k best per query") {
     import spark.implicits._
     val many = (0L until 30L).map(i => (i, ("x " * ((i % 7).toInt + 1)).trim))
