@@ -63,7 +63,7 @@ object EpochIndex {
     * for every consumer); the pool is daemon + bounded and always shut
     * down. Single-element input short-circuits to a plain call.
     */
-  private def inParallel[A](fs: Seq[() => A]): Seq[A] =
+  private[operators] def inParallel[A](fs: Seq[() => A]): Seq[A] =
     if (fs.size <= 1) fs.map(_())
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(

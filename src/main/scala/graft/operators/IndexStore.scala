@@ -208,9 +208,14 @@ object IndexStore {
       val base = IndexManifest.currentVersion(s, loc) // CAS base: replace-all still commits base+1
       val (docsObs, sig) = observeDocSig(docs)
       val ix = RetrievalOps.buildIndexTables(docsObs) // tf cached by the build
-      val posts = writeVersion(ix.tf, loc, "postings")
-      val dl = writeVersion(ix.dl, loc, "doclen")
-      val dfq = writeVersion(ix.dfreq, loc, "dfreq")
+      // the three table writes read ONE cached tf and are independent —
+      // run them as concurrent jobs (guide §2.6: later jobs back-fill the
+      // executor tail of the current one); the sig metrics fired on the
+      // build's own scalar action, before any write
+      val Seq(posts, dl, dfq) = EpochIndex.inParallel(Seq(
+        () => writeVersion(ix.tf, loc, "postings"),
+        () => writeVersion(ix.dl, loc, "doclen"),
+        () => writeVersion(ix.dfreq, loc, "dfreq")))
       val (sc, ss, sch) = sig()
       val st = writeVersion(
         statsDf(s, ix.nDocs, ix.sumTf, sc, ss, sch), loc, "stats")
@@ -319,13 +324,17 @@ object IndexStore {
       val (docsObs, sig) = observeDocSig(newDocs) // sig rides the tokenize pass (r17)
       val st = tbl(s, m, "stats").head()
       val nix = RetrievalOps.buildIndexTables(docsObs) // batch-sized, cached
-      val postSeg = writeVersion(nix.tf, loc, "postings")
-      val dlSeg = writeVersion(nix.dl, loc, "doclen")
-      IndexLock.renew(s, tok) // lease heartbeat between heavy stages
+      IndexLock.renew(s, tok) // lease heartbeat before the write stage
+      // batch segments + merged dfreq all derive from the one cached
+      // batch tf (the merge also reads the OLD committed dfreq — a
+      // different table) — independent writes, concurrent jobs
       val merged = tbl(s, m, "dfreq")
         .unionByName(nix.dfreq)
         .groupBy(col("w")).agg(sum(col("df")).cast("long").as("df"))
-      val dfq = writeVersion(merged, loc, "dfreq")
+      val Seq(postSeg, dlSeg, dfq) = EpochIndex.inParallel(Seq(
+        () => writeVersion(nix.tf, loc, "postings"),
+        () => writeVersion(nix.dl, loc, "doclen"),
+        () => writeVersion(merged, loc, "dfreq")))
       val (sc, ss, sch) = sig()
       val stV = writeVersion(statsDf(s,
         st.getAs[Long]("n_docs") + nix.nDocs,
@@ -451,13 +460,17 @@ object IndexStore {
       val base = IndexManifest.currentVersion(s, loc)
       val (eObs, sig) = observeEmbSig(e) // sig rides the assign write (r18)
       val centsDf = AnnOps.seededCents(e, 16)
-      val cents = writeVersion(centsDf, loc, "centroids")
       val subs = AnnOps.subvectors(e)
       val cbDf = AnnOps.seededCodebook(subs)
-      val cb = writeVersion(cbDf, loc, "codebooks")
-      val asg = writeVersion(CentroidAssign.nearest(eObs, centsDf), loc, "assign")
-      val codes = writeVersion(AnnOps.pqEncode(subs.filter(col("vec_id") >= 5), cbDf)
-        .select(col("vec_id"), col("s"), col("j")), loc, "codes")
+      // four independent table writes (two model-sized, two full-input) —
+      // concurrent jobs per guide §2.6; the assign write carries the
+      // observed sig metrics
+      val Seq(cents, cb, asg, codes) = EpochIndex.inParallel(Seq(
+        () => writeVersion(centsDf, loc, "centroids"),
+        () => writeVersion(cbDf, loc, "codebooks"),
+        () => writeVersion(CentroidAssign.nearest(eObs, centsDf), loc, "assign"),
+        () => writeVersion(AnnOps.pqEncode(subs.filter(col("vec_id") >= 5), cbDf)
+          .select(col("vec_id"), col("s"), col("j")), loc, "codes")))
       val (sc, ss, sd) = sig()
       val st = writeVersion(ivfStatsDf(s, sc, ss, sd), loc, "stats")
       IndexLock.verify(s, tok)
@@ -592,10 +605,13 @@ object IndexStore {
       IndexLock.renew(s, tok) // heartbeat: k-means stages are the cost
       val cb = AnnOps.pqCodebooks(subs, k).cache()
       cb.count()
-      val cbRel = writeVersion(cb, loc, "codebooks")
-      val asg = writeVersion(CentroidAssign.nearest(eObs, cents), loc, "assign")
-      val codes = writeVersion(AnnOps.pqEncode(subs.filter(col("vec_id") >= 5), cb)
-        .select(col("vec_id"), col("s"), col("j")), loc, "codes")
+      // codebook persist + full-input assign/encode writes are
+      // independent once training materialized — concurrent jobs
+      val Seq(cbRel, asg, codes) = EpochIndex.inParallel(Seq(
+        () => writeVersion(cb, loc, "codebooks"),
+        () => writeVersion(CentroidAssign.nearest(eObs, cents), loc, "assign"),
+        () => writeVersion(AnnOps.pqEncode(subs.filter(col("vec_id") >= 5), cb)
+          .select(col("vec_id"), col("s"), col("j")), loc, "codes")))
       val (sc, ss, sd) = sig()
       val st = writeVersion(ivfStatsDf(s, sc, ss, sd), loc, "stats")
       IndexLock.verify(s, tok)
@@ -664,11 +680,13 @@ object IndexStore {
       val m = manifest(s, loc)
       val (eObs, sig) = observeEmbSig(newE) // sig rides the assign write (r18)
       val st = tbl(s, m, "stats").head()
-      val asgSeg = writeVersion(
-        CentroidAssign.nearest(eObs, tbl(s, m, "centroids")), loc, "assign")
-      val codeSeg = writeVersion(
-        AnnOps.pqEncode(AnnOps.subvectors(newE), tbl(s, m, "codebooks"))
-          .select(col("vec_id"), col("s"), col("j")), loc, "codes")
+      // batch assign + encode segments are independent — concurrent jobs
+      val Seq(asgSeg, codeSeg) = EpochIndex.inParallel(Seq(
+        () => writeVersion(
+          CentroidAssign.nearest(eObs, tbl(s, m, "centroids")), loc, "assign"),
+        () => writeVersion(
+          AnnOps.pqEncode(AnnOps.subvectors(newE), tbl(s, m, "codebooks"))
+            .select(col("vec_id"), col("s"), col("j")), loc, "codes")))
       val (sc, ss, sd) = sig()
       val stV = writeVersion(ivfStatsDf(s,
         st.getAs[Long]("sig_count") + sc,
